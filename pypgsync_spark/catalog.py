@@ -1,0 +1,75 @@
+"""Fixture-table catalog helpers.
+
+Mirrors the reference's runtime schema reflection (reference
+session.py:40-43, 184-185): schemas come from the data (parquet
+footers / JDBC metadata), never hard-coded. ``load_tables`` gives the
+query layer a dict of DataFrames; ``register_views`` exposes them to
+``spark.sql``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def ensure_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to TimestampType.
+
+    The fixture stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces
+    as a BIGINT of epoch nanos. Convert via integer division (``div``,
+    not ``/`` — nanos exceed double's exact-integer range) to micros,
+    matching DuckDB's floor-to-micros read of the same file.
+    """
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Parquet scan → vectorized reader,
+    predicate/column pushdown for free."""
+    # Defensive: the caller's session may not be ours (the driver builds
+    # its own). Epoch-millis normalization and the DuckDB oracle both
+    # assume UTC; runtime-settable, idempotent.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # runtime-settable; needed because events.parquet carries
+        # TIMESTAMP(NANOS) timestamps
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return ensure_events_ts(spark.read.parquet(table_path(sf_dir, name)))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names if os.path.exists(table_path(sf_dir, n))}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register temp views so queries can use spark.sql(...) directly."""
+    for n, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(n)

@@ -1,0 +1,107 @@
+"""Text-analysis column expressions for the documents pipeline.
+
+All pure Column expressions (JVM-side, whole-stage-codegen-friendly) —
+no Python UDFs in the hot path. Each is designed so an equivalent
+ANSI-SQL formulation exists for the DuckDB oracle (see queries/textops.py).
+
+Covers the training-data-pipeline text layer: tokenization, shingles,
+quality scoring, language-ID heuristics, token counting and content
+fingerprinting over the ``documents`` fixture table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic. Deliberately small and deterministic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "with"),
+    "es": ("el", "la", "de", "que", "los", "las", "una", "por"),
+    "fr": ("le", "la", "les", "des", "une", "est", "dans", "pour"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization, lower-cased: the BPE-ish baseline."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a token array.
+
+    Built from ``sequence`` + 0-based ``F.get`` (returns NULL out of
+    bounds even under ANSI mode); ``concat_ws`` skips trailing nulls
+    for docs shorter than ``n`` tokens, matching DuckDB's ``concat_ws``
+    + 1-based list-index semantics in the oracle formulation.
+    """
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.get(toks, i + j - 1) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, shingle))
+
+
+def stopword_count(toks: Column, stopwords: tuple[str, ...]) -> Column:
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(toks, lambda w: F.array_contains(sw, w)))
+
+
+def punct_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(c, r"[^.,;:!?]", "")
+    return F.length(stripped)
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Length / token / punctuation / stopword-ratio quality features
+    (the heuristic-filter family used in web-corpus curation)."""
+    c = F.col(text) if isinstance(text, str) else text
+    t = tokens(c)
+    n_tok = F.size(t)
+    return {
+        "n_chars_m": F.length(c),
+        "n_tokens": n_tok,
+        "avg_token_len": F.round(F.length(c) / F.greatest(n_tok, F.lit(1)), 4),
+        "punct_ratio": F.round(punct_count(c) / F.greatest(F.length(c), F.lit(1)), 6),
+        "stopword_ratio": F.round(
+            stopword_count(t, EN_STOPWORDS) / F.greatest(n_tok, F.lit(1)), 6
+        ),
+    }
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    return {lang: stopword_count(toks, markers) for lang, markers in LANG_MARKERS.items()}
+
+
+def lang_id(text: Column | str) -> Column:
+    """Pick the language whose marker-stopword count is highest;
+    deterministic tie-break by language-code order; 'und' when no
+    marker hits at all (word-soup docs land here often — fine, the
+    oracle computes the identical function)."""
+    t = tokens(text)
+    scores = lang_scores(t)
+    langs = sorted(scores)  # fixed order => deterministic ties
+    m = F.greatest(*[scores[lang] for lang in langs])
+    expr = F.when(m == 0, F.lit("und"))
+    for lang in langs[:-1]:
+        expr = expr.when(scores[lang] == m, F.lit(lang))
+    return expr.otherwise(F.lit(langs[-1]))
+
+
+def content_fingerprint(text: Column | str) -> Column:
+    """Deterministic whole-document fingerprint: md5 of the
+    whitespace-normalized, lower-cased text. Engine-portable (md5 is
+    identical in Spark and DuckDB), used for exact-dup detection
+    across formatting differences."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))

@@ -1,0 +1,104 @@
+"""Key-based merge (upsert) — the relational core of the reference.
+
+The reference upserts source rows into the destination with
+``INSERT ... ON CONFLICT (pk) DO UPDATE`` (reference session.py:135-151)
+and relies on ``ORDER BY updated ASC`` application order for
+convergence (reference session.py:126-133). Spark executes unordered,
+so we express the same end state *declaratively*: last-writer-wins by a
+version column, source beating destination on ties. This removes the
+order-dependence entirely (same fixed point, no sequencing needed) —
+a property tested in tests/test_merge.py.
+
+Two physical formulations, both shuffle-once on the merge key:
+
+- ``upsert_merge``: ``unionByName`` + ``row_number() over (partition by
+  pk order by version desc, source-priority desc) == 1``. One shuffle,
+  works for any column set, scales to arbitrarily many duplicates per
+  key. This is the default.
+- ``coalesce_merge``: ``full_outer`` join + per-column ``coalesce`` —
+  the MERGE INTO shape; useful when the delta is small enough to
+  broadcast (Catalyst will pick broadcast-hash automatically under the
+  threshold, or callers can hint).
+
+At 100 TB the winning strategy is to keep the destination bucketed (or
+Delta/Iceberg-partitioned) on the merge key so the union-window shuffle
+only moves the delta; ``upsert_merge`` takes an optional
+``num_partitions`` to pre-shape that shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_PRIORITY = "__merge_src_priority"
+_RN = "__merge_rn"
+
+
+def upsert_merge(
+    dst: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    version_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Last-writer-wins merge of ``delta`` onto ``dst`` keyed on ``keys``.
+
+    For each key, keep the row with the greatest ``version_col``;
+    when versions tie, the delta row wins (upsert overwrite semantics,
+    reference session.py:142-144).
+    """
+    if not keys:
+        raise ValueError("merge requires at least one key column")
+    cols = dst.columns
+    if set(cols) != set(delta.columns):
+        raise ValueError(f"schema mismatch: dst={cols} delta={delta.columns}")
+    unioned = dst.withColumn(_PRIORITY, F.lit(0)).unionByName(
+        delta.select(*cols).withColumn(_PRIORITY, F.lit(1))
+    )
+    if num_partitions:
+        unioned = unioned.repartition(num_partitions, *keys)
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(version_col).desc(), F.col(_PRIORITY).desc()
+    )
+    return (
+        unioned.withColumn(_RN, F.row_number().over(w))
+        .filter(F.col(_RN) == 1)
+        .drop(_RN, _PRIORITY)
+    )
+
+
+def coalesce_merge(
+    dst: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    broadcast_delta: bool = False,
+) -> DataFrame:
+    """``MERGE INTO``-shaped full-outer merge: delta column wins where
+    present, else destination. Assumes ``delta`` has at most one row per
+    key (pre-dedup with ``latest_per_key`` otherwise)."""
+    cols = dst.columns
+    d = F.broadcast(delta) if broadcast_delta else delta
+    joined = dst.alias("d").join(d.alias("s"), on=list(keys), how="full_outer")
+    picked = [
+        F.coalesce(F.col(f"s.{c}"), F.col(f"d.{c}")).alias(c)
+        for c in cols
+        if c not in keys
+    ]
+    return joined.select(*[F.col(k) for k in keys], *picked).select(*cols)
+
+
+def latest_per_key(df: DataFrame, keys: Sequence[str], version_col: str) -> DataFrame:
+    """Collapse to one row per key: greatest ``version_col`` wins."""
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(version_col).desc())
+    return df.withColumn(_RN, F.row_number().over(w)).filter(F.col(_RN) == 1).drop(_RN)
+
+
+def new_keys_only(src: DataFrame, dst: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Rows of ``src`` whose key is absent from ``dst`` — the keyed form
+    of the reference's "rows not yet synced" watermark comparison
+    (reference session.py:57-64). Plans as a left-anti join; Catalyst
+    broadcasts the key set when small."""
+    return src.join(dst.select(*keys).distinct(), on=list(keys), how="left_anti")

@@ -1,0 +1,71 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Pattern for image/audio/video at 100 TB: store the payload as a
+``binary`` column (or a pointer to object storage) next to typed
+metadata columns; run decode/feature-extraction as Arrow-batched
+``mapInPandas`` stages so each Python worker touches a whole batch, not
+a row. The Spark-side contract (schema, batch iteration, partition
+sizing) is real and tested here; the actual media decoding is stubbed
+because no image/audio libraries ship in this container — each stub is
+a clearly-marked seam (`decode_image`) that a deployment replaces.
+
+``extract_binary_features`` computes deterministic byte-level features
+(length, first/last byte) so the full pipeline remains
+oracle-verifiable end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("first_byte", T.IntegerType()),
+        T.StructField("last_byte", T.IntegerType()),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """Decode an image payload into an array. STUB: media codecs are
+    not available in this environment; deployments plug in PIL/ffmpeg
+    here. The Spark plumbing around this seam is fully tested."""
+    raise NotImplementedError("media decoding requires an image library at deploy time")
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text", out: str = "payload") -> DataFrame:
+    """Materialize an opaque binary column (fixture stand-in: UTF-8
+    bytes of the text column; production: real media bytes)."""
+    return df.withColumn(out, F.encode(F.col(text_col), "UTF-8"))
+
+
+def extract_binary_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas``: each batch arrives as a pandas DataFrame; returns
+    (id, n_bytes, first_byte, last_byte). Deterministic, so the DuckDB
+    oracle can verify the whole path (octet_length / ascii-of-ends).
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "first_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype("int32"),
+                    "last_byte": payloads.map(lambda b: b[-1] if len(b) else -1).astype("int32"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(extract, FEATURE_SCHEMA)

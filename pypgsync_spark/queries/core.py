@@ -1,0 +1,778 @@
+"""Core operator queries: SURVEY §2.2 (P1-P10), §2.4 (A1-A7),
+§2.5 (W1-W2 + analytic extensions), §2.6 (O1-O3), §2.7 (set ops),
+§2.8 (scalar functions).
+
+Role mapping (FIXTURES.md §C): the reference's ``transactions`` table →
+``events`` fixture (id→event_id, updated→unix_millis(ts),
+status→event_type with 'error' ≈ 'BLOCKED', amount→value).
+
+Normalization rules used throughout (and mirrored in every oracle):
+- timestamps surface as BIGINT epoch millis (``unix_millis`` /
+  DuckDB ``epoch_ms``) with the Spark session pinned to UTC;
+- double aggregates go through DECIMAL(18,2) so they are exact and
+  order-independent, then cast back to double;
+- every LIMIT/top-k carries a unique tie-break column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pypgsync_spark.catalog import load_table
+from pypgsync_spark.functions.time import to_millis
+from pypgsync_spark.operators.topk import topk, topk_per_key
+from pypgsync_spark.operators.windowed import row_number_boundaries
+from pypgsync_spark.queries import register
+
+# Epoch-millis constants (UTC midnights; events span 2024-01-01..01-30)
+MS_JAN01 = 1704067200000
+MS_JAN05 = 1704412800000
+MS_JAN10 = 1704844800000
+MS_JAN20 = 1705708800000
+
+# shared decimal-exact sum → double
+def _dsum(col: F.Column) -> F.Column:
+    return F.sum(col.cast("decimal(18,2)")).cast("double")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _events_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events(spark, sf_dir).withColumn("updated_ms", to_millis("ts"))
+
+
+# ---------------------------------------------------------------- P1/P2
+
+@register(
+    "p1_full_scan",
+    survey="P1,S7,F5",
+    doc="Full projection of events with epoch-millis normalization "
+    "(reference session.py:128 SELECT *).",
+    oracle="""
+    SELECT event_id, epoch_ms(ts) AS updated_ms, user_id, event_type, value, props
+    FROM events
+    """,
+)
+def p1_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events(spark, sf_dir).select(
+        "event_id", to_millis("ts").alias("updated_ms"), "user_id", "event_type", "value", "props"
+    )
+
+
+@register(
+    "p2_project_column",
+    survey="P2",
+    doc="Single-column projection (reference session.py:273-276 probe) — "
+    "plan should show a one-column parquet ReadSchema.",
+    oracle="SELECT event_id, epoch_ms(ts) AS updated_ms FROM events",
+)
+def p2_project_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events(spark, sf_dir).select("event_id", to_millis("ts").alias("updated_ms"))
+
+
+# ------------------------------------------------------------ P3-P10
+
+@register(
+    "p3_filter_range_closed",
+    survey="P3,C3",
+    doc="Closed watermark-range predicate (reference session.py:129-132 "
+    "slice bound: updated BETWEEN lo AND hi).",
+    oracle=f"""
+    SELECT event_id, epoch_ms(ts) AS updated_ms
+    FROM events
+    WHERE epoch_ms(ts) >= {MS_JAN05} AND epoch_ms(ts) <= {MS_JAN20}
+    """,
+)
+def p3_filter_range_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events_ms(spark, sf_dir)
+    return df.filter(
+        (F.col("updated_ms") >= MS_JAN05) & (F.col("updated_ms") <= MS_JAN20)
+    ).select("event_id", "updated_ms")
+
+
+@register(
+    "p4_filter_range_halfopen",
+    survey="P4,W2",
+    doc="Half-open window-range predicate (reference session.py:264-271 "
+    "interval_to_expr: col >= start AND col < end).",
+    oracle=f"""
+    SELECT event_id, epoch_ms(ts) AS updated_ms
+    FROM events
+    WHERE epoch_ms(ts) >= {MS_JAN05} AND epoch_ms(ts) < {MS_JAN20}
+    """,
+)
+def p4_filter_range_halfopen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events_ms(spark, sf_dir)
+    return df.filter(
+        (F.col("updated_ms") >= MS_JAN05) & (F.col("updated_ms") < MS_JAN20)
+    ).select("event_id", "updated_ms")
+
+
+@register(
+    "p5_filter_modulo",
+    survey="P5,F6",
+    doc="Modulo predicate (reference session.py:290-292 rownum % N = 1).",
+    oracle="SELECT event_id, user_id FROM events WHERE event_id % 10 = 1",
+)
+def p5_filter_modulo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .filter(F.col("event_id") % 10 == 1)
+        .select("event_id", "user_id")
+    )
+
+
+@register(
+    "p6_filter_eq",
+    survey="P6",
+    doc="Equality predicate (README.md:219 status = 'BLOCKED').",
+    oracle="SELECT event_id, user_id, value FROM events WHERE event_type = 'error'",
+)
+def p6_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "value")
+    )
+
+
+@register(
+    "p7_filter_neq",
+    survey="P7",
+    doc="Inequality predicate (README.md:150 status <> 'BLOCKED').",
+    oracle="SELECT event_id, event_type FROM events WHERE event_type <> 'error'",
+)
+def p7_filter_neq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") != "error")
+        .select("event_id", "event_type")
+    )
+
+
+# Derived nullable column standing in for the reference's nullable
+# certified_by_user (README.md:150,182): certified iff purchase.
+def _certified() -> F.Column:
+    return F.when(F.col("event_type") == "purchase", F.col("updated_ms"))
+
+
+@register(
+    "p8_filter_not_null",
+    survey="P8",
+    doc="IS NOT NULL predicate on a nullable epoch-millis column "
+    "(README.md:150 certified_by_user IS NOT NULL).",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END AS certified_ms
+    FROM events
+    WHERE CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END IS NOT NULL
+    """,
+)
+def p8_filter_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events_ms(spark, sf_dir).withColumn("certified_ms", _certified())
+    return df.filter(F.col("certified_ms").isNotNull()).select("event_id", "certified_ms")
+
+
+@register(
+    "p8b_filter_is_null",
+    survey="P8",
+    doc="IS NULL predicate (README.md:195-196 trigger gate).",
+    oracle="""
+    SELECT count(*) AS cnt FROM events
+    WHERE (CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) IS NULL
+    """,
+)
+def p8b_filter_is_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events_ms(spark, sf_dir).withColumn("certified_ms", _certified())
+    return df.filter(F.col("certified_ms").isNull()).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "p9_filter_expr",
+    survey="P9,F2,F3,F4",
+    doc="Expression predicate: abs() + epoch-millis interval arithmetic "
+    "(README.md:305-307: abs(amount) >= k AND age > interval).",
+    oracle=f"""
+    SELECT event_id, value, epoch_ms(ts) AS updated_ms
+    FROM events
+    WHERE abs(value) >= 150
+      AND (epoch_ms(ts) - {MS_JAN01}) / 1000 > 10 * 86400
+    """,
+)
+def p9_filter_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events_ms(spark, sf_dir)
+    return df.filter(
+        (F.abs(F.col("value")) >= 150)
+        & ((F.col("updated_ms") - MS_JAN01) / 1000 > 10 * 86400)
+    ).select("event_id", "value", "updated_ms")
+
+
+@register(
+    "p10_filter_conjunction",
+    survey="P10",
+    doc="Multi-term AND composition (reference session.py:130-132).",
+    oracle=f"""
+    SELECT event_id FROM events
+    WHERE event_type = 'purchase' AND value > 50 AND epoch_ms(ts) < {MS_JAN20}
+    """,
+)
+def p10_filter_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events_ms(spark, sf_dir)
+    return df.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("value") > 50)
+        & (F.col("updated_ms") < MS_JAN20)
+    ).select("event_id")
+
+
+# ------------------------------------------------------------- A1-A7
+
+@register(
+    "a1_max_watermark",
+    survey="A1,C3",
+    doc="Ungrouped MAX — resume watermark (reference session.py:57-59). "
+    "Resolves from parquet row-group stats, no full scan.",
+    oracle="SELECT max(epoch_ms(ts)) AS max_updated FROM events",
+)
+def a1_max_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events(spark, sf_dir).agg(F.max(to_millis("ts")).alias("max_updated"))
+
+
+@register(
+    "a2_min_watermark",
+    survey="A2,C3",
+    doc="Ungrouped MIN — cold-start watermark (reference session.py:61-63).",
+    oracle="SELECT min(epoch_ms(ts)) AS min_updated FROM events",
+)
+def a2_min_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events(spark, sf_dir).agg(F.min(to_millis("ts")).alias("min_updated"))
+
+
+@register(
+    "a3_count_filtered",
+    survey="A3",
+    doc="COUNT(*) under equality filter (README.md:217-219, Q3a).",
+    oracle="SELECT count(*) AS cnt FROM events WHERE event_type = 'error'",
+)
+def a3_count_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "a4_user_balance",
+    survey="A4,P7",
+    doc="Grouped SUM — the README Q2 initial user_balance load "
+    "(README.md:146-151): decimal-exact sum per user.",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS balance,
+           count(*) AS n_events,
+           max(epoch_ms(ts)) AS updated_ms
+    FROM events WHERE event_type <> 'error'
+    GROUP BY user_id
+    """,
+)
+def a4_user_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") != "error")
+        .groupBy("user_id")
+        .agg(
+            _dsum(F.col("value")).alias("balance"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(to_millis("ts")).alias("updated_ms"),
+        )
+    )
+
+
+@register(
+    "a5_incremental_balance",
+    survey="A5,T5",
+    doc="Incremental aggregate maintenance (README.md:157-198 trigger): "
+    "base balance over old rows merged with delta balance over new rows "
+    "via full-outer sum — the oracle checks the fixed point equals a "
+    "full re-aggregation.",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS balance
+    FROM events WHERE event_type <> 'error'
+    GROUP BY user_id
+    """,
+)
+def a5_incremental_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events_ms(spark, sf_dir).filter(F.col("event_type") != "error")
+    dec = F.col("value").cast("decimal(18,2)")
+    base = (
+        df.filter(F.col("updated_ms") < MS_JAN10)
+        .groupBy("user_id")
+        .agg(F.sum(dec).alias("bal"))
+    )
+    delta = (
+        df.filter(F.col("updated_ms") >= MS_JAN10)
+        .groupBy("user_id")
+        .agg(F.sum(dec).alias("bal"))
+    )
+    merged = base.alias("b").join(delta.alias("d"), on="user_id", how="full_outer")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return merged.select(
+        "user_id",
+        (F.coalesce(F.col("b.bal"), zero) + F.coalesce(F.col("d.bal"), zero))
+        .cast("double")
+        .alias("balance"),
+    )
+
+
+@register(
+    "a6_count_star",
+    survey="A6",
+    doc="Exact COUNT(*) for slice planning — replaces the reference's "
+    "EXPLAIN-estimate (session.py:219-234); parquet metadata-only.",
+    oracle="SELECT count(*) AS cnt FROM lineitem",
+)
+def a6_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "a7_distinct_users",
+    survey="A7",
+    doc="Exact COUNT(DISTINCT) (reference's approximate total, "
+    "session.py:296-298, done exactly).",
+    oracle="SELECT count(DISTINCT user_id) AS n_users FROM events",
+)
+def a7_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events(spark, sf_dir).agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@register(
+    "a7b_approx_distinct_users",
+    survey="A7,X2",
+    doc="HyperLogLog++ approximate distinct — the distributed analogue "
+    "of the reference's EXPLAIN cardinality estimate. No oracle (sketch "
+    "values are engine-specific); driver records rows-only.",
+    oracle=None,
+)
+def a7b_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events(spark, sf_dir).agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    )
+
+
+@register(
+    "a8_groupby_multi_agg",
+    survey="A4,A3",
+    doc="Multi-aggregate groupBy over event types: count/sum/min/max/avg "
+    "with decimal-exact normalization.",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def a8_groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    total = _dsum(F.col("value"))
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            total.alias("total_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.round(total / F.count(F.lit(1)), 6).alias("avg_value"),
+        )
+    )
+
+
+# ------------------------------------------------------------- W1-W4
+
+@register(
+    "w1_row_number_boundaries",
+    survey="W1,W2,P5",
+    doc="The reference's signature windowed-range trick: global "
+    "row_number + modulo boundary filter (session.py:273-292).",
+    oracle="""
+    SELECT event_id, rownum FROM (
+        SELECT event_id, row_number() OVER (ORDER BY event_id) AS rownum FROM events
+    ) WHERE rownum % 100 = 1
+    """,
+)
+def w1_row_number_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return row_number_boundaries(_events(spark, sf_dir), "event_id", 100)
+
+
+@register(
+    "w2_windowed_ranges_ts",
+    survey="W2,C1",
+    doc="Boundary extraction on the time column with unique tie-break "
+    "(session.py:283-308 windowed_query).",
+    oracle="""
+    SELECT updated_ms, rownum FROM (
+        SELECT epoch_ms(ts) AS updated_ms,
+               row_number() OVER (ORDER BY ts, event_id) AS rownum
+        FROM events
+    ) WHERE rownum % 250 = 1
+    """,
+)
+def w2_windowed_ranges_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy(F.col("ts"), F.col("event_id"))
+    return (
+        _events(spark, sf_dir)
+        .select(to_millis("ts").alias("updated_ms"), F.row_number().over(w).alias("rownum"))
+        .filter(F.col("rownum") % 250 == 1)
+    )
+
+
+@register(
+    "w3_running_balance",
+    survey="W1,A5",
+    doc="README Q2 running balance as an analytic window: "
+    "sum over (partition by user order by time rows unbounded "
+    "preceding), latest row per user (SURVEY §2.5 note).",
+    oracle="""
+    SELECT user_id, CAST(running AS DOUBLE) AS balance FROM (
+        SELECT user_id,
+               SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type <> 'error'
+    ) WHERE rn = 1
+    """,
+)
+def w3_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events(spark, sf_dir).filter(F.col("event_type") != "error")
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wlast = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        df.withColumn("running", F.sum(F.col("value").cast("decimal(18,2)")).over(wsum))
+        .withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("running").cast("double").alias("balance"))
+    )
+
+
+@register(
+    "w4_sessionize_lag",
+    survey="W1",
+    doc="Sessionization via lag(): count sessions per user with a "
+    "1-hour inactivity gap (analytic-window extension).",
+    oracle="""
+    SELECT user_id, count(*) AS n_sessions FROM (
+        SELECT user_id,
+               CASE WHEN prev_ms IS NULL OR updated_ms - prev_ms > 3600000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM (
+            SELECT user_id, epoch_ms(ts) AS updated_ms,
+                   lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+            FROM events
+        )
+    ) WHERE is_start = 1 GROUP BY user_id
+    """,
+)
+def w4_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    df = _events_ms(spark, sf_dir).withColumn("prev_ms", F.lag("updated_ms").over(w))
+    return (
+        df.withColumn(
+            "is_start",
+            F.when(
+                F.col("prev_ms").isNull() | (F.col("updated_ms") - F.col("prev_ms") > 3600000),
+                1,
+            ).otherwise(0),
+        )
+        .filter(F.col("is_start") == 1)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+
+
+# ------------------------------------------------------------- O1-O3
+
+@register(
+    "o1_sort_limit",
+    survey="O1",
+    doc="ORDER BY ASC with LIMIT (reference session.py:133 ordered scan; "
+    "unique tie-break for determinism).",
+    oracle="""
+    SELECT event_id, epoch_ms(ts) AS updated_ms FROM events
+    ORDER BY ts, event_id LIMIT 100
+    """,
+)
+def o1_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk(
+        _events_ms(spark, sf_dir).select("event_id", "updated_ms", "ts"),
+        [F.col("ts").asc(), F.col("event_id").asc()],
+        100,
+    ).select("event_id", "updated_ms")
+
+
+@register(
+    "o2_topk_single_key",
+    survey="O2",
+    doc="Per-user latest-10 (README.md:250-255, Q3b): filter + ORDER BY "
+    "DESC + LIMIT — plans as TakeOrderedAndProject, the index-free top-k.",
+    oracle="""
+    SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS orderdate_ms, o_totalprice
+    FROM orders WHERE o_custkey = 42
+    ORDER BY o_orderdate DESC, o_orderkey LIMIT 10
+    """,
+)
+def o2_topk_single_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return topk(
+        orders.filter(F.col("o_custkey") == 42),
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").asc()],
+        10,
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        to_millis("o_orderdate").alias("orderdate_ms"),
+        "o_totalprice",
+    )
+
+
+@register(
+    "o3_topk_per_key",
+    survey="O2,W1",
+    doc="Top-3 orders per customer via ranked window (the scale form of "
+    "Q3b across all keys at once; WindowGroupLimit pushdown).",
+    oracle="""
+    SELECT o_orderkey, o_custkey, rn FROM (
+        SELECT o_orderkey, o_custkey,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def o3_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return topk_per_key(
+        orders, ["o_custkey"], [F.col("o_orderdate").desc(), F.col("o_orderkey").asc()], 3
+    ).select("o_orderkey", "o_custkey", "rn")
+
+
+# ---------------------------------------------------------- set ops
+
+@register(
+    "set_union_all",
+    survey="§2.7",
+    doc="UNION ALL of two filtered branches (the upsert's "
+    "insert ∪ update partition, session.py:142-144).",
+    oracle="""
+    SELECT event_id, 'signup' AS branch FROM events WHERE event_type = 'signup'
+    UNION ALL
+    SELECT event_id, 'error' AS branch FROM events WHERE event_type = 'error'
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    a = e.filter(F.col("event_type") == "signup").select(
+        "event_id", F.lit("signup").alias("branch")
+    )
+    b = e.filter(F.col("event_type") == "error").select(
+        "event_id", F.lit("error").alias("branch")
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "set_intersect",
+    survey="§2.7",
+    doc="INTERSECT of key sets.",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    a = e.filter(F.col("event_type") == "purchase").select("user_id")
+    b = e.filter(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    survey="§2.7",
+    doc="EXCEPT (anti set difference).",
+    oracle="""
+    SELECT event_id FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT event_id FROM events WHERE value > 100
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    a = e.filter(F.col("event_type") == "purchase").select("event_id")
+    b = e.filter(F.col("value") > 100).select("event_id")
+    return a.subtract(b)  # EXCEPT DISTINCT semantics
+
+
+# ------------------------------------------------------ scalar F1-F6
+
+@register(
+    "f1_epoch_roundtrip",
+    survey="F1,F5",
+    doc="Epoch-millis ↔ timestamp round trip + seconds truncation "
+    "(README.md:148 extract(epoch from now())*1000 family).",
+    oracle="""
+    SELECT event_id,
+           epoch_ms(ts) AS updated_ms,
+           CAST(floor(epoch_ms(ts) / 1000) AS BIGINT) AS updated_s,
+           epoch_ms(make_timestamp(epoch_ms(ts) * 1000)) AS roundtrip_ms
+    FROM events
+    """,
+)
+def f1_epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events_ms(spark, sf_dir)
+    return df.select(
+        "event_id",
+        "updated_ms",
+        F.floor(F.col("updated_ms") / 1000).cast("long").alias("updated_s"),
+        F.unix_millis(F.timestamp_millis(F.col("updated_ms"))).alias("roundtrip_ms"),
+    )
+
+
+@register(
+    "f2_abs_arith",
+    survey="F2,F3,F6",
+    doc="abs(), arithmetic, and modulo scalar functions "
+    "(README.md:298,306; session.py:292).",
+    oracle="""
+    SELECT event_id,
+           round(abs(value - 100), 2) AS dist_from_100,
+           event_id % 7 AS id_mod7
+    FROM events
+    """,
+)
+def f2_abs_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events(spark, sf_dir).select(
+        "event_id",
+        F.round(F.abs(F.col("value") - 100), 2).alias("dist_from_100"),
+        (F.col("event_id") % 7).alias("id_mod7"),
+    )
+
+
+@register(
+    "f4_interval_span",
+    survey="F4,A1,A2",
+    doc="Interval comparison as epoch-millis arithmetic (README.md:299, "
+    "306-307): users active over a span > 20 days.",
+    oracle="""
+    SELECT user_id, max(epoch_ms(ts)) - min(epoch_ms(ts)) AS span_ms
+    FROM events GROUP BY user_id
+    HAVING max(epoch_ms(ts)) - min(epoch_ms(ts)) > 20 * 86400000
+    """,
+)
+def f4_interval_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ms = to_millis("ts")
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg((F.max(ms) - F.min(ms)).alias("span_ms"))
+        .filter(F.col("span_ms") > 20 * 86400000)
+    )
+
+
+@register(
+    "f_json_extract",
+    survey="§2.8 ext",
+    doc="JSON property extraction from events.props (extension layer; "
+    "get_json_object, JVM-side).",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    """,
+)
+def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.functions.json import json_get_long
+
+    df = _events(spark, sf_dir).withColumn("k", json_get_long("props", "k"))
+    return df.filter(F.col("k") >= 50).select("event_id", "k")
+
+
+@register(
+    "f_string_funcs",
+    survey="§2.8,F7",
+    doc="String scalar functions: upper/substr/length/concat.",
+    oracle="""
+    SELECT event_id,
+           upper(event_type) AS et_upper,
+           substr(event_type, 1, 3) AS et_prefix,
+           length(event_type) AS et_len,
+           event_type || ':' || CAST(user_id AS VARCHAR) AS et_key
+    FROM events
+    """,
+)
+def f_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events(spark, sf_dir).select(
+        "event_id",
+        F.upper("event_type").alias("et_upper"),
+        F.substring("event_type", 1, 3).alias("et_prefix"),
+        F.length("event_type").alias("et_len"),
+        F.concat_ws(":", F.col("event_type"), F.col("user_id").cast("string")).alias("et_key"),
+    )
+
+
+@register(
+    "f_case_when",
+    survey="§2.8",
+    doc="CASE WHEN bucketing + grouped count.",
+    oracle="""
+    SELECT CASE WHEN value >= 200 THEN 'high'
+                WHEN value >= 100 THEN 'mid'
+                ELSE 'low' END AS bucket,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def f_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = (
+        F.when(F.col("value") >= 200, "high")
+        .when(F.col("value") >= 100, "mid")
+        .otherwise("low")
+    )
+    return (
+        _events(spark, sf_dir)
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "f_date_trunc",
+    survey="§2.8,F5",
+    doc="Daily rollup via date_trunc (the partition-by-date layout probe "
+    "— the Spark analogue of the README's BRIN time-range reasoning).",
+    oracle="""
+    SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def f_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.unix_millis(F.date_trunc("DAY", F.col("ts"))).alias("day_ms"))
+        .agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("value")).alias("total_value"))
+    )

@@ -1,0 +1,203 @@
+"""Sync-engine queries: SURVEY §2.9 (C1-C4), §2.1 (S3 merge semantics).
+
+These run the actual sync machinery (plans/intervals.py,
+operators/merge.py, sync.py) as driver-checkable queries. The merge
+query builds a *stale destination* and a *fresh delta* from the events
+fixture with disjoint transformations, merges them last-writer-wins,
+and the oracle states the closed-form expected table — so the driver's
+hash check verifies true upsert semantics, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pypgsync_spark.catalog import load_table
+from pypgsync_spark.functions.time import to_millis
+from pypgsync_spark.operators.merge import coalesce_merge, latest_per_key, upsert_merge
+from pypgsync_spark.plans.intervals import closed_intervals, plan_slices
+from pypgsync_spark.queries import register
+
+MS_JAN10 = 1704844800000  # delta low watermark
+MS_JAN20 = 1705708800000  # stale-destination high cutoff
+
+_SLICE_SCHEMA = T.StructType(
+    [
+        T.StructField("slice_id", T.IntegerType(), False),
+        T.StructField("slice_lo", T.LongType(), False),
+        T.StructField("slice_hi", T.LongType(), False),
+    ]
+)
+
+
+def _events_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").withColumn("updated_ms", to_millis("ts"))
+
+
+@register(
+    "c1_intervals",
+    survey="C1",
+    doc="Closed-interval slice grid (reference utils.py:29-38): "
+    "pure planning math surfaced as rows for parity checking.",
+    oracle="""
+    SELECT CAST(i AS INT) AS slice_id,
+           CAST(i * 100 AS BIGINT) AS slice_lo,
+           CAST(least(i * 100 + 99, 10007) AS BIGINT) AS slice_hi
+    FROM (SELECT unnest(range(0, 101)) AS i)
+    """,
+)
+def c1_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [
+        (i, lo, hi) for i, (lo, hi) in enumerate(closed_intervals(0, 10007, 100))
+    ]
+    return spark.createDataFrame(rows, _SLICE_SCHEMA)
+
+
+@register(
+    "c2_slice_plan",
+    survey="C2,A6,C1",
+    doc="calculate_optimal_slices (reference session.py:201-240): "
+    "slice the events watermark range targeting 1000 rows/slice using "
+    "the exact delta count (vs the reference's EXPLAIN estimate).",
+    oracle="""
+    WITH s AS (
+        SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi, count(*) AS n
+        FROM events
+    ), p AS (
+        SELECT lo, hi, CAST(ceil(n / 1000.0) AS BIGINT) AS nslices FROM s
+    ), w AS (
+        SELECT lo, hi, nslices,
+               CAST(ceil((hi - lo + 1) * 1.0 / nslices) AS BIGINT) AS width
+        FROM p
+    )
+    SELECT CAST(i AS INT) AS slice_id,
+           CAST(lo + i * width AS BIGINT) AS slice_lo,
+           CAST(least(lo + (i + 1) * width - 1, hi) AS BIGINT) AS slice_hi
+    FROM w, (SELECT unnest(range(0, 100000)) AS i)
+    WHERE lo + i * width <= hi
+    """,
+)
+def c2_slice_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events_ms(spark, sf_dir)
+    row = df.agg(
+        F.min("updated_ms").alias("lo"),
+        F.max("updated_ms").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    plan = plan_slices(int(row["lo"]), int(row["hi"]), int(row["n"]), 1000)
+    rows = [(i, lo, hi) for i, (lo, hi) in enumerate(plan.slices)]
+    return spark.createDataFrame(rows, _SLICE_SCHEMA)
+
+
+@register(
+    "c3_watermarks",
+    survey="C3,A1,A2",
+    doc="Watermark probe (reference session.py:50-65): destination max "
+    "(emulated as the pre-Jan-20 snapshot), source min/max.",
+    oracle=f"""
+    SELECT max(CASE WHEN epoch_ms(ts) < {MS_JAN20} THEN epoch_ms(ts) END) AS dst_max,
+           min(epoch_ms(ts)) AS src_min,
+           max(epoch_ms(ts)) AS src_max
+    FROM events
+    """,
+)
+def c3_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events_ms(spark, sf_dir)
+    return df.agg(
+        F.max(
+            F.when(F.col("updated_ms") < MS_JAN20, F.col("updated_ms"))
+        ).alias("dst_max"),
+        F.min("updated_ms").alias("src_min"),
+        F.max("updated_ms").alias("src_max"),
+    )
+
+
+def _stale_dst(df: DataFrame) -> DataFrame:
+    """Stale destination snapshot: rows before Jan 20, versions 1000 ms
+    behind and values off by 1 (simulates not-yet-synced updates)."""
+    return df.filter(F.col("updated_ms") < MS_JAN20).select(
+        "event_id",
+        (F.col("updated_ms") - 1000).alias("updated_ms"),
+        "user_id",
+        "event_type",
+        (F.col("value") - 1).alias("value"),
+        "props",
+    )
+
+
+def _fresh_delta(df: DataFrame) -> DataFrame:
+    """Fresh source delta: everything at/after the Jan 10 low watermark
+    (closed-range read, reference session.py:129-132)."""
+    return df.filter(F.col("updated_ms") >= MS_JAN10).select(
+        "event_id", "updated_ms", "user_id", "event_type", "value", "props"
+    )
+
+
+_MERGE_ORACLE = f"""
+    SELECT event_id,
+           CASE WHEN epoch_ms(ts) >= {MS_JAN10} THEN epoch_ms(ts)
+                ELSE epoch_ms(ts) - 1000 END AS updated_ms,
+           user_id, event_type,
+           CASE WHEN epoch_ms(ts) >= {MS_JAN10} THEN value
+                ELSE value - 1 END AS value,
+           props
+    FROM events
+    WHERE epoch_ms(ts) < {MS_JAN20} OR epoch_ms(ts) >= {MS_JAN10}
+    """
+
+
+@register(
+    "s3_upsert_merge",
+    survey="S3,C4,§2.3",
+    doc="The upsert merge (reference session.py:135-151) as "
+    "union + last-writer-wins dedup: stale destination + fresh delta → "
+    "converged table. Oracle states the closed-form expected rows.",
+    oracle=_MERGE_ORACLE,
+)
+def s3_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events_ms(spark, sf_dir)
+    return upsert_merge(
+        _stale_dst(df), _fresh_delta(df), keys=["event_id"], version_col="updated_ms"
+    )
+
+
+@register(
+    "s3b_coalesce_merge",
+    survey="S3,§2.3",
+    doc="The same merge as a full-outer join + per-column coalesce "
+    "(the MERGE INTO shape) — must converge to the identical table.",
+    oracle=_MERGE_ORACLE,
+)
+def s3b_coalesce_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events_ms(spark, sf_dir)
+    delta = latest_per_key(_fresh_delta(df), ["event_id"], "updated_ms")
+    return coalesce_merge(_stale_dst(df), delta, keys=["event_id"])
+
+
+@register(
+    "c4_sync_pipeline",
+    survey="C4,C3,S3",
+    doc="End-to-end sync_once(): low watermark read off the destination "
+    "snapshot (= events before Jan 10), bounded delta extraction from "
+    "the source, merge → destination converges to the full source — "
+    "the reference's merge_chunks orchestration (session.py:111-160) "
+    "in one declarative pass.",
+    oracle="""
+    SELECT event_id, epoch_ms(ts) AS updated_ms, user_id, event_type, value, props
+    FROM events
+    """,
+)
+def c4_sync_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.sync import sync_once
+
+    df = _events_ms(spark, sf_dir)
+    src = df.select("event_id", "updated_ms", "user_id", "event_type", "value", "props")
+    dst = src.filter(F.col("updated_ms") < MS_JAN10)  # synced-so-far snapshot
+    # emulate the reference's wall-clock high watermark with src max
+    high = int(src.agg(F.max("updated_ms")).first()[0])
+    merged, _stats = sync_once(
+        src, dst, keys=["event_id"], version_col="updated_ms", high=high
+    )
+    return merged

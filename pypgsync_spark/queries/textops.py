@@ -1,0 +1,227 @@
+"""Text-analysis + dedup queries over ``documents`` (extension layer,
+SURVEY §7 Phase 4): exact dedup, n-gram Jaccard near-dup, MinHash-LSH,
+SimHash, token counting, quality scoring, language-ID, fingerprinting,
+and the multimodal binary plumbing.
+
+Oracle-checked wherever the computation is ANSI-SQL-expressible; the
+hash-based candidates (MinHash, SimHash) are rows-only — their
+*correctness* is tested in pytest against the exact Jaccard pairs
+(recall checks), which the driver cannot express in one SQL string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pypgsync_spark.catalog import load_table
+from pypgsync_spark.functions.text import (
+    EN_STOPWORDS,
+    LANG_MARKERS,
+    content_fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+    tokens,
+)
+from pypgsync_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from pypgsync_spark.operators.multimodal import (
+    extract_binary_features,
+    with_binary_payload,
+)
+from pypgsync_spark.queries import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# DuckDB-side shared fragments (tokens / shingles) mirroring
+# functions/text.py exactly.
+_DUCK_TOKENS = "string_split_regex(lower(trim(text)), '\\s+')"
+_DUCK_SHINGLES = f"""
+    list_distinct(list_transform(
+        range(1, greatest(len({_DUCK_TOKENS}) - 2, 1) + 1),
+        i -> concat_ws(' ', {_DUCK_TOKENS}[i], {_DUCK_TOKENS}[i+1], {_DUCK_TOKENS}[i+2])
+    ))
+"""
+
+
+@register(
+    "t1_token_count",
+    survey="ext:text",
+    doc="Whitespace token count + char length per document.",
+    oracle=f"""
+    SELECT doc_id,
+           len({_DUCK_TOKENS}) AS n_tokens,
+           length(text) AS n_chars_m
+    FROM documents
+    """,
+)
+def t1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_m"),
+    )
+
+
+@register(
+    "t2_quality_score",
+    survey="ext:text",
+    doc="Heuristic quality features: length, tokens, avg token length, "
+    "punctuation ratio, stopword ratio (web-corpus curation filters).",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars_m,
+           len({_DUCK_TOKENS}) AS n_tokens,
+           round(length(text) * 1.0 / greatest(len({_DUCK_TOKENS}), 1), 4) AS avg_token_len,
+           round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           round(len(list_filter({_DUCK_TOKENS},
+                     w -> list_contains({list(EN_STOPWORDS)!r}::VARCHAR[], w))) * 1.0
+                 / greatest(len({_DUCK_TOKENS}), 1), 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    feats = quality_features(F.col("text"))
+    return d.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+def _duck_marker_count(lang: str) -> str:
+    markers = LANG_MARKERS[lang]
+    return (
+        f"len(list_filter({_DUCK_TOKENS}, w -> list_contains({list(markers)!r}::VARCHAR[], w)))"
+    )
+
+
+_LANGS = sorted(LANG_MARKERS)
+_DUCK_LANG_CASE = (
+    "CASE WHEN " + " = 0 AND ".join(f"s_{la}" for la in _LANGS) + " = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN s_{la} = greatest({', '.join('s_' + x for x in _LANGS)}) THEN '{la}'"
+        for la in _LANGS[:-1]
+    )
+    + f" ELSE '{_LANGS[-1]}' END"
+)
+
+
+@register(
+    "t3_lang_id",
+    survey="ext:text",
+    doc="Marker-stopword language-ID heuristic with deterministic "
+    "tie-break; compared against the fixture's lang label.",
+    oracle=f"""
+    SELECT doc_id, lang, {_DUCK_LANG_CASE} AS lang_pred
+    FROM (
+        SELECT doc_id, lang,
+               {', '.join(f'{_duck_marker_count(la)} AS s_{la}' for la in _LANGS)}
+        FROM documents
+    )
+    """,
+)
+def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "t4_fingerprint",
+    survey="ext:text",
+    doc="Content fingerprint: md5 of whitespace-normalized lower-cased "
+    "text (engine-portable exact-dup key).",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", content_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+@register(
+    "d1_dedup_exact",
+    survey="ext:dedup",
+    doc="Exact dedup: one keeper per distinct normalized content, "
+    "min doc_id wins (deterministic dropDuplicates).",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        ORDER BY doc_id) = 1
+    """,
+)
+def d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(_docs(spark, sf_dir)).select("doc_id", "n_chars")
+
+
+@register(
+    "d2_ngram_jaccard_pairs",
+    survey="ext:dedup",
+    doc="Near-dup pairs by exact 3-gram Jaccard > 0.3 within an id band "
+    "(blocked pairwise; the LSH-free exactness baseline).",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + 50
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) > 0.3
+    """,
+)
+def d2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3, band_width=50)
+
+
+@register(
+    "d3_minhash_lsh_pairs",
+    survey="ext:dedup",
+    doc="MinHash(64)+LSH(16 bands) candidate pairs verified by exact "
+    "Jaccard > 0.3. Rows-only for the driver (xxhash64 signatures are "
+    "engine-specific); recall vs d2 is pytest-asserted.",
+    oracle=None,
+)
+def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3)
+
+
+@register(
+    "d4_simhash_pairs",
+    survey="ext:dedup",
+    doc="SimHash near-dup pairs (hamming ≤ 3 of 64 bits, chunk-LSH "
+    "candidates). Rows-only; structure tested in pytest.",
+    oracle=None,
+)
+def d4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "mm1_binary_features",
+    survey="ext:multimodal",
+    doc="Multimodal plumbing: text → binary payload → Arrow-batched "
+    "mapInPandas feature extraction (byte length, first/last byte). "
+    "Fixture texts are ASCII so the oracle can state the bytes in SQL.",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           ascii(substr(text, length(text), 1)) AS last_byte
+    FROM documents
+    """,
+)
+def mm1_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_binary_payload(_docs(spark, sf_dir))
+    return extract_binary_features(d)

@@ -1,0 +1,131 @@
+"""Similarity-search queries over ``embeddings`` (extension layer).
+
+The cosine kernel accumulates in double, sequentially, on both engines
+(Spark ``aggregate``/``zip_with`` vs DuckDB ``list_dot_product`` on
+DOUBLE[]), so brute-force results hash-match exactly after rounding.
+The approximate paths (hyperplane LSH, IVF) are rows-only for the
+driver; pytest asserts their recall against the brute-force truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pypgsync_spark.catalog import load_table
+from pypgsync_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    cosine_pairs,
+    ivf_assign,
+    ivf_topk,
+    lsh_ann_topk,
+    norm,
+)
+from pypgsync_spark.queries import register
+
+_QUERY_VEC_ID = 0
+_TOPK = 10
+
+_DUCK_COS = (
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = _emb(spark, sf_dir).filter(F.col("vec_id") == _QUERY_VEC_ID).first()
+    return list(row["embedding"])
+
+
+@register(
+    "v1_ann_bruteforce",
+    survey="ext:similarity",
+    doc="Exact top-10 by cosine against the vec_id=0 query vector — "
+    "the ANN exactness baseline (TakeOrderedAndProject, no global sort).",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT v FROM e WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT e.vec_id,
+           round(list_dot_product(e.v, q.v)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))),
+                 6) AS cos_sim
+    FROM e, q
+    ORDER BY list_dot_product(e.v, q.v)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))) DESC,
+             e.vec_id
+    LIMIT {_TOPK}
+    """,
+)
+def v1_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return brute_force_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=_TOPK)
+
+
+@register(
+    "v2_cosine_pairs",
+    survey="ext:dedup,ext:similarity",
+    doc="Embedding near-dup: all pairs with cosine > 0.4 (exact "
+    "self-join; LSH-gated at scale).",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_DUCK_COS}, 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_DUCK_COS} > 0.4
+    """,
+)
+def v2_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+@register(
+    "v3_norm_stats",
+    survey="ext:similarity",
+    doc="Per-label vector-norm statistics (decimal-exact avg).",
+    oracle="""
+    WITH e AS (SELECT label, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                      AS nrm FROM embeddings)
+    SELECT label, count(*) AS n,
+           round(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_norm
+    FROM e GROUP BY label
+    """,
+)
+def v3_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).withColumn("nrm", norm(F.col("embedding")))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_norm"),
+    )
+
+
+@register(
+    "v4_lsh_ann_topk",
+    survey="ext:similarity",
+    doc="Approximate top-10 via random-hyperplane LSH (12 bits, "
+    "multi-probe hamming ≤ 2). Rows-only; recall vs v1 pytest-asserted.",
+    oracle=None,
+)
+def v4_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_ann_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=_TOPK)
+
+
+@register(
+    "v5_ivf_topk",
+    survey="ext:similarity",
+    doc="IVF-style cell-probed top-10 (8 deterministic centroids, "
+    "2 probes). Rows-only; recall pytest-asserted.",
+    oracle=None,
+)
+def v5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    # deterministic centroid seed: the 8 lowest vec_ids
+    cent_rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    centroids = [list(r["embedding"]) for r in cent_rows]
+    assigned = ivf_assign(emb, centroids)
+    return ivf_topk(assigned, centroids, _query_vec(spark, sf_dir), k=_TOPK, n_probe=2)

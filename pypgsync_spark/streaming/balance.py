@@ -1,0 +1,136 @@
+"""Stateful incremental aggregate: the README "Question 2" balance.
+
+The reference maintains ``user_balance`` (user_id, balance, updated)
+with a plpgsql trigger that adds ``NEW.amount`` exactly once — when a
+transaction first becomes certified-and-unblocked (README.md:157-198;
+gating conditions at README.md:182, 195-196). That is a continuously
+maintained grouped SUM with *transition gating*: a row contributes on
+its first qualifying version only.
+
+Spark-native forms, both provided:
+
+- ``streaming_balance``: Structured Streaming
+  ``groupBy(user).agg(sum)`` over the qualifying-event stream —
+  the state store holds per-user running sums (SURVEY §2.10 T5).
+  Streamed via the memory sink in complete mode for tests; in
+  production the sink is ``foreachBatch`` merging into the balance
+  table in update mode.
+- ``batch_balance``: the equivalent batch re-aggregation
+  (README.md:146-151's initial load) used as the oracle.
+
+Transition gating in the streaming form: the qualifying filter keeps a
+version's rows only when qualified; re-emissions of the same key are
+deduplicated by ``dropDuplicates`` over the event id *within the
+stream* (state-store-backed), mirroring "count each transaction once".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+import os
+
+from pypgsync_spark.catalog import ensure_events_ts
+
+
+def _file_stream(spark: SparkSession, schema: "T.StructType", source_path: str):
+    """Parquet file-stream source. Spark's file source needs a
+    *directory*; when handed a single file, stream its parent with a
+    pathGlobFilter restricted to that file name."""
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(source_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(source_path))
+        source_path = os.path.dirname(source_path)
+    return reader.parquet(source_path)
+
+
+def qualifying(events: DataFrame, status_col: str = "event_type", blocked: str = "error") -> DataFrame:
+    """The README Q2 gate: certified AND not blocked → fixture analogue:
+    event_type <> 'error' (FIXTURES.md role mapping)."""
+    return events.filter(F.col(status_col) != blocked)
+
+
+def batch_balance(events: DataFrame) -> DataFrame:
+    """Initial aggregate load (README.md:146-151): decimal-exact sum →
+    double for oracle comparability."""
+    return (
+        qualifying(events)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("balance"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def streaming_balance(
+    spark: SparkSession,
+    source_path: str,
+    schema: T.StructType,
+    query_name: str = "user_balance_stream",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Run the stateful balance as a real streaming query over parquet
+    files, drain with availableNow, return the final balance table.
+
+    ``dropDuplicates([id_col])`` is the transition gate (each event id
+    contributes once, state-store-backed); complete-mode memory sink
+    exposes the running aggregate for verification.
+    """
+    src = ensure_events_ts(_file_stream(spark, schema, source_path))
+    agg = (
+        qualifying(src)
+        .dropDuplicates([id_col])
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("balance"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    source_path: str,
+    schema: T.StructType,
+    window: str = "1 day",
+    watermark: str = "2 days",
+    query_name: str = "windowed_counts_stream",
+) -> DataFrame:
+    """Tumbling-window streaming aggregation with a watermark — the
+    bounded-late-data improvement over the reference's silent late-row
+    loss (SURVEY §2.10 T3). Returns (window_start_ms, event_type, n, total)."""
+    src = ensure_events_ts(_file_stream(spark, schema, source_path))
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).select(
+        F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+        F.col("event_type"),
+        F.col("n"),
+        F.col("total"),
+    )

@@ -1,0 +1,59 @@
+"""Continuous-mode sync as Structured Streaming.
+
+The reference's continuous mode is ``while True: sync(); sleep(delay)``
+(reference cli.py:80-97) — each iteration a fresh batch sync whose
+state lives in the destination table. The Spark-native form is a
+Structured Streaming query:
+
+- ``readStream`` over the source (files here; Kafka/CDC in production),
+- ``trigger(processingTime=...)`` for the 5-second cadence
+  (reference cli.py:72-74) or ``availableNow`` for drain-and-stop,
+- ``foreachBatch`` running the same idempotent merge as batch mode —
+  checkpointed offsets + idempotent merge ⇒ effectively-once
+  (the reference's crash-resume property, README.md:90),
+- ``withWatermark`` available for bounded late-data tolerance — a
+  strict improvement over the reference, which silently misses rows
+  whose ``updated`` lags the destination max (SURVEY §2.10 T3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from pypgsync_spark.operators.merge import latest_per_key
+from pypgsync_spark.sync import ParquetSyncedTable, upsert_merge
+
+
+def stream_sync(
+    spark: SparkSession,
+    source_path: str,
+    schema: T.StructType,
+    store: ParquetSyncedTable,
+    keys: list[str],
+    version_col: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+):
+    """Start a streaming sync of parquet files at ``source_path`` into
+    ``store``. Returns the StreamingQuery (caller awaits/stops).
+
+    ``trigger``: e.g. ``{"processingTime": "5 seconds"}`` (reference
+    default cadence) or ``{"availableNow": True}`` to drain and stop.
+    """
+    src = spark.readStream.schema(schema).parquet(source_path)
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        # Dedup inside the batch first (a batch may carry several
+        # versions of one key), then merge onto the store — idempotent,
+        # so epoch replays after a crash are safe.
+        delta = latest_per_key(batch, keys, version_col)
+        dst = store.read()
+        merged = delta if dst is None else upsert_merge(dst, delta, keys, version_col)
+        store.write(merged)
+
+    writer = src.writeStream.foreachBatch(merge_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()

@@ -1,0 +1,189 @@
+"""The watermark-merge sync pipeline — the reference's reason to exist.
+
+Reference protocol (reference session.py:50-65, pypgsync.py:12-13,
+README.md:90):
+
+1. low watermark  = ``MAX(dst.updated)``, falling back to
+   ``MIN(src.updated)`` when the destination is empty (cold start);
+2. high watermark = wall-clock epoch millis captured at run start;
+3. read the source delta ``updated BETWEEN low AND high`` in ~10M-row
+   slices;
+4. upsert each chunk into the destination on the primary key;
+5. (continuous mode) sleep and repeat — state lives in the data, so
+   every iteration is resumable and idempotent.
+
+Spark-native re-expression: the delta is one bounded DataFrame filter
+(Catalyst pushes it to the parquet scan / JDBC source), slices are the
+source's partitioning, and the upsert is a declarative last-writer-wins
+merge. Order-by-updated application (reference session.py:126-133) is
+unnecessary: the merge is order-free with the same fixed point.
+
+``SyncedTable`` abstracts the destination store. The parquet
+implementation here is the test substrate; a Delta/Iceberg MERGE INTO
+or the JDBC upsert sink (sources/jdbc.py) are drop-in alternatives at
+deploy time.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pypgsync_spark.operators.merge import upsert_merge
+from pypgsync_spark.plans.intervals import SlicePlan, plan_slices
+
+
+def now_millis() -> int:
+    """High watermark stamp (reference pypgsync.py:13)."""
+    return int(time.time() * 1000)
+
+
+def low_watermark(dst: DataFrame | None, src: DataFrame, column: str) -> int | None:
+    """``MAX(dst.col)`` else ``MIN(src.col)`` (reference session.py:50-65).
+
+    Returns None when the source is empty too (nothing to sync).
+    Both are single-row aggregates; on parquet they resolve from
+    row-group statistics without a full scan.
+    """
+    if dst is not None:
+        row = dst.agg(F.max(column).alias("wm")).first()
+        if row is not None and row["wm"] is not None:
+            return int(row["wm"])
+    row = src.agg(F.min(column).alias("wm")).first()
+    if row is None or row["wm"] is None:
+        return None
+    return int(row["wm"])
+
+
+@dataclass
+class SyncStats:
+    low: int | None
+    high: int
+    delta_rows: int
+    plan: SlicePlan | None
+
+
+def extract_delta(
+    src: DataFrame, column: str, low: int | None, high: int
+) -> DataFrame:
+    """The bounded source read: ``low <= col <= high`` (closed range,
+    reference session.py:129-132). Low-inclusive re-reads the boundary
+    row; harmless because the merge is idempotent."""
+    cond = F.col(column) <= F.lit(high)
+    if low is not None:
+        cond = (F.col(column) >= F.lit(low)) & cond
+    return src.filter(cond)
+
+
+def sync_once(
+    src: DataFrame,
+    dst: DataFrame | None,
+    keys: list[str],
+    version_col: str,
+    high: int | None = None,
+    target_rows_per_slice: int | None = None,
+) -> tuple[DataFrame, SyncStats]:
+    """One sync iteration: watermark → delta → merge. Returns the merged
+    destination DataFrame (caller persists it) plus stats.
+
+    ``target_rows_per_slice`` triggers explicit slice planning — only
+    meaningful for JDBC-faithful execution; the DataFrame path lets the
+    source's own partitioning bound per-task work.
+    """
+    high = high if high is not None else now_millis()
+    low = low_watermark(dst, src, version_col)
+    if low is None or low > high:
+        # no-op short-circuit (reference session.py:216-218)
+        empty = dst if dst is not None else src.limit(0)
+        return empty, SyncStats(low=low, high=high, delta_rows=0, plan=None)
+    delta = extract_delta(src, version_col, low, high)
+    plan = None
+    if target_rows_per_slice:
+        est = delta.count()
+        plan = plan_slices(low, high, est, target_rows_per_slice)
+    delta_rows = delta.count()
+    if dst is None:
+        merged = delta
+    else:
+        merged = upsert_merge(dst, delta, keys=keys, version_col=version_col)
+    return merged, SyncStats(low=low, high=high, delta_rows=delta_rows, plan=plan)
+
+
+class ParquetSyncedTable:
+    """Parquet-backed destination store for the sync loop.
+
+    Writes to an alternating pair of subdirectories so a crash mid-write
+    never corrupts the readable copy (poor man's table-format commit;
+    production would use Delta/Iceberg, or the JDBC upsert sink where
+    Postgres itself is the store).
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._ptr = os.path.join(path, "_CURRENT")
+
+    def _current(self) -> str | None:
+        if not os.path.exists(self._ptr):
+            return None
+        with open(self._ptr) as f:
+            return os.path.join(self.path, f.read().strip())
+
+    def read(self) -> DataFrame | None:
+        cur = self._current()
+        if cur is None or not os.path.exists(cur):
+            return None
+        return self.spark.read.parquet(cur)
+
+    def write(self, df: DataFrame) -> None:
+        cur = self._current()
+        nxt = "a" if cur is None or cur.endswith("b") else "b"
+        out = os.path.join(self.path, nxt)
+        df.write.mode("overwrite").parquet(out)
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(nxt)
+        os.replace(tmp, self._ptr)
+
+
+def sync_table(
+    src: DataFrame,
+    store: ParquetSyncedTable,
+    keys: list[str],
+    version_col: str,
+    high: int | None = None,
+) -> SyncStats:
+    """One full iteration against a persistent destination — the body of
+    the reference's ``merge_chunks`` orchestrator (session.py:111-160)."""
+    dst = store.read()
+    merged, stats = sync_once(src, dst, keys, version_col, high=high)
+    if stats.delta_rows > 0 or dst is None:
+        store.write(merged)
+    return stats
+
+
+def sync_continuous(
+    src_loader,
+    store: ParquetSyncedTable,
+    keys: list[str],
+    version_col: str,
+    iterations: int,
+    delay_seconds: float = 5.0,
+    sleep=time.sleep,
+) -> list[SyncStats]:
+    """Continuous mode: bounded re-run loop (reference cli.py:80-97,
+    default delay 5 s at cli.py:72-74). ``src_loader()`` re-reads the
+    source each iteration so new files/rows are visible. For the
+    Structured-Streaming-native form see streaming/continuous.py.
+    """
+    out: list[SyncStats] = []
+    for i in range(iterations):
+        out.append(sync_table(src_loader(), store, keys, version_col))
+        if i + 1 < iterations:
+            sleep(delay_seconds)
+    return out

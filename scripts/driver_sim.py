@@ -1,0 +1,57 @@
+"""Simulate the driver's verify: fresh default-config SparkSession,
+entry() smoke at sf0.001, every queries() entry vs its oracle_sql()
+via DuckDB at sf0.01 (the driver's correctness scale).
+
+Usage: python scripts/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+# Deliberately NOT our tuned session: mimic a plain driver session.
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("driver_sim")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+
+import __spark_entry__ as e
+from tests.oracle_harness import compare, duck_connection
+
+t0 = time.time()
+df = e.entry(spark)
+rows = df.count()
+print(f"entry(): {rows} rows, schema={df.columns}, {time.time()-t0:.1f}s")
+assert rows > 0
+
+qs = e.queries()
+oracles = e.oracle_sql()
+print(f"{len(qs)} queries, {len(oracles)} with oracles")
+
+failed = []
+for name, fn in sorted(qs.items()):
+    t0 = time.time()
+    if name in oracles:
+        ok, msg = compare(spark, sf_dir, fn, oracles[name])
+        status = "OK " if ok else "FAIL"
+        if not ok:
+            failed.append((name, msg))
+    else:
+        n = fn(spark, sf_dir).count()
+        ok, msg, status = True, f"rows-only ({n} rows)", "ROWS"
+    print(f"  {status} {name}: {msg} [{time.time()-t0:.1f}s]")
+
+print(f"\n{len(qs) - len(failed)}/{len(qs)} ok")
+if failed:
+    for name, msg in failed:
+        print(f"FAILED {name}: {msg}")
+    sys.exit(1)

@@ -1,0 +1,70 @@
+"""Local differential-oracle harness mirroring the driver's compare:
+row count + column names + order-insensitive value hash between each
+Spark query and its DuckDB oracle over the same parquet fixtures.
+
+Values are normalized before hashing: floats rounded to 9 significant-
+digit representation, None/NaN unified, rows sorted by their full
+string form with columns in name order — deliberately stricter than
+nothing but tolerant of sub-ulp float noise, so that a pass here makes
+the driver's hash-match highly likely.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import duckdb
+
+from pypgsync_spark.catalog import TABLES, table_path
+
+
+def _norm_value(v: Any) -> str:
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0:
+            return "0"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _norm_rows(cols: list[str], rows: list[tuple]) -> list[str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_norm_value(r[i]) for i in order) for r in rows)
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    return con
+
+
+def compare(spark, sf_dir: str, fn, oracle: str) -> tuple[bool, str]:
+    sdf = fn(spark, sf_dir)
+    scols = list(sdf.columns)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duck_connection(sf_dir)
+    try:
+        res = con.execute(oracle)
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+    finally:
+        con.close()
+    if sorted(scols) != sorted(dcols):
+        return False, f"schema mismatch: spark={sorted(scols)} duck={sorted(dcols)}"
+    if len(srows) != len(drows):
+        return False, f"row count mismatch: spark={len(srows)} duck={len(drows)}"
+    sn = _norm_rows(scols, srows)
+    dn = _norm_rows(dcols, drows)
+    if sn != dn:
+        diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:5]
+        return False, f"value mismatch, first diffs: {diffs}"
+    return True, f"ok ({len(srows)} rows)"
