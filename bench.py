@@ -1,0 +1,87 @@
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "sync_rows_per_sec": N}
+
+Each query is materialized through the noop sink (forces full column
+computation, no driver collect overhead). The sync throughput figure is
+rows-merged-per-second of the upsert pipeline, comparable to the
+reference's ~6,000 rows/s local baseline (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pypgsync_spark.queries import REGISTRY
+from pypgsync_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+BENCH_QUERIES = [
+    # reference-parity core
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "j6_shipping_topk",
+    "j7_region_nation_revenue",
+    "a4_user_balance",
+    "w1_row_number_boundaries",
+    "o3_topk_per_key",
+    # sync engine
+    "s3_upsert_merge",
+    "c4_sync_pipeline",
+    # extension layer
+    "d1_dedup_exact",
+    "d3_minhash_lsh_pairs",
+    "v1_ann_bruteforce",
+    "v2_cosine_pairs",
+]
+
+
+def materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    spark = get_spark(app_name="pypgsync_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + parquet footer caches
+    REGISTRY["a6_count_star"].fn(spark, SF_DIR).count()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = REGISTRY[name].fn
+        t0 = time.time()
+        materialize(fn(spark, SF_DIR))
+        times[name] = round(time.time() - t0, 3)
+
+    # sync throughput: rows merged per second through the upsert pipeline
+    from pypgsync_spark.catalog import load_table
+
+    n_events = load_table(spark, SF_DIR, "events").count()
+    sync_rps = round(n_events / max(times["s3_upsert_merge"], 1e-9))
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    out = {
+        "metric": "headline_queries_wall_clock",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf else SF_DIR,
+        "sync_rows_per_sec": sync_rps,
+        "n_events": n_events,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

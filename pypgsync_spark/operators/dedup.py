@@ -48,7 +48,17 @@ def dedup_exact(
 def with_shingles(
     df: DataFrame, text_col: str = "text", n: int = 3, out: str = "shingles"
 ) -> DataFrame:
-    return df.withColumn(out, word_shingles(tokens(F.col(text_col)), n))
+    """Attach the distinct-shingle array column.
+
+    Repartitions to the session's default parallelism first: shingle
+    construction is interpreted higher-order-function work (the
+    expensive part of every downstream dedup), and a small parquet
+    input is a single split — without the shuffle it runs on one core.
+    At scale the input has many splits and AQE may coalesce this to a
+    no-op-ish exchange; the correctness is unaffected.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par).withColumn(out, word_shingles(tokens(F.col(text_col)), n))
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -72,41 +82,60 @@ def ngram_jaccard_pairs(
     each other — the sf-fixture stand-in for a real blocking key
     (at 100 TB use :func:`minhash_lsh_pairs`, which needs no such
     assumption). ``band_width=None`` does the full cross product.
+
+    Plan note: the window condition is turned into a *block-key
+    equi-join* (left side emits its block and the next; right side its
+    own block) — a raw ``id_b <= id_a + w`` range predicate would plan
+    as a nested-loop join over all N² pairs.
     """
     s = with_shingles(df.select(id_col, text_col), text_col, n)
     a = s.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = s.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    cond = F.col("id_a") < F.col("id_b")
-    if band_width is not None:
-        cond = cond & (F.col("id_b") <= F.col("id_a") + band_width)
+    if band_width is None:
+        joined = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        blk_a = (F.col("id_a") / band_width).cast("long")
+        a2 = a.withColumn("blk", F.explode(F.array(blk_a, blk_a + 1)))
+        b2 = b.withColumn("blk", (F.col("id_b") / band_width).cast("long"))
+        joined = a2.join(b2, on="blk").filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("id_b") <= F.col("id_a") + band_width)
+        )
     return (
-        a.join(b, cond)
-        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        joined.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") > threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
 
-def minhash_signature(shingles: Column, num_perm: int) -> Column:
-    """Array of ``num_perm`` minhash values of a distinct-shingle array.
+def minhash_signatures(
+    df: DataFrame, id_col: str, shingle_col: str, num_perm: int
+) -> DataFrame:
+    """(id, sig: array<long>) — minhash signature per document.
 
     Permutation i = min over shingles of
-    ``pmod(xxhash64(concat(seed_i, shingle)), 2^61-1)``. All JVM-side
-    expression work; cost is O(|shingles| * num_perm) per doc with no
-    shuffle.
+    ``pmod(xxhash64(i, shingle), 2^61-1)``.
+
+    Physical shape chosen for scale: explode shingles to one row each,
+    compute the ``num_perm`` hash columns as plain (whole-stage-
+    codegen'd) expressions, and take per-document mins through a
+    partial-aggregating groupBy. Spark's higher-order array lambdas run
+    interpreted, so the seemingly shuffle-free ``transform``/
+    ``array_min`` formulation is ~10× slower; the explode route keeps
+    every hash inside codegen and the shuffle carries only
+    (id, 64 longs) after map-side combine.
     """
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    shingles,
-                    lambda s, i=i: F.pmod(
-                        F.xxhash64(F.concat(F.lit(f"perm{i}:"), s)), F.lit(_MERSENNE_61)
-                    ),
-                )
-            )
-            for i in range(num_perm)
-        ]
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(shingle_col).alias("s"))
+    hash_cols = [
+        F.pmod(F.xxhash64(F.lit(i), F.col("s")), F.lit(_MERSENNE_61)).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    hashed = exploded.select("id", *hash_cols)
+    mins = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_perm)]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
     )
 
 
@@ -136,65 +165,76 @@ def minhash_lsh_pairs(
         raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
     r = num_perm // bands
     s = with_shingles(df.select(id_col, text_col), text_col, n)
-    sig = s.select(
-        F.col(id_col).alias("id"),
-        F.col("shingles"),
-        minhash_signature(F.col("shingles"), num_perm).alias("sig"),
-    )
-    # band key rows: (band, bucket_hash, id) — one pass, explode-free
+    # Cache the (id, shingles) side: it feeds both the signature build
+    # and the final exact-Jaccard verification.
+    s = s.persist()
+    sig = minhash_signatures(s, id_col, "shingles", num_perm)
+    # band key rows carry ONLY (band, bucket, id): shingle arrays must
+    # not ride through the ×bands explode + bucket shuffle.
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),
-            F.xxhash64(F.concat_ws(",", *[F.element_at(F.col("sig"), bi * r + j + 1).cast("string") for j in range(r)])).alias("bucket"),
+            F.xxhash64(
+                *[F.element_at(F.col("sig"), bi * r + j + 1) for j in range(r)]
+            ).alias("bucket"),
         )
         for bi in range(bands)
     ]
-    buckets = sig.select("id", "shingles", F.explode(F.array(*band_cols)).alias("bk")).select(
-        "id", "shingles", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
-    )
-    left = buckets.select(
-        F.col("band"), F.col("bucket"), F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")
-    )
-    right = buckets.select(
-        F.col("band"), F.col("bucket"), F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")
+    buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
     )
     cand = (
-        left.join(right, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        buckets.alias("l")
+        .join(buckets.alias("r"), on=["band", "bucket"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
-        cand.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+    # verify candidates (few) with exact Jaccard: join shingles back in
+    sh = s.select(F.col(id_col).alias("id"), F.col("shingles"))
+    verified = (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), on="id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), on="id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") > threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return verified
 
 
-def simhash64(toks: Column) -> Column:
-    """64-bit SimHash of a token array.
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, sig: long) — 64-bit SimHash per document.
 
     For each bit position j, sum +1/-1 votes of each distinct token's
-    xxhash64 bit j; bit j of the result is 1 iff the vote is positive.
-    Expressed as a single aggregate expression over the token array —
-    no explode, no shuffle.
+    xxhash64 bit j; bit j of the signature is 1 iff the vote is
+    positive. Same explode + codegen'd-columns + partial-agg shape as
+    :func:`minhash_signatures` (array-lambda aggregates run
+    interpreted and are ~10× slower).
     """
-    distinct = F.array_distinct(toks)
-    hashes = F.transform(distinct, lambda t: F.xxhash64(t))
-
-    def bit_vote(j: int) -> Column:
-        # vote_j = sum over tokens of (2*bit_j - 1)
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.repartition(par)  # single-file inputs otherwise run one-core
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t"),
         )
-
-    out = F.lit(0).cast("long")
+        .withColumn("h", F.xxhash64(F.col("t")))
+    )
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+            ).alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
     for j in range(64):
-        out = out + F.when(bit_vote(j) > 0, F.lit(1).cast("long") * (1 << j) if j < 63 else F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+        bit = F.lit(1 << j).cast("long") if j < 63 else F.lit(-(1 << 63)).cast("long")
+        sig = sig + F.when(F.col(f"v{j}") > 0, bit).otherwise(F.lit(0).cast("long"))
+    return votes.select("id", sig.alias("sig"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -206,18 +246,29 @@ def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 3,
+    max_hamming: int = 7,
+    n_chunks: int = 8,
 ) -> DataFrame:
     """Near-dup pairs by SimHash with chunk-LSH candidate generation.
 
-    Signature split into 4 × 16-bit chunks; any pair within hamming
-    distance 3 shares at least one exact chunk (pigeonhole), so the
-    join on (chunk_index, chunk_value) finds all such pairs without a
-    cross join. Verified by exact hamming distance.
+    Signature split into ``n_chunks`` equal chunks; by pigeonhole, any
+    pair within hamming distance ``n_chunks - 1`` shares at least one
+    exact chunk, so the join on (chunk_index, chunk_value) finds all
+    such pairs without a cross join; exact hamming verification
+    filters the rest. Defaults (8 × 8-bit chunks, radius 7) match the
+    observed hamming spread of high-Jaccard fixture pairs; narrower
+    chunks widen the guaranteed radius but admit more random
+    collisions (~N²·chunks/2^width candidates).
     """
-    s = df.select(
-        F.col(id_col).alias("id"), simhash64(tokens(F.col(text_col))).alias("sig")
-    )
+    if 64 % n_chunks:
+        raise ValueError("n_chunks must divide 64")
+    if max_hamming > n_chunks - 1:
+        raise ValueError(
+            f"chunk-LSH only guarantees radius {n_chunks - 1} with {n_chunks} chunks"
+        )
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    s = simhash_signatures(df, id_col, text_col)
     chunks = s.select(
         "id",
         "sig",
@@ -226,11 +277,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("ci"),
-                        F.shiftrightunsigned(F.col("sig"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("sig"), width * i)
+                        .bitwiseAND(F.lit(mask))
                         .alias("cv"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("ch"),

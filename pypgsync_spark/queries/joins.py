@@ -126,17 +126,23 @@ def j4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j5_anti_join",
     survey="§2.3,C3",
-    doc="Left-anti join: customers with no orders — the keyed form of "
-    "the reference's 'rows not yet in destination' watermark compare "
-    "(session.py:57-64).",
+    doc="Left-anti join: customers with no 2001 orders — the keyed form "
+    "of the reference's 'rows not yet in destination' watermark compare "
+    "(session.py:57-64). (Date-restricted so the result is non-empty: "
+    "the fixture's FK coverage is total.)",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01'
+    )
     """,
 )
 def j5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2001-01-01"
+    )
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")

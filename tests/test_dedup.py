@@ -1,0 +1,76 @@
+"""Dedup-operator correctness: MinHash-LSH recall against the exact
+n-gram Jaccard truth, SimHash structural properties, exact-dedup
+determinism. These cover what the SQL oracle can't express (hash-based
+candidates)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pypgsync_spark.catalog import load_table
+from pypgsync_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_small):
+    """Every exact-Jaccard pair above the (high) threshold must be
+    found by LSH; precision is enforced by the exact verification
+    stage, so found == subset-of-exact too."""
+    docs = load_table(spark, sf_small, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, band_width=None).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain near-dup pairs above 0.5"
+    # verification stage guarantees precision == 1.0
+    assert lsh <= exact or lsh == exact
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall too low: {recall} ({len(lsh)}/{len(exact)})"
+
+
+def test_minhash_lsh_jaccard_values_match_exact(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, band_width=None).collect()
+    }
+    for r in minhash_lsh_pairs(docs, threshold=0.3).collect():
+        assert abs(exact[(r["id_a"], r["id_b"])] - r["jaccard"]) < 1e-9
+
+
+def test_simhash_finds_near_dups(spark, sf_small):
+    """SimHash near-dup pairs should substantially overlap the
+    high-Jaccard truth set (same token distributions → close
+    signatures), and every emitted pair respects the hamming bound."""
+    docs = load_table(spark, sf_small, "documents")
+    pairs = simhash_pairs(docs).collect()  # defaults: 8 chunks, radius 7
+    assert all(r["hamming"] <= 7 for r in pairs)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.8, band_width=None).collect()
+    }
+    if exact:  # very-near dups should be hamming-close
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        hit = len(found & exact) / len(exact)
+        assert hit >= 0.5, f"simhash missed too many near-identical docs: {hit}"
+
+
+def test_dedup_exact_deterministic_and_minimal(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    kept = dedup_exact(docs)
+    # fixture has no exact dups → identity, keeps all
+    assert kept.count() == docs.count()
+    # synthetic dups: duplicate every doc with a higher id; keeper = original
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    both = docs.unionByName(dup)
+    kept2 = dedup_exact(both)
+    assert kept2.count() == docs.count()
+    assert kept2.agg(F.max("doc_id")).first()[0] < 100000

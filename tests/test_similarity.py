@@ -1,0 +1,75 @@
+"""Similarity-search correctness: approximate paths (hyperplane LSH,
+IVF) recall-checked against the brute-force truth; GEMM pair search
+cross-checked against the exact expression formulation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pypgsync_spark.catalog import load_table
+from pypgsync_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_pairs,
+    cosine_pairs_expr,
+    ivf_assign,
+    ivf_topk,
+    lsh_ann_topk,
+)
+
+
+def _emb(spark, sf):
+    return load_table(spark, sf, "embeddings")
+
+
+def _qvec(spark, sf, vec_id=0):
+    return list(_emb(spark, sf).filter(F.col("vec_id") == vec_id).first()["embedding"])
+
+
+def test_bruteforce_topk_exact(spark, sf_small):
+    q = _qvec(spark, sf_small)
+    top = brute_force_topk(_emb(spark, sf_small), q, k=10).collect()
+    assert len(top) == 10
+    assert top[0]["vec_id"] == 0 and abs(top[0]["cos_sim"] - 1.0) < 1e-6
+    sims = [r["cos_sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_ann_recall(spark, sf_small):
+    q = _qvec(spark, sf_small)
+    emb = _emb(spark, sf_small)
+    truth = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in lsh_ann_topk(emb, q, k=10).collect()]
+    recall = len(set(truth) & set(approx)) / 10
+    assert recall >= 0.5, f"LSH ANN recall {recall} too low"
+    # every approx hit must carry the true cosine (exact re-rank)
+    t = {r["vec_id"]: r["cos_sim"] for r in brute_force_topk(emb, q, k=500).collect()}
+    for r in lsh_ann_topk(emb, q, k=10).collect():
+        assert abs(t[r["vec_id"]] - r["cos_sim"]) < 1e-6
+
+
+def test_ivf_recall(spark, sf_small):
+    emb = _emb(spark, sf_small)
+    q = _qvec(spark, sf_small)
+    cents = [list(r["embedding"]) for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    assigned = ivf_assign(emb, cents)
+    # every vector lands in exactly one of the 8 cells
+    assert assigned.filter((F.col("cell") < 0) | (F.col("cell") >= 8)).count() == 0
+    approx = [r["vec_id"] for r in ivf_topk(assigned, cents, q, k=10, n_probe=8).collect()]
+    truth = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
+    # probing ALL cells must reproduce the exact result
+    assert approx == truth
+
+
+def test_gemm_pairs_match_expression_pairs(spark, sf_small):
+    emb = _emb(spark, sf_small).limit(120)
+    fast = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in cosine_pairs(emb, threshold=0.3).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in cosine_pairs_expr(emb, threshold=0.3).collect()
+    }
+    assert set(fast) == set(exact)
+    for k in fast:
+        assert abs(fast[k] - exact[k]) < 1e-5

@@ -1,0 +1,123 @@
+"""End-to-end sync-pipeline tests over the events fixture: cold start,
+incremental delta, idempotent re-run, convergence, continuous loop, and
+the Structured-Streaming foreachBatch form (SURVEY §5.3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pypgsync_spark.catalog import load_table
+from pypgsync_spark.functions.time import to_millis
+from pypgsync_spark.sync import (
+    ParquetSyncedTable,
+    low_watermark,
+    sync_continuous,
+    sync_once,
+    sync_table,
+)
+
+KEYS = ["event_id"]
+VER = "updated_ms"
+
+
+def events_ms(spark, sf_small):
+    return (
+        load_table(spark, sf_small, "events")
+        .withColumn(VER, to_millis("ts"))
+        .select("event_id", VER, "user_id", "event_type", "value", "props")
+    )
+
+
+def test_low_watermark_cold_start(spark, sf_small):
+    src = events_ms(spark, sf_small)
+    wm = low_watermark(None, src, VER)
+    assert wm == src.agg(F.min(VER)).first()[0]
+
+
+def test_low_watermark_resume(spark, sf_small):
+    src = events_ms(spark, sf_small)
+    dst = src.filter(F.col(VER) < 1704844800000)
+    wm = low_watermark(dst, src, VER)
+    assert wm == dst.agg(F.max(VER)).first()[0]
+
+
+def test_sync_once_cold_start_copies_all(spark, sf_small):
+    src = events_ms(spark, sf_small)
+    merged, stats = sync_once(src, None, KEYS, VER, high=2**62)
+    assert merged.count() == src.count()
+    assert stats.delta_rows == src.count()
+
+
+def test_sync_once_noop_when_caught_up(spark, sf_small):
+    src = events_ms(spark, sf_small)
+    # destination already at src max; high watermark below it → no-op
+    merged, stats = sync_once(src, src, KEYS, VER, high=0)
+    assert stats.delta_rows == 0
+
+
+def test_sync_converges_and_is_idempotent(spark, sf_small, tmp_path):
+    src = events_ms(spark, sf_small)
+    store = ParquetSyncedTable(spark, str(tmp_path / "dst"))
+    cutoff = 1704844800000  # Jan 10
+
+    # run 1: only rows before cutoff visible
+    s1 = sync_table(src.filter(F.col(VER) < cutoff), store, KEYS, VER)
+    n1 = store.read().count()
+    assert n1 == src.filter(F.col(VER) < cutoff).count() == s1.delta_rows
+
+    # run 2: full source visible → destination converges to source
+    s2 = sync_table(src, store, KEYS, VER)
+    assert s2.low is not None and s2.low <= s1.high  # low re-read from the data
+    got = {tuple(r) for r in store.read().collect()}
+    want = {tuple(r) for r in src.collect()}
+    assert got == want
+
+    # run 3: nothing new → still converged (idempotent re-run)
+    sync_table(src, store, KEYS, VER)
+    assert {tuple(r) for r in store.read().collect()} == want
+
+
+def test_sync_continuous_loop(spark, sf_small, tmp_path):
+    src = events_ms(spark, sf_small)
+    store = ParquetSyncedTable(spark, str(tmp_path / "dst"))
+    stats = sync_continuous(
+        lambda: src, store, KEYS, VER, iterations=3, delay_seconds=0, sleep=lambda _: None
+    )
+    assert len(stats) == 3
+    assert store.read().count() == src.count()
+
+
+def test_stream_sync_foreachbatch(spark, sf_small, tmp_path):
+    """Structured-Streaming continuous mode (T1/T4): drain the events
+    file through foreachBatch merge, destination equals source."""
+    import shutil
+
+    from pypgsync_spark.catalog import table_path
+    from pypgsync_spark.streaming.continuous import stream_sync
+
+    # FileStreamSource needs a *directory* of arriving files — stage the
+    # fixture file into one (the realistic landing-zone shape).
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    shutil.copy(table_path(sf_small, "events"), incoming / "events.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(str(incoming)).schema
+    store = ParquetSyncedTable(spark, str(tmp_path / "dst"))
+    q = stream_sync(
+        spark,
+        source_path=str(incoming),
+        schema=raw_schema,
+        store=store,
+        keys=["event_id"],
+        version_col="ts",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    src = load_table(spark, sf_small, "events")
+    got = store.read()
+    assert got.count() == src.count()
+    # spot-check content equality on ids + values
+    assert {(r["event_id"], r["value"]) for r in got.collect()} == {
+        (r["event_id"], r["value"]) for r in src.collect()
+    }
