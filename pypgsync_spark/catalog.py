@@ -42,9 +42,17 @@ def ensure_events_ts(df: DataFrame) -> DataFrame:
     as a BIGINT of epoch nanos. Convert via integer division (``div``,
     not ``/`` — nanos exceed double's exact-integer range) to micros,
     matching DuckDB's floor-to-micros read of the same file.
+
+    The raw nanos value is kept as ``ts_nanos``: it is a pure alias of
+    the parquet column, so predicates on it push down to the scan
+    (row-group min/max skipping), which predicates on the *derived*
+    ``ts``/``updated_ms`` never can. ``functions.time.nanos_range_pred``
+    transposes epoch-millis bounds onto it exactly.
     """
     if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df = df.withColumn("ts_nanos", F.col("ts")).withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
     return df
 
 

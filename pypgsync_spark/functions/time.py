@@ -38,6 +38,38 @@ def now_millis_col() -> Column:
     return F.unix_millis(F.current_timestamp())
 
 
+def nanos_range_pred(
+    nanos: Column | str,
+    lo_ms: int | None = None,
+    hi_ms: int | None = None,
+    hi_inclusive: bool = True,
+) -> Column:
+    """Transpose an epoch-millis range predicate onto the raw epoch-
+    NANOS column so it pushes down to the parquet scan.
+
+    ``updated_ms = floor(nanos / 1e6)`` (nanos ≥ 0), so:
+
+    - ``updated_ms >= lo``  ⟺  ``nanos >= lo·1e6``
+    - ``updated_ms <= hi``  ⟺  ``nanos <  (hi+1)·1e6``
+    - ``updated_ms <  hi``  ⟺  ``nanos <  hi·1e6``
+
+    Exact equivalences, not approximations — the derived-column filter
+    can be *replaced* by this one. Filtering on the derived column
+    (``unix_millis(timestamp_micros(ts div 1000))``) defeats pushdown:
+    the scan reads every row group and evaluates the chain per row; at
+    100 TB that is the difference between reading the whole table and
+    skipping all but the watermark-adjacent row groups.
+    """
+    c = F.col(nanos) if isinstance(nanos, str) else nanos
+    cond = F.lit(True)
+    if lo_ms is not None:
+        cond = cond & (c >= F.lit(lo_ms * 1_000_000))
+    if hi_ms is not None:
+        bound = (hi_ms + 1) * 1_000_000 if hi_inclusive else hi_ms * 1_000_000
+        cond = cond & (c < F.lit(bound))
+    return cond
+
+
 def millis_age_seconds(later_ms: Column, earlier_ms: Column) -> Column:
     """``(later - earlier) / 1000`` seconds — the README Q3c interval
     arithmetic (README.md:299,306) done as integer math, which is the

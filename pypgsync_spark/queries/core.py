@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pypgsync_spark.catalog import load_table
-from pypgsync_spark.functions.time import to_millis
+from pypgsync_spark.functions.time import nanos_range_pred, to_millis
 from pypgsync_spark.operators.topk import topk, topk_per_key
 from pypgsync_spark.operators.windowed import row_number_boundaries
 from pypgsync_spark.queries import register
@@ -88,8 +88,10 @@ def p2_project_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def p3_filter_range_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _events_ms(spark, sf_dir)
+    # Range stated on the raw nanos column (exact transposition) so it
+    # reaches PushedFilters; on the derived updated_ms it cannot.
     return df.filter(
-        (F.col("updated_ms") >= MS_JAN05) & (F.col("updated_ms") <= MS_JAN20)
+        nanos_range_pred("ts_nanos", MS_JAN05, MS_JAN20, hi_inclusive=True)
     ).select("event_id", "updated_ms")
 
 
@@ -107,7 +109,7 @@ def p3_filter_range_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p4_filter_range_halfopen(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _events_ms(spark, sf_dir)
     return df.filter(
-        (F.col("updated_ms") >= MS_JAN05) & (F.col("updated_ms") < MS_JAN20)
+        nanos_range_pred("ts_nanos", MS_JAN05, MS_JAN20, hi_inclusive=False)
     ).select("event_id", "updated_ms")
 
 

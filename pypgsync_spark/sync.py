@@ -68,14 +68,29 @@ class SyncStats:
 
 
 def extract_delta(
-    src: DataFrame, column: str, low: int | None, high: int
+    src: DataFrame,
+    column: str,
+    low: int | None,
+    high: int,
+    pushdown_cond=None,
 ) -> DataFrame:
     """The bounded source read: ``low <= col <= high`` (closed range,
     reference session.py:129-132). Low-inclusive re-reads the boundary
-    row; harmless because the merge is idempotent."""
+    row; harmless because the merge is idempotent.
+
+    ``pushdown_cond(low, high) -> Column``: optional extra predicate on
+    a RAW storage column, exactly equivalent to the version-column
+    range. When ``column`` is derived (e.g. ``updated_ms`` computed
+    from a nanos timestamp), the derived filter cannot reach the
+    parquet scan; the transposed raw predicate restores row-group
+    skipping (see functions.time.nanos_range_pred). When ``column`` is
+    stored directly, no hook is needed — Catalyst pushes it as-is.
+    """
     cond = F.col(column) <= F.lit(high)
     if low is not None:
         cond = (F.col(column) >= F.lit(low)) & cond
+    if pushdown_cond is not None:
+        cond = cond & pushdown_cond(low, high)
     return src.filter(cond)
 
 
@@ -86,6 +101,7 @@ def sync_once(
     version_col: str,
     high: int | None = None,
     target_rows_per_slice: int | None = None,
+    pushdown_cond=None,
 ) -> tuple[DataFrame, SyncStats]:
     """One sync iteration: watermark → delta → merge. Returns the merged
     destination DataFrame (caller persists it) plus stats.
@@ -93,6 +109,7 @@ def sync_once(
     ``target_rows_per_slice`` triggers explicit slice planning — only
     meaningful for JDBC-faithful execution; the DataFrame path lets the
     source's own partitioning bound per-task work.
+    ``pushdown_cond`` — see :func:`extract_delta`.
     """
     high = high if high is not None else now_millis()
     low = low_watermark(dst, src, version_col)
@@ -100,7 +117,7 @@ def sync_once(
         # no-op short-circuit (reference session.py:216-218)
         empty = dst if dst is not None else src.limit(0)
         return empty, SyncStats(low=low, high=high, delta_rows=0, plan=None)
-    delta = extract_delta(src, version_col, low, high)
+    delta = extract_delta(src, version_col, low, high, pushdown_cond=pushdown_cond)
     plan = None
     if target_rows_per_slice:
         est = delta.count()

@@ -1,0 +1,115 @@
+"""Physical-plan property tests — the 100 TB scale contract.
+
+Correctness says the right rows come out; these assert the right PLAN
+comes out: filters reach the parquet scan (PushedFilters), projections
+prune the read schema, small dimensions broadcast instead of shuffling,
+top-k plans as TakeOrderedAndProject (heap, no global sort),
+aggregations have a map-side partial phase, and the merge's
+row_number-dedup gets the WindowGroupLimit (per-partition top-1 before
+the shuffle). A regression in any of these would still pass the value
+oracles while becoming a bottleneck at 1000 executors.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pypgsync_spark.queries import REGISTRY
+
+
+def plan_of(spark, sf_small, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_small)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# Streaming specs execute a real (drain-and-stop) query just to build
+# their result DataFrame — too slow for a per-plan sweep and their
+# batch-side plan is trivial (memory-sink scan).
+_SWEEP_SKIP = {"t5_stateful_balance", "t6_windowed_counts"}
+
+
+def test_no_cartesian_or_nested_loop_anywhere(spark, sf_small):
+    """No registered query may plan a CartesianProduct or a
+    BroadcastNestedLoopJoin — every pairwise operator must go through
+    an equi-join on a blocking/bucket key (LSH bands, id blocks,
+    signature chunks). A cross join that 'works' at sf0.01 is O(N²)
+    shuffle at 100 TB."""
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        if name in _SWEEP_SKIP:
+            continue
+        plan = spec.fn(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
+        hits = [m for m in ("CartesianProduct", "BroadcastNestedLoopJoin") if m in plan]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, f"quadratic join strategies found: {offenders}"
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_small):
+    plan = plan_of(spark, sf_small, "p6_filter_eq")
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)]" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_small):
+    """p6 projects 4 of events' 6 columns — the scan must not read
+    ts/props (props is the widest column in the table)."""
+    plan = plan_of(spark, sf_small, "p6_filter_eq")
+    scan = plan[plan.index("FileScan") :]
+    assert "ReadSchema" in scan and "props" not in scan.split("ReadSchema")[1]
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_small):
+    """region/nation/customer are dimensions — all three join steps
+    must be broadcast, never a shuffled sort-merge join."""
+    plan = plan_of(spark, sf_small, "j7_region_nation_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_plans_take_ordered(spark, sf_small):
+    """ORDER BY ... LIMIT k must be a TakeOrderedAndProject (per-
+    partition heap + driver merge), not a global Sort — the Spark
+    analogue of the reference's index-backward-scan top-k
+    (reference README.md:258-272)."""
+    for name in ("o2_topk_single_key", "j6_shipping_topk"):
+        plan = plan_of(spark, sf_small, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_aggregate_has_partial_phase(spark, sf_small):
+    """Grouped aggregation must combine map-side (partial_sum) so the
+    shuffle carries one row per (flag,status) per task, not per input
+    row."""
+    plan = plan_of(spark, sf_small, "q1_pricing_summary")
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_merge_dedup_gets_window_group_limit(spark, sf_small):
+    """The upsert merge (row_number over pk, keep rn=1) must plan the
+    WindowGroupLimit pushdown: each map task keeps only its local
+    newest row per key BEFORE the shuffle, so shuffle volume is
+    ~|keys| not |rows| — this is what makes last-writer-wins viable
+    at 100 TB."""
+    plan = plan_of(spark, sf_small, "s3_upsert_merge")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan  # the pre-shuffle phase specifically
+
+
+def test_single_shuffle_for_merge(spark, sf_small):
+    """The whole merge pipeline needs exactly one hash exchange (on the
+    merge key); a second exchange would mean the union sides were
+    repartitioned separately."""
+    plan = plan_of(spark, sf_small, "s3_upsert_merge")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+@pytest.mark.parametrize("name", ["q6_forecast_revenue", "p3_filter_range_closed"])
+def test_range_predicates_push_to_parquet(spark, sf_small, name):
+    """Range filters must appear in PushedFilters so parquet row-group
+    min/max statistics can skip IO — the Spark analogue of the
+    reference's BRIN-index reasoning (reference README.md:295-299)."""
+    plan = plan_of(spark, sf_small, name)
+    scan = plan[plan.index("FileScan") :]
+    pushed = scan.split("PushedFilters: ")[1].split("]")[0]
+    assert "GreaterThan" in pushed or "LessThan" in pushed
