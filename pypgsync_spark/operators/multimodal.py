@@ -46,6 +46,59 @@ def with_binary_payload(df: DataFrame, text_col: str = "text", out: str = "paylo
     return df.withColumn(out, F.encode(F.col(text_col), "UTF-8"))
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_len", T.IntegerType()),
+        T.StructField("first_byte", T.IntegerType()),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_size: int = 64,
+    every_k: int = 4,
+) -> DataFrame:
+    """Video-style frame sampling over binary payloads: slice each
+    payload into consecutive ``frame_size``-byte frames, keep every
+    ``every_k``-th, emit per-frame features.
+
+    The Spark-side contract is the interesting part at 100 TB: an
+    Arrow-batched ``mapInPandas`` that EXPANDS rows (one in, many out)
+    — the same shape real video decode uses (container bytes → sampled
+    frames), with output partitioning inherited from the input (no
+    shuffle). The per-frame feature here is deterministic byte math so
+    the whole path stays oracle-verifiable; a deployment swaps the
+    slice step for a real codec behind :func:`decode_image`.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, firsts = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = len(payload)
+                for i in range(0, (n + frame_size - 1) // frame_size, every_k):
+                    frame = payload[i * frame_size : (i + 1) * frame_size]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    lens.append(len(frame))
+                    firsts.append(frame[0] if len(frame) else -1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "first_byte": pd.Series(firsts, dtype="int32"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(sample, FRAME_SCHEMA)
+
+
 def extract_binary_features(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:

@@ -397,6 +397,113 @@ def a8_groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a9_rollup",
+    survey="§2.4 ext",
+    doc="ROLLUP hierarchy totals over lineitem (flag → flag+status → "
+    "grand total) with GROUPING_ID disambiguating subtotal rows from "
+    "genuine NULL keys. One shuffle; Spark expands grouping sets "
+    "map-side.",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a9_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "a10_cube",
+    survey="§2.4 ext",
+    doc="CUBE over orders (status × priority): all four grouping "
+    "combinations in one pass.",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            _dsum(F.col("o_totalprice")).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "a11_grouping_sets",
+    survey="§2.4 ext",
+    doc="Explicit GROUPING SETS ((event_type), (user_id), ()) — "
+    "per-type totals, per-user totals, and the grand total in one "
+    "aggregation.",
+    oracle="""
+    SELECT event_type, user_id,
+           GROUPING(event_type, user_id) AS gid,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           count(*) AS n
+    FROM events GROUP BY GROUPING SETS ((event_type), (user_id), ())
+    """,
+)
+def a11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupingSets(
+            [["event_type"], ["user_id"], []], "event_type", "user_id"
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            _dsum(F.col("value")).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "a12_percentiles",
+    survey="§2.4 ext",
+    doc="Exact interpolated percentiles per event type (F.percentile == "
+    "DuckDB quantile_cont). At 100 TB swap for percentile_approx "
+    "(t-digest, mergeable map-side) — the exact form needs the full "
+    "sorted group.",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def a12_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", 0.5), 6).alias("p50"),
+            F.round(F.percentile("value", 0.9), 6).alias("p90"),
+            F.round(F.percentile("value", 0.99), 6).alias("p99"),
+        )
+    )
+
+
 # ------------------------------------------------------------- W1-W4
 
 @register(

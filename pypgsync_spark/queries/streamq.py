@@ -14,7 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pypgsync_spark.catalog import table_path
 from pypgsync_spark.queries import register
-from pypgsync_spark.streaming.balance import streaming_balance, windowed_event_counts
+from pypgsync_spark.streaming.balance import (
+    session_window_stats,
+    streaming_balance,
+    windowed_event_counts,
+)
 
 
 def _events_stream_source(spark: SparkSession, sf_dir: str):
@@ -70,4 +74,48 @@ def t6_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         source_path=table_path(sf_dir, "events"),
         schema=schema,
         query_name="t6_windows_mem",
+    )
+
+
+@register(
+    "t7_session_windows",
+    survey="T5,§2.10 ext,W1",
+    doc="Streaming session windows (1-hour inactivity gap) per user — "
+    "state-store window merging; the streaming-native form of w4's "
+    "lag()-based sessionization. Oracle = gaps-and-islands at "
+    "MICROsecond precision (Spark merges sessions at native ts "
+    "precision; a millis-rounded oracle splits exact-boundary "
+    "sessions differently).",
+    oracle="""
+    SELECT user_id,
+           CAST(min(ms) AS BIGINT) AS session_start_ms,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM (
+        SELECT user_id, value, ms,
+               SUM(is_start) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sess
+        FROM (
+            SELECT user_id, value, event_id,
+                   epoch_ms(ts) AS ms, epoch_us(ts) AS us,
+                   CASE WHEN epoch_us(ts)
+                             - lag(epoch_us(ts)) OVER (
+                                 PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                             >= 3600000000 THEN 1
+                        WHEN lag(epoch_us(ts)) OVER (
+                                 PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                             IS NULL THEN 1
+                        ELSE 0 END AS is_start
+            FROM events)
+    ) GROUP BY user_id, sess
+    """,
+)
+def t7_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = _events_stream_source(spark, sf_dir)
+    return session_window_stats(
+        spark,
+        source_path=table_path(sf_dir, "events"),
+        schema=schema,
+        query_name="t7_sessions_mem",
     )

@@ -32,6 +32,7 @@ from pypgsync_spark.operators.dedup import (
 )
 from pypgsync_spark.operators.multimodal import (
     extract_binary_features,
+    frame_sample,
     with_binary_payload,
 )
 from pypgsync_spark.queries import register
@@ -200,8 +201,8 @@ def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d4_simhash_pairs",
     survey="ext:dedup",
-    doc="SimHash near-dup pairs (hamming ≤ 3 of 64 bits, chunk-LSH "
-    "candidates). Rows-only; structure tested in pytest.",
+    doc="SimHash near-dup pairs (hamming ≤ 7 of 64 bits, 8×8-bit "
+    "chunk-LSH candidates). Rows-only; structure tested in pytest.",
     oracle=None,
 )
 def d4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,3 +226,25 @@ def d4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm1_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_binary_payload(_docs(spark, sf_dir))
     return extract_binary_features(d)
+
+
+@register(
+    "mm2_frame_sample",
+    survey="ext:multimodal",
+    doc="Video-style frame sampling: payload → 64-byte frames, every "
+    "4th kept, per-frame features via a row-expanding Arrow-batched "
+    "mapInPandas (the real decode seam at deploy time). Fixture texts "
+    "are ASCII, so octet positions == char positions and the oracle "
+    "can state every sampled frame in SQL.",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(least(octet_length(encode(text)) - i * 64, 64) AS INT) AS frame_len,
+           ascii(substr(text, i * 64 + 1, 1)) AS first_byte
+    FROM documents, (SELECT unnest(range(0, 4096)) AS i) g
+    WHERE i * 64 < octet_length(encode(text)) AND i % 4 = 0
+    """,
+)
+def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_binary_payload(_docs(spark, sf_dir))
+    return frame_sample(d, frame_size=64, every_k=4)

@@ -100,6 +100,49 @@ def streaming_balance(
     return spark.table(query_name)
 
 
+def session_window_stats(
+    spark: SparkSession,
+    source_path: str,
+    schema: T.StructType,
+    gap: str = "1 hour",
+    watermark: str = "2 days",
+    query_name: str = "session_windows_stream",
+) -> DataFrame:
+    """Per-user session windows (``session_window`` with an inactivity
+    ``gap``): the state store merges overlapping [ts, ts+gap) windows as
+    events arrive — the streaming-native form of the batch lag()-based
+    sessionization (w4). Returns (user_id, session_start_ms, n, total).
+
+    Merge semantics: two consecutive events share a session iff
+    ``next_ts - prev_ts < gap`` at Spark's native microsecond
+    precision — the oracle must compare in micros, not millis, or
+    exact-boundary sessions split differently.
+    """
+    src = ensure_events_ts(_file_stream(spark, schema, source_path))
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).select(
+        F.col("user_id"),
+        F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+        F.col("n"),
+        F.col("total"),
+    )
+
+
 def windowed_event_counts(
     spark: SparkSession,
     source_path: str,
