@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "a4_user_balance",
     "w1_row_number_boundaries",
     "o3_topk_per_key",
+    "a9_rollup",
+    "j8_salted_join",
     # sync engine
     "s3_upsert_merge",
     "c4_sync_pipeline",

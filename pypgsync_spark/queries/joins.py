@@ -317,3 +317,54 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
+
+
+@register(
+    "j8_salted_join",
+    survey="§2.3,ext:skew",
+    doc="Skew-mitigated inner join: orders salted over 8 reducers, "
+    "customer replicated 8x, joined on (custkey, salt) — identical "
+    "result to the plain join (the oracle states it), but a hot "
+    "custkey's rows spread over 8 tasks instead of one. The manual "
+    "fallback for broadcast-ineligible skewed joins AQE can't split.",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def j8_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.operators.skew import salted_inner_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_nationkey"
+    )
+    joined = salted_inner_join(orders, customer, on=["custkey"], n_salt=8)
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+@register(
+    "a13_distinct_per_key",
+    survey="A7,ext:skew",
+    doc="Exact per-key COUNT(DISTINCT) via the two-stage shuffle "
+    "(groupBy(key,value) then count): a hot key's distinct values "
+    "spread across all reducers in stage 1 instead of one task "
+    "receiving them all.",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def a13_distinct_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.operators.skew import distinct_count_two_stage
+
+    return distinct_count_two_stage(
+        load_table(spark, sf_dir, "events"), key="event_type", value="user_id"
+    )
