@@ -121,3 +121,59 @@ def test_stream_sync_foreachbatch(spark, sf_small, tmp_path):
     assert {(r["event_id"], r["value"]) for r in got.collect()} == {
         (r["event_id"], r["value"]) for r in src.collect()
     }
+
+
+def test_stream_sync_applies_late_rows(spark, sf_small, tmp_path):
+    """The reference silently misses rows whose ``updated`` lags the
+    destination max (SURVEY §2.10 T3: low watermark = MAX(dst.updated)
+    skips them forever). The streaming merge keys on file arrival, not
+    the version column, so a late row — version OLDER than everything
+    already synced — still lands. This is the documented semantic
+    improvement, exercised end to end."""
+    from pypgsync_spark.catalog import table_path
+    from pypgsync_spark.streaming.continuous import stream_sync
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+
+    full = spark.read.parquet(table_path(sf_small, "events"))
+    raw_schema = full.schema
+    cutoff_ns = 1704844800000 * 1_000_000  # Jan 10 in raw nanos
+
+    def land(df, name: str) -> None:
+        """Write df and land its part files flat in the incoming dir
+        (the file stream lists top-level files only)."""
+        import glob
+        import shutil
+
+        staging = tmp_path / f"_stage_{name}"
+        df.coalesce(1).write.parquet(str(staging))
+        for i, part in enumerate(sorted(glob.glob(str(staging / "part-*.parquet")))):
+            shutil.copy(part, incoming / f"{name}_{i}.parquet")
+
+    # batch 1: only recent rows (ts >= Jan 10) arrive first
+    land(full.filter(F.col("ts") >= cutoff_ns), "b1")
+
+    store = ParquetSyncedTable(spark, str(tmp_path / "dst"))
+
+    def drain():
+        q = stream_sync(
+            spark,
+            source_path=str(incoming),
+            schema=raw_schema,
+            store=store,
+            keys=["event_id"],
+            version_col="ts",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination()
+
+    drain()
+    n_recent = store.read().count()
+    assert n_recent == full.filter(F.col("ts") >= cutoff_ns).count()
+
+    # batch 2: LATE rows arrive — every version is older than dst max
+    land(full.filter(F.col("ts") < cutoff_ns), "b2")
+    drain()
+    assert store.read().count() == full.count()  # nothing lost
