@@ -119,3 +119,37 @@ def t7_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=schema,
         query_name="t7_sessions_mem",
     )
+
+
+@register(
+    "t8_transition_gated_balance",
+    survey="A5,T5,T4",
+    doc="The reference's trigger semantics EXACTLY (README.md:157-198): "
+    "a custom stateful operator (applyInPandasWithState, one boolean "
+    "of state per event id) emits each id's contribution once — on its "
+    "first QUALIFYING version — then balances aggregate batch-side. "
+    "Multi-version transition behavior (v1 blocked → v2 ok) is "
+    "pytest-asserted; on the single-version fixture the gate reduces "
+    "to the qualifying filter, which the oracle states.",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS balance,
+           count(*) AS n_events
+    FROM events WHERE event_type <> 'error'
+    GROUP BY user_id
+    """,
+)
+def t8_transition_gated_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pypgsync_spark.streaming.gated import gated_balance
+
+    schema = _events_stream_source(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="t8_gated_")
+    return gated_balance(
+        spark,
+        source_path=table_path(sf_dir, "events"),
+        schema=schema,
+        contrib_dir=f"{work}/contrib",
+        checkpoint_dir=f"{work}/ckpt",
+    )

@@ -1,0 +1,68 @@
+"""Transition-gated incremental aggregate (the reference's trigger
+semantics, README.md:157-198): each event id contributes exactly once —
+on its first QUALIFYING version — across batches and restarts. This is
+the case t5's first-seen dedup cannot express (v1 blocked, v2 ok)."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from pypgsync_spark.streaming.gated import gated_balance
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos, as the fixture stores
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+NS = 1_000_000_000
+
+
+def _land(spark, incoming, name, rows):
+    import glob
+    import shutil
+
+    staging = incoming.parent / f"_stage_{name}"
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(str(staging))
+    for i, part in enumerate(sorted(glob.glob(str(staging / "part-*.parquet")))):
+        shutil.copy(part, incoming / f"{name}_{i}.parquet")
+
+
+def test_gated_balance_transition_semantics(spark, tmp_path):
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    contrib = str(tmp_path / "contrib")
+
+    # batch 1: id1 v1 BLOCKED (must not contribute yet);
+    #          id2 v1 ok value=10 (contributes 10);
+    #          id3 v1 ok value=7, v2 ok value=99 SAME BATCH → first
+    #          qualifying version (ts order) contributes: 7
+    _land(spark, incoming, "b1", [
+        (1, 100 * NS, 1, "error", 50.0, "{}"),
+        (2, 100 * NS, 1, "click", 10.0, "{}"),
+        (3, 100 * NS, 2, "click", 7.0, "{}"),
+        (3, 200 * NS, 2, "view", 99.0, "{}"),
+    ])
+    bal1 = gated_balance(spark, str(incoming), SCHEMA, contrib, ckpt)
+    got1 = {(r["user_id"], r["balance"], r["n_events"]) for r in bal1.collect()}
+    assert got1 == {(1, 10.0, 1), (2, 7.0, 1)}
+
+    # batch 2: id1 v2 becomes qualifying value=5 → contributes NOW;
+    #          id2 v2 qualifying value=999 → must NOT re-contribute;
+    #          id3 v3 BLOCKED → no effect
+    _land(spark, incoming, "b2", [
+        (1, 300 * NS, 1, "click", 5.0, "{}"),
+        (2, 300 * NS, 1, "view", 999.0, "{}"),
+        (3, 300 * NS, 2, "error", 1.0, "{}"),
+    ])
+    bal2 = gated_balance(spark, str(incoming), SCHEMA, contrib, ckpt)
+    got2 = {(r["user_id"], r["balance"], r["n_events"]) for r in bal2.collect()}
+    # cumulative balances: id1's late transition adds 5 for user 1;
+    # id2 does NOT re-contribute despite a newer qualifying version
+    assert got2 == {(1, 15.0, 2), (2, 7.0, 1)}
