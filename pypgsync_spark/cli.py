@@ -1,0 +1,120 @@
+"""CLI — the reference's user surface (`pypgsync single|continuous`),
+re-expressed for the Spark engine.
+
+Reference command shapes (reference cli.py:37-55 single, cli.py:58-97
+continuous; option inventory cli.py:9-34): source/destination endpoints,
+the table to sync, a chunk-size bound, and for continuous mode a delay
+between iterations (default 5 s, reference cli.py:72-74). The Spark
+engine's endpoints are parquet paths (or a JDBC URL at deploy time);
+chunking is the source's own partitioning, so ``--chunksize`` maps to
+``--target-rows-per-slice`` (the reference's 10M-row slice target,
+reference session.py:236-238) and only matters for JDBC-faithful runs.
+
+Usage:
+    python -m pypgsync_spark.cli single --source S --dest D \
+        --keys event_id --version-col updated_ms
+    python -m pypgsync_spark.cli continuous ... --delay 5 --iterations 0
+        (0 = run until interrupted, the reference's while-True loop)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pypgsync-spark", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+    for name, doc in (
+        ("single", "one sync iteration (reference cli.py:37-55)"),
+        ("continuous", "micro-batch loop (reference cli.py:58-97)"),
+    ):
+        c = sub.add_parser(name, help=doc)
+        c.add_argument("--source", required=True, help="source parquet path")
+        c.add_argument("--dest", required=True, help="destination store path")
+        c.add_argument(
+            "--keys", required=True, help="comma-separated merge key columns"
+        )
+        c.add_argument(
+            "--version-col", required=True, help="monotone version column (epoch ms)"
+        )
+        c.add_argument(
+            "--target-rows-per-slice",
+            type=int,
+            default=None,
+            help="slice planning target (JDBC-faithful; reference 10M default)",
+        )
+        c.add_argument("--master", default=None, help="spark master override")
+        if name == "continuous":
+            c.add_argument(
+                "--delay", type=float, default=5.0, help="seconds between runs"
+            )
+            c.add_argument(
+                "--iterations",
+                type=int,
+                default=0,
+                help="0 = loop until interrupted (reference while-True)",
+            )
+    return p
+
+
+def _load_source(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def run_single(args, spark: SparkSession) -> dict:
+    from pypgsync_spark.sync import ParquetSyncedTable, sync_table
+
+    store = ParquetSyncedTable(spark, args.dest)
+    stats = sync_table(
+        _load_source(spark, args.source),
+        store,
+        keys=args.keys.split(","),
+        version_col=args.version_col,
+    )
+    return {
+        "low": stats.low,
+        "high": stats.high,
+        "delta_rows": stats.delta_rows,
+    }
+
+
+def run_continuous(args, spark: SparkSession, sleep=time.sleep) -> list[dict]:
+    """The reference's ``while True: sync(); sleep(delay)`` loop
+    (reference cli.py:90-94), bounded by ``--iterations`` when > 0.
+    Exits cleanly on KeyboardInterrupt (reference cli.py:95-97)."""
+    out: list[dict] = []
+    i = 0
+    try:
+        while True:
+            out.append(run_single(args, spark))
+            i += 1
+            if args.iterations and i >= args.iterations:
+                break
+            sleep(args.delay)
+    except KeyboardInterrupt:
+        pass
+    return out
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    if spark is None:
+        from pypgsync_spark.session import get_spark
+
+        spark = get_spark(app_name="pypgsync_spark_cli", master=args.master)
+    if args.command == "single":
+        stats = run_single(args, spark)
+        print(f"synced: {stats}")
+    else:
+        runs = run_continuous(args, spark)
+        print(f"continuous: {len(runs)} iterations, last={runs[-1] if runs else None}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
