@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     # extension layer
     "d1_dedup_exact",
     "d3_minhash_lsh_pairs",
+    "pipe1_curation_budget",
     "v1_ann_bruteforce",
     "v2_cosine_pairs",
 ]

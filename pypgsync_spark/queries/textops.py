@@ -21,6 +21,7 @@ from pypgsync_spark.functions.text import (
     content_fingerprint,
     lang_id,
     quality_features,
+    stopword_count,
     token_count,
     tokens,
 )
@@ -207,6 +208,77 @@ def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "pipe1_curation_budget",
+    survey="ext:pipeline",
+    doc="Flagship training-data curation pipeline composing the "
+    "extension layer end-to-end: exact dedup → has-embedding semi-join "
+    "→ token-count quality gate → language-ID → per-language token "
+    "budget (cumulative-sum window keeps the most stopword-dense, i.e. "
+    "most natural-language, docs until 3000 tokens per language). "
+    "Every stage is a shuffle-on-key or broadcast — no collect, no UDF.",
+    oracle=f"""
+    WITH dedup AS (
+      SELECT * FROM documents
+      QUALIFY row_number() OVER (
+        PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        ORDER BY doc_id) = 1
+    ), feat AS (
+      SELECT doc_id,
+             len({_DUCK_TOKENS}) AS n_tokens,
+             round(len(list_filter({_DUCK_TOKENS},
+                       w -> list_contains({list(EN_STOPWORDS)!r}::VARCHAR[], w))) * 1.0
+                   / greatest(len({_DUCK_TOKENS}), 1), 6) AS stopword_ratio,
+             {_DUCK_LANG_CASE.replace("s_", "sx_")} AS lang_pred
+      FROM (
+        SELECT *,
+               {', '.join(f'{_duck_marker_count(la)} AS sx_{la}' for la in _LANGS)}
+        FROM dedup d
+        WHERE EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+      )
+    ), kept AS (
+      SELECT * FROM feat WHERE n_tokens >= 20
+    ), budget AS (
+      SELECT doc_id, lang_pred, n_tokens, stopword_ratio,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY lang_pred ORDER BY stopword_ratio DESC, doc_id
+             ) AS BIGINT) AS cum_tokens
+      FROM kept
+    )
+    SELECT * FROM budget WHERE cum_tokens <= 3000
+    """,
+)
+def pipe1_curation_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = dedup_exact(_docs(spark, sf_dir))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    d = d.join(emb, on="doc_id", how="left_semi")
+    t = tokens(F.col("text"))
+    feat = d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.round(
+            stopword_count(t, EN_STOPWORDS) / F.greatest(F.size(t), F.lit(1)), 6
+        ).alias("stopword_ratio"),
+        lang_id(F.col("text")).alias("lang_pred"),
+    )
+    kept = feat.filter(F.col("n_tokens") >= 20)
+    w = (
+        Window.partitionBy("lang_pred")
+        .orderBy(F.col("stopword_ratio").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = kept.withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w).cast("long")
+    )
+    return budget.filter(F.col("cum_tokens") <= 3000).select(
+        "doc_id", "lang_pred", "n_tokens", "stopword_ratio", "cum_tokens"
+    )
 
 
 @register(
