@@ -224,6 +224,51 @@ def minhash_lsh_pairs(
     return verified
 
 
+def connected_components(
+    edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 50
+) -> DataFrame:
+    """(id, component) for every node in ``edges``; component = the
+    minimum node id reachable through the pair graph.
+
+    The dedup-pipeline closer: near-dup PAIRS (from MinHash-LSH /
+    SimHash / n-gram Jaccard) become near-dup CLUSTERS, from which one
+    canonical document per cluster survives (min id, deterministic).
+
+    Pregel-style min-label propagation: each iteration every node takes
+    the min of its own and its neighbors' labels — one shuffle-on-id
+    per iteration, converging in O(cluster diameter) rounds (near-dup
+    clusters are shallow; the pathological-chain-graph O(log n)
+    alternative is Kiveris et al.'s large-star/small-star, same join
+    shape). ``localCheckpoint`` truncates lineage each round so plan
+    depth stays O(1) instead of O(iterations); convergence is detected
+    by the label-sum fixpoint (labels only ever decrease, so an
+    unchanged sum means an unchanged labeling).
+    """
+    e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = sym.select(F.col("a").alias("id")).distinct().select(
+        "id", F.col("id").alias("component")
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr = sym.join(
+            labels.select(F.col("id").alias("b"), "component"), on="b"
+        ).select(F.col("a").alias("id"), "component")
+        labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        s = labels.agg(F.sum("component")).collect()[0][0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

@@ -211,6 +211,53 @@ def d4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d5_near_dup_components",
+    survey="ext:dedup",
+    doc="Near-dup pairs → clusters → canonical keeper: connected "
+    "components (Pregel-style min-label propagation) over the exact "
+    "3-gram-Jaccard pair graph; component = min reachable doc_id, "
+    "keep marks the one canonical document per cluster. The oracle "
+    "computes the identical closure with a recursive CTE.",
+    oracle=f"""
+    WITH RECURSIVE s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + 50
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) > 0.3
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+    )
+    SELECT id AS doc_id,
+           CAST(min(r) AS BIGINT) AS component,
+           (id = min(r)) AS keep
+    FROM reach GROUP BY id
+    """,
+)
+def d5_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.operators.dedup import connected_components
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    edges = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3, band_width=50)
+    comp = connected_components(edges)
+    return (
+        docs.join(comp.select(F.col("id").alias("doc_id"), "component"), on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").cast("long").alias("component"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("component"))
+    )
+
+
+@register(
     "pipe1_curation_budget",
     survey="ext:pipeline",
     doc="Flagship training-data curation pipeline composing the "

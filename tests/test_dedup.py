@@ -74,3 +74,24 @@ def test_dedup_exact_deterministic_and_minimal(spark, sf_small):
     kept2 = dedup_exact(both)
     assert kept2.count() == docs.count()
     assert kept2.agg(F.max("doc_id")).first()[0] < 100000
+
+
+def test_connected_components_handcrafted_graph(spark):
+    """Chain (diameter > 1 forces multiple propagation rounds), a
+    separate triangle, and an isolated edge: every node labels with its
+    cluster's min id and clusters never merge across components."""
+    from pypgsync_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain 1-5
+         (10, 11), (11, 12), (10, 12),        # triangle
+         (20, 21)],                           # pair
+        ["id_a", "id_b"],
+    )
+    got = {
+        (r["id"], r["component"]) for r in connected_components(edges).collect()
+    }
+    want = {(i, 1) for i in (1, 2, 3, 4, 5)}
+    want |= {(i, 10) for i in (10, 11, 12)}
+    want |= {(20, 20), (21, 20)}
+    assert got == want
