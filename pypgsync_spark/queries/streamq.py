@@ -122,6 +122,42 @@ def t7_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t9_stream_dedup_watermarked",
+    survey="T5,ext:dedup,§2.10 ext",
+    doc="Streaming dedup with BOUNDED state: the events stream unioned "
+    "with itself (deterministic at-least-once simulation — every row "
+    "delivered twice) through dropDuplicatesWithinWatermark, so each "
+    "event id survives exactly once while the state store only holds "
+    "keys until the watermark passes them (plain dropDuplicates state "
+    "grows forever on a 100 TB ingest). Result aggregated per type for "
+    "a stable hash.",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def t9_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from pypgsync_spark.streaming.dedupe import dedup_within_watermark
+
+    schema = _events_stream_source(spark, sf_dir)
+    deduped = dedup_within_watermark(
+        spark,
+        source_path=table_path(sf_dir, "events"),
+        schema=schema,
+        query_name="t9_dedup_mem",
+    )
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+@register(
     "t8_transition_gated_balance",
     survey="A5,T5,T4",
     doc="The reference's trigger semantics EXACTLY (README.md:157-198): "

@@ -1,0 +1,59 @@
+"""Streaming deduplication with bounded state.
+
+The batch dedup layer (operators/dedup.py) assumes a bounded input; a
+continuous ingest pipeline needs the streaming form. Plain
+``dropDuplicates`` on a stream keeps every seen key in the state store
+forever — unbounded state, the classic slow-death of a 100 TB ingest
+job. ``dropDuplicatesWithinWatermark`` holds a key only until the
+event-time watermark passes it: state is bounded by (arrival rate ×
+watermark delay), the correct contract when duplicates arrive close
+together (retries, at-least-once sources — exactly the sync engine's
+JDBC/file ingest profile).
+
+This is the streaming complement of the sync merge: the merge makes
+re-delivery idempotent at rest; watermarked dedup makes it cheap in
+flight.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from pypgsync_spark.catalog import ensure_events_ts
+from pypgsync_spark.streaming.balance import _file_stream
+
+
+def dedup_within_watermark(
+    spark: SparkSession,
+    source_path: str,
+    schema: T.StructType,
+    id_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 days",
+    duplicate_input: bool = True,
+    query_name: str = "stream_dedup",
+) -> DataFrame:
+    """Run watermarked streaming dedup over the events files and return
+    the drained (deduplicated) rows from the memory sink.
+
+    ``duplicate_input=True`` unions the file stream with a second read
+    of the same files — a deterministic at-least-once-delivery
+    simulation: every row arrives exactly twice, and the dedup must
+    emit it exactly once.
+    """
+    src = ensure_events_ts(_file_stream(spark, schema, source_path))
+    if duplicate_input:
+        dup = ensure_events_ts(_file_stream(spark, schema, source_path))
+        src = src.unionByName(dup)
+    deduped = src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(id_cols)
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
