@@ -504,6 +504,28 @@ def a12_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a12b_approx_percentiles",
+    survey="§2.4 ext,X2",
+    doc="The at-scale percentile path: percentile_approx (KLL-style "
+    "sketch, mergeable map-side — the shuffle carries one sketch per "
+    "(group × task) instead of every value; the exact form sorts the "
+    "full group). Rows-only: sketches are engine-specific; rank error "
+    "vs the exact percentiles is pytest-bounded (tests/test_oracle.py).",
+    oracle=None,
+)
+def a12b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10_000).alias("p50"),
+            F.percentile_approx("value", 0.9, 10_000).alias("p90"),
+            F.percentile_approx("value", 0.99, 10_000).alias("p99"),
+        )
+    )
+
+
 # ------------------------------------------------------------- W1-W4
 
 @register(
