@@ -633,6 +633,34 @@ def w4_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "w5_window_analytics",
+    survey="W1",
+    doc="Analytic-window extension beyond row_number: ntile quartiles, "
+    "lead (next order price), first_value (first order date) per "
+    "customer — one shuffle on the partition key serves all three "
+    "functions (single Window exchange).",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ntile(4) OVER w AS quartile,
+           lead(o_totalprice) OVER w AS next_price,
+           first_value(epoch_ms(o_orderdate)) OVER w AS first_date_ms
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def w5_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first(to_millis("o_orderdate")).over(w).alias("first_date_ms"),
+    )
+
+
 # ------------------------------------------------------------- O1-O3
 
 @register(

@@ -439,3 +439,89 @@ def j10_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).cast("double").alias("revenue"),
         )
     )
+
+
+@register(
+    "j11_having_bigorders",
+    survey="§2.3,A4",
+    doc="TPC-H Q18 shape: grouped HAVING filter (orders whose total "
+    "lineitem quantity exceeds 300) joined back to orders. The "
+    "aggregate is algebraic (map-side partial sum); the join probe "
+    "side is the post-HAVING survivors, a tiny fraction of orders — "
+    "broadcast back onto the orders fact at scale.",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, total_qty
+    FROM orders
+    JOIN (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+    ) big ON o_orderkey = l_orderkey
+    """,
+)
+def j11_having_bigorders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(qty.alias("qty_dec"))
+        .filter(F.col("qty_dec") > 300)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
+    )
+    return orders.join(
+        F.broadcast(big), orders.o_orderkey == big.l_orderkey
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "total_qty")
+
+
+@register(
+    "j12_small_qty_revenue",
+    survey="§2.3,A4",
+    doc="TPC-H Q17 shape: correlated scalar subquery (per-part average "
+    "quantity) decorrelated into an aggregate-then-join. Brand filter "
+    "is applied FIRST and semi-joined onto lineitem via broadcast, so "
+    "the per-part average is computed only over the ~1/25 of lineitem "
+    "that can contribute — the decorrelation Catalyst itself would "
+    "pick, made explicit. Exact decimal avg = decimal sum / count, one "
+    "double division on both engines (order-independent).",
+    oracle="""
+    WITH pf AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+    lf AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN pf ON l_partkey = p_partkey
+    ),
+    aq AS (
+        SELECT l_partkey AS pk,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS avg_qty
+        FROM lf GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS avg_yearly
+    FROM lf JOIN aq ON l_partkey = pk
+    WHERE l_quantity < 0.2 * avg_qty
+    """,
+)
+def j12_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    pf = part.filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    lf = li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    aq = lf.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        lf.join(F.broadcast(aq), lf.l_partkey == aq.pk)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0)
+            .alias("avg_yearly")
+        )
+    )
