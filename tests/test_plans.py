@@ -113,3 +113,31 @@ def test_range_predicates_push_to_parquet(spark, sf_small, name):
     scan = plan[plan.index("FileScan") :]
     pushed = scan.split("PushedFilters: ")[1].split("]")[0]
     assert "GreaterThan" in pushed or "LessThan" in pushed
+
+
+def test_having_join_broadcasts_survivors(spark, sf_small):
+    """j11 (Q18 shape): the post-HAVING aggregate output is a tiny
+    fraction of orders — it must broadcast onto the orders fact, and
+    the quantity sum must have a map-side partial phase."""
+    plan = plan_of(spark, sf_small, "j11_having_bigorders")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
+
+
+def test_decorrelated_avg_broadcasts_both_sides(spark, sf_small):
+    """j12 (Q17 shape): both the brand-filter reduction and the
+    per-part average must broadcast — lineitem is never shuffled for
+    a join, only for the (partial-then-final) per-part aggregate."""
+    plan = plan_of(spark, sf_small, "j12_small_qty_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
+
+
+def test_window_analytics_single_exchange(spark, sf_small):
+    """w5: ntile/lead/first_value share one partition key and order —
+    exactly one hash-partition exchange may appear (one Window node
+    serves all three functions)."""
+    plan = plan_of(spark, sf_small, "w5_window_analytics")
+    assert plan.count("Exchange hashpartitioning") == 1
