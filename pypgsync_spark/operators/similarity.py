@@ -71,41 +71,10 @@ def brute_force_topk(
     )
 
 
-def cosine_pairs(
-    vectors: DataFrame,
-    threshold: float,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """All pairs (id_a < id_b) with cosine > threshold — embedding
-    near-dup detection.
-
-    Physical strategy: broadcast the full normalized matrix (N×d
-    float64 — fine up to ~1M×64, ~500 MB) and stream the row side
-    through an Arrow-batched ``mapInPandas`` doing a blocked GEMM
-    (``batch @ all.T``): each executor emits only the above-threshold
-    pairs of its batch. O(N²d) FLOPs distributed over partitions at
-    BLAS speed — ~100× the expression-per-pair cross join. Beyond the
-    broadcastable size, gate candidates with
-    :func:`hyperplane_signature` buckets first and run this within
-    buckets (or block both sides of the GEMM).
-
-    The expression-based exact-sequential-sum variant is
-    :func:`cosine_pairs_expr` (bit-identical to the DuckDB oracle;
-    this one agrees to ~1e-15, far inside the 1e-6 output rounding).
-    """
-    import pandas as pd
+def _pair_schema():
     from pyspark.sql import types as T
 
-    rows = vectors.select(F.col(id_col), F.col(vec_col)).collect()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    spark = vectors.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-
-    schema = T.StructType(
+    return T.StructType(
         [
             T.StructField("id_a", T.LongType()),
             T.StructField("id_b", T.LongType()),
@@ -113,23 +82,142 @@ def cosine_pairs(
         ]
     )
 
-    def block_pairs(batches):
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            q = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ all_mat.T  # blocked GEMM
-            qids = pdf[id_col].to_numpy(dtype=np.int64)
-            ai, bj = np.nonzero((sims > threshold) & (qids[:, None] < all_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "id_a": qids[ai],
-                    "id_b": all_ids[bj],
-                    "cos_sim": np.round(sims[ai, bj], 6),
-                }
-            )
 
-    return vectors.select(id_col, vec_col).mapInPandas(block_pairs, schema)
+def cosine_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine > threshold — embedding
+    near-dup detection. Exact, fully distributed.
+
+    Physical strategy: block-nested GEMM self-join. Each row gets a
+    deterministic block id ``pmod(xxhash64(id), B)``; every unordered
+    block pair (p ≤ q) becomes one shuffle group holding block p's and
+    block q's rows, and an Arrow-batched ``applyInPandas`` runs the
+    (N/B)×(N/B) GEMM per group at BLAS speed. No driver ``collect()``,
+    no full-matrix broadcast: shuffle volume is B·N·d values (each row
+    replicated B times via explode), peak executor memory is one
+    2N/B × d block pair plus its (N/B)² score tile. Pick
+    B ≈ N·d·8 bytes / target-block-bytes; total work is the intrinsic
+    N²d/2 FLOPs of exactness. Past ~10⁸ rows, gate candidates first
+    (:func:`cosine_pairs_lsh_gated`) and accept approximate recall.
+
+    The expression-based exact-sequential-sum variant is
+    :func:`cosine_pairs_expr` (bit-identical to the DuckDB oracle;
+    this one agrees to ~1e-15, far inside the 1e-6 output rounding).
+    """
+    import pandas as pd
+
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col)
+    ).withColumn("__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int"))
+    # Replicate each row to every unordered block pair it belongs to:
+    # for a row in block i, keys {(min(i,j), max(i,j)) : j} are distinct,
+    # so each row lands exactly once in each of its B groups.
+    keyed = (
+        v.withColumn("__other", F.explode(F.array(*[F.lit(j) for j in range(n_blocks)])))
+        .withColumn("__bp", F.least("__blk", "__other"))
+        .withColumn("__bq", F.greatest("__blk", "__other"))
+    )
+
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = int(pdf["__bp"].iloc[0])
+        q = int(pdf["__bq"].iloc[0])
+        mat = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        blk = pdf["__blk"].to_numpy()
+        if p == q:
+            a_idx = np.arange(len(pdf))
+            b_idx = a_idx
+        else:
+            a_idx = np.nonzero(blk == p)[0]
+            b_idx = np.nonzero(blk == q)[0]
+        sims = mat[a_idx] @ mat[b_idx].T  # blocked GEMM
+        ida, idb = ids[a_idx], ids[b_idx]
+        if p == q:
+            # upper triangle: each within-block pair exactly once
+            mask = (sims > threshold) & (ida[:, None] < idb[None, :])
+        else:
+            # blocks are disjoint → every cross pair appears exactly once
+            # in this group; orient ids afterwards
+            mask = sims > threshold
+        ia, jb = np.nonzero(mask)
+        lo = np.minimum(ida[ia], idb[jb])
+        hi = np.maximum(ida[ia], idb[jb])
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cos_sim": np.round(sims[ia, jb], 6)}
+        )
+
+    return keyed.groupBy("__bp", "__bq").applyInPandas(gemm, _pair_schema())
+
+
+def cosine_pairs_lsh_gated(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nbits: int = 16,
+    n_bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate all-pairs cosine > threshold: hyperplane-LSH banding
+    gates candidates, exact GEMM verifies inside buckets.
+
+    The ``nbits`` sign-bit signature is split into ``n_bands`` bands;
+    two vectors are compared iff they agree on at least one full band
+    (same explode→groupBy bucketing as MinHash-LSH in dedup.py — no
+    all-pairs stage anywhere). Work is Σ bucket² instead of N²; recall
+    is the standard banding S-curve (P(agree per hyperplane) = 1−θ/π).
+    This is the 100 TB path where the exact :func:`cosine_pairs`
+    block join becomes intractable; pytest asserts its recall against
+    the exact result on the fixture.
+    """
+    import pandas as pd
+
+    rb = nbits // n_bands
+    sig = hyperplane_signature(F.col(vec_col), dim, nbits, seed)
+    v = vectors.select(F.col(id_col), F.col(vec_col)).withColumn("__sig", sig)
+    banded = v.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("__sig"), b * rb)
+                        .bitwiseAND(F.lit((1 << rb) - 1))
+                        .alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("__band"),
+    ).select(id_col, vec_col, "__band.band", "__band.val")
+
+    def gemm_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        sims = mat @ mat.T
+        ia, jb = np.nonzero((sims > threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia],
+                "id_b": ids[jb],
+                "cos_sim": np.round(sims[ia, jb], 6),
+            }
+        )
+
+    pairs = banded.groupBy("band", "val").applyInPandas(gemm_bucket, _pair_schema())
+    # A pair that agrees on k bands is emitted k times with identical
+    # rounded cos_sim — one distinct dedupes across bands.
+    return pairs.distinct()
 
 
 def cosine_pairs_expr(

@@ -51,13 +51,18 @@ def register(name: str, survey: str, doc: str, oracle: str | None):
 
 
 def _load_all() -> None:
+    # Registration order is deliberate: the driver's correctness sweep
+    # walks the registry in registration order, so the families that
+    # have not yet received driver-side CORRECTNESS rows (round-1 sweep
+    # stopped at entry 50) register FIRST.  core/joins were fully
+    # driver-verified in round 1 (48/48 green) and go last.
     from pypgsync_spark.queries import (  # noqa: F401
-        core,
-        joins,
         syncq,
         textops,
         vector,
         streamq,
+        core,
+        joins,
     )
 
 

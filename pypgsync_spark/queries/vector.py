@@ -17,6 +17,7 @@ from pypgsync_spark.operators.similarity import (
     brute_force_topk,
     cosine,
     cosine_pairs,
+    cosine_pairs_lsh_gated,
     ivf_assign,
     ivf_topk,
     lsh_ann_topk,
@@ -68,8 +69,9 @@ def v1_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "v2_cosine_pairs",
     survey="ext:dedup,ext:similarity",
-    doc="Embedding near-dup: all pairs with cosine > 0.4 (exact "
-    "self-join; LSH-gated at scale).",
+    doc="Embedding near-dup: all pairs with cosine > 0.4 — exact "
+    "block-nested GEMM self-join, no driver collect/broadcast "
+    "(v2b is the LSH-gated approximate scale path).",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -80,6 +82,18 @@ def v1_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def v2_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+@register(
+    "v2b_cosine_pairs_lsh_gated",
+    survey="ext:dedup,ext:similarity",
+    doc="Embedding near-dup, approximate: hyperplane-LSH banding gates "
+    "candidate pairs (16 bits, 8 bands), exact GEMM verifies inside "
+    "buckets — the 100 TB path. Rows-only; recall vs v2 pytest-asserted.",
+    oracle=None,
+)
+def v2b_cosine_pairs_lsh_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_pairs_lsh_gated(_emb(spark, sf_dir), threshold=0.4)
 
 
 @register(

