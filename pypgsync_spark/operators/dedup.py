@@ -35,6 +35,9 @@ from pypgsync_spark.functions.text import content_fingerprint, tokens, word_shin
 # signature resolution.
 _MERSENNE_31 = (1 << 31) - 1
 
+# At most one live persisted shingle DataFrame (see minhash_lsh_pairs).
+_SHINGLE_CACHE: list[DataFrame] = []
+
 
 def _perm_coeffs(num_perm: int, seed: int = 42) -> tuple[list[int], list[int]]:
     """Deterministic (a_i, b_i) pairs for the universal hash family
@@ -89,33 +92,65 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.3,
-    band_width: int | None = 50,
+    blocking: str | None = "size",
 ) -> DataFrame:
-    """Pairs (id_a < id_b, jaccard) above ``threshold``.
+    """Pairs (id_a < id_b, jaccard) above ``threshold`` — exact AND
+    complete: every qualifying pair is returned.
 
-    ``band_width`` bounds the candidate pairs to ids within a window of
-    each other — the sf-fixture stand-in for a real blocking key
-    (at 100 TB use :func:`minhash_lsh_pairs`, which needs no such
-    assumption). ``band_width=None`` does the full cross product.
+    ``blocking="size"`` prunes candidates with a content-derived key
+    that provably loses nothing: jaccard(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
+    so any pair above θ has distinct-shingle counts within a factor
+    1/θ of each other. Bucket docs by floor(log_{1/θ}|shingles|); a
+    qualifying pair's buckets differ by at most 1, so comparing same-
+    and adjacent-bucket docs (left side explodes to {b−1,b,b+1}, right
+    side keeps its own bucket — an equi-join, never a nested-loop
+    range join) is exhaustive. This replaces the round-1 id-adjacency
+    stand-in, which silently missed distant-id duplicates. Each
+    qualifying pair matches exactly once after the id_a < id_b filter
+    (only the smaller-id orientation survives, and the exploded side
+    meets a given right row at one key), so no dedup pass is needed.
 
-    Plan note: the window condition is turned into a *block-key
-    equi-join* (left side emits its block and the next; right side its
-    own block) — a raw ``id_b <= id_a + w`` range predicate would plan
-    as a nested-loop join over all N² pairs.
+    Worst case (all docs the same length) is still quadratic within a
+    bucket — the intrinsic price of exactness. At 100 TB either accept
+    the probabilistic path (:func:`minhash_lsh_pairs`) or sharpen this
+    join with a positional prefix filter (PPJoin/Vernica et al.: sort
+    shingles by global frequency, candidates must share one of the
+    first ⌈(1−θ)|A|⌉+1 shingles — same equi-join shape on
+    (prefix-shingle) keys).
+
+    ``blocking=None`` does the raw triangular cross join (tests/tiny
+    inputs only).
     """
+    import math
+
     s = with_shingles(df.select(id_col, text_col), text_col, n)
-    a = s.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = s.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    if band_width is None:
+    if blocking is None:
+        a = s.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+        b = s.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
         joined = a.join(b, F.col("id_a") < F.col("id_b"))
-    else:
-        blk_a = (F.col("id_a") / band_width).cast("long")
-        a2 = a.withColumn("blk", F.explode(F.array(blk_a, blk_a + 1)))
-        b2 = b.withColumn("blk", (F.col("id_b") / band_width).cast("long"))
-        joined = a2.join(b2, on="blk").filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.col("id_b") <= F.col("id_a") + band_width)
+    elif blocking == "size":
+        if not 0.0 < threshold < 1.0:
+            raise ValueError("size blocking needs 0 < threshold < 1")
+        base = math.log(1.0 / threshold)
+        sb = s.filter(F.size("shingles") > 0).withColumn(
+            "__bkt",
+            F.floor(F.log(F.size("shingles").cast("double")) / F.lit(base)).cast("long"),
         )
+        a = sb.select(
+            F.col(id_col).alias("id_a"),
+            F.col("shingles").alias("sh_a"),
+            F.explode(
+                F.array(F.col("__bkt") - 1, F.col("__bkt"), F.col("__bkt") + 1)
+            ).alias("__blk"),
+        )
+        b = sb.select(
+            F.col(id_col).alias("id_b"),
+            F.col("shingles").alias("sh_b"),
+            F.col("__bkt").alias("__blk"),
+        )
+        joined = a.join(b, on="__blk").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        raise ValueError(f"unknown blocking mode: {blocking!r}")
     return (
         joined.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") > threshold)
@@ -188,8 +223,17 @@ def minhash_lsh_pairs(
     r = num_perm // bands
     s = with_shingles(df.select(id_col, text_col), text_col, n)
     # Cache the (id, shingles) side: it feeds both the signature build
-    # and the final exact-Jaccard verification.
+    # and the final exact-Jaccard verification. The cache is tracked
+    # module-wide and the previous call's copy is released here, so
+    # long-lived sessions that run this repeatedly (bench runs every
+    # query twice) hold at most ONE shingle cache at a time.
+    while _SHINGLE_CACHE:
+        try:
+            _SHINGLE_CACHE.pop().unpersist()
+        except Exception:
+            pass
     s = s.persist()
+    _SHINGLE_CACHE.append(s)
     sig = minhash_signatures(s, id_col, "shingles", num_perm)
     # band key rows carry ONLY (band, bucket, id): shingle arrays must
     # not ride through the ×bands explode + bucket shuffle.

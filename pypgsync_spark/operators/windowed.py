@@ -35,10 +35,14 @@ def row_number_boundaries(df: DataFrame, column: str, window_size: int) -> DataF
     for N > 1 and fixture-faithful for the oracle).
     """
     w = Window.orderBy(F.col(column))
+    # (rownum - 1) % N == 0, not rownum % N == 1: identical for N > 1
+    # but correct for window_size=1 (every row), where the reference
+    # guards windowsize > 1 (session.py:290-292) and the modulo form
+    # would silently return nothing.
     return (
         df.select(column)
         .withColumn("rownum", F.row_number().over(w))
-        .filter(F.col("rownum") % window_size == 1)
+        .filter((F.col("rownum") - 1) % window_size == 0)
     )
 
 

@@ -171,20 +171,22 @@ def d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d2_ngram_jaccard_pairs",
     survey="ext:dedup",
-    doc="Near-dup pairs by exact 3-gram Jaccard > 0.3 within an id band "
-    "(blocked pairwise; the LSH-free exactness baseline).",
+    doc="ALL near-dup pairs by exact 3-gram Jaccard > 0.3 — complete "
+    "(content-derived size-ratio blocking cannot lose a qualifying "
+    "pair), so the oracle is the plain all-pairs join. The LSH-free "
+    "exactness baseline; d3 is the probabilistic scale path.",
     oracle=f"""
     WITH s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(len(list_intersect(a.sh, b.sh)) * 1.0
                  / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
-    FROM s a JOIN s b ON a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + 50
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
     WHERE len(list_intersect(a.sh, b.sh)) * 1.0
           / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) > 0.3
     """,
 )
 def d2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3, band_width=50)
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
 
 
 @register(
@@ -222,7 +224,7 @@ def d4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM s a JOIN s b ON a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + 50
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
       WHERE len(list_intersect(a.sh, b.sh)) * 1.0
             / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) > 0.3
     ),
@@ -245,7 +247,7 @@ def d5_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pypgsync_spark.operators.dedup import connected_components
 
     docs = _docs(spark, sf_dir).select("doc_id")
-    edges = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3, band_width=50)
+    edges = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
     comp = connected_components(edges)
     return (
         docs.join(comp.select(F.col("id").alias("doc_id"), "component"), on="doc_id", how="left")

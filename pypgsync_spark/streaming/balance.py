@@ -26,6 +26,8 @@ stream* (state-store-backed), mirroring "count each transaction once".
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -33,6 +35,28 @@ from pyspark.sql import types as T
 import os
 
 from pypgsync_spark.catalog import ensure_events_ts
+
+
+@contextmanager
+def stream_shuffle_partitions(spark: SparkSession, n: int | None):
+    """Temporarily pin ``spark.sql.shuffle.partitions`` while a
+    streaming query STARTS (the state store captures its partition
+    count from this conf at first checkpoint, and AQE cannot coalesce
+    stateful streaming shuffles). A session tuned for 100 TB batch
+    work carries a large default (the driver harness uses 200) that
+    costs ~200 empty state-store tasks per micro-batch on a small
+    stream; stateful-operator parallelism should be sized to the
+    stream's key cardinality instead. ``n=None`` leaves the session
+    untouched."""
+    if n is None:
+        yield
+        return
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _file_stream(spark: SparkSession, schema: "T.StructType", source_path: str):
@@ -71,6 +95,7 @@ def streaming_balance(
     schema: T.StructType,
     query_name: str = "user_balance_stream",
     id_col: str = "event_id",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run the stateful balance as a real streaming query over parquet
     files, drain with availableNow, return the final balance table.
@@ -78,6 +103,8 @@ def streaming_balance(
     ``dropDuplicates([id_col])`` is the transition gate (each event id
     contributes once, state-store-backed); complete-mode memory sink
     exposes the running aggregate for verification.
+    ``state_partitions`` sizes the state store (see
+    :func:`stream_shuffle_partitions`).
     """
     src = ensure_events_ts(_file_stream(spark, schema, source_path))
     agg = (
@@ -89,14 +116,15 @@ def streaming_balance(
             F.count(F.lit(1)).alias("n_events"),
         )
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark, state_partitions):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(query_name)
 
 
@@ -107,6 +135,7 @@ def session_window_stats(
     gap: str = "1 hour",
     watermark: str = "2 days",
     query_name: str = "session_windows_stream",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Per-user session windows (``session_window`` with an inactivity
     ``gap``): the state store merges overlapping [ts, ts+gap) windows as
@@ -127,14 +156,15 @@ def session_window_stats(
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
         )
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark, state_partitions):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(query_name).select(
         F.col("user_id"),
         F.unix_millis(F.col("w.start")).alias("session_start_ms"),
@@ -150,6 +180,7 @@ def windowed_event_counts(
     window: str = "1 day",
     watermark: str = "2 days",
     query_name: str = "windowed_counts_stream",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Tumbling-window streaming aggregation with a watermark — the
     bounded-late-data improvement over the reference's silent late-row
@@ -163,14 +194,15 @@ def windowed_event_counts(
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
         )
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark, state_partitions):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(query_name).select(
         F.unix_millis(F.col("w.start")).alias("window_start_ms"),
         F.col("event_type"),

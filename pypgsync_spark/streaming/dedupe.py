@@ -32,6 +32,7 @@ def dedup_within_watermark(
     watermark: str = "2 days",
     duplicate_input: bool = True,
     query_name: str = "stream_dedup",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run watermarked streaming dedup over the events files and return
     the drained (deduplicated) rows from the memory sink.
@@ -48,12 +49,15 @@ def dedup_within_watermark(
     deduped = src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(id_cols)
     )
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from pypgsync_spark.streaming.balance import stream_shuffle_partitions
+
+    with stream_shuffle_partitions(spark, state_partitions):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(query_name)

@@ -62,11 +62,14 @@ def _gate(
     contributed = state.get[0] if state.exists else False
     out = []
     if not contributed:
-        for pdf in pdfs:
-            if contributed:
-                break
-            pdf = pdf.sort_values("ts")
-            qual = pdf[pdf["qualifying"]]
+        # A key's rows within a batch may span several Arrow chunks in
+        # arbitrary order — concatenate ALL of them and sort once, or
+        # the emitted contribution may not be the earliest-ts
+        # qualifying version (diverging from the reference trigger).
+        chunks = list(pdfs)
+        pdf = pd.concat(chunks) if chunks else pd.DataFrame()
+        if len(pdf):
+            qual = pdf[pdf["qualifying"]].sort_values("ts", kind="mergesort")
             if len(qual):
                 first = qual.iloc[0]
                 out.append(
@@ -117,6 +120,7 @@ def gated_balance(
     schema: T.StructType,
     contrib_dir: str,
     checkpoint_dir: str,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run the transition-gated contribution stream into a parquet
     contribution log (drain-and-stop, checkpointed — resumable across
@@ -126,25 +130,40 @@ def gated_balance(
     Chaining the stateful gate directly into a streaming groupBy-sum
     would be a second stateful operator in the same query; the
     append-log + batch-sum split keeps each stage in its supported
-    output mode while preserving the exactly-once contribution set
-    (foreachBatch append is idempotent-enough here because the gate
-    state itself is checkpointed — a replayed epoch re-emits nothing).
+    output mode. The contribution log is written one epoch_id-named
+    subdirectory per epoch in OVERWRITE mode: foreachBatch is
+    at-least-once (gate state rolls back with a failed epoch and a
+    replayed epoch re-emits), so a plain append could double-write an
+    epoch whose files landed before the checkpoint commit — per-epoch
+    overwrite makes the replay idempotent.
     """
     src = ensure_events_ts(_file_stream(spark, schema, source_path))
     contrib = gated_contributions_stream(src)
 
-    def append_contribs(batch: DataFrame, _epoch: int) -> None:
+    def append_contribs(batch: DataFrame, epoch_id: int) -> None:
         if not batch.isEmpty():
-            batch.write.mode("append").parquet(contrib_dir)
+            batch.write.mode("overwrite").parquet(f"{contrib_dir}/epoch={epoch_id}")
 
-    q = (
-        contrib.writeStream.foreachBatch(append_contribs)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from pypgsync_spark.streaming.balance import stream_shuffle_partitions
+
+    with stream_shuffle_partitions(spark, state_partitions):
+        q = (
+            contrib.writeStream.foreachBatch(append_contribs)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    import os
+
+    if not os.path.isdir(contrib_dir):
+        # no epoch emitted anything (empty / fully-blocked source)
+        contrib_empty = spark.createDataFrame([], CONTRIB_SCHEMA)
+        return contrib_empty.groupBy("user_id").agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("balance"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
     return (
         spark.read.parquet(contrib_dir)
         .groupBy("user_id")

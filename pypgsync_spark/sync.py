@@ -118,11 +118,16 @@ def sync_once(
         empty = dst if dst is not None else src.limit(0)
         return empty, SyncStats(low=low, high=high, delta_rows=0, plan=None)
     delta = extract_delta(src, version_col, low, high, pushdown_cond=pushdown_cond)
-    plan = None
-    if target_rows_per_slice:
-        est = delta.count()
-        plan = plan_slices(low, high, est, target_rows_per_slice)
+    # ONE count job feeds both the stats and the slice plan (the plan is
+    # informational for JDBC-faithful callers, who apply its range
+    # predicates via spark.read.jdbc(predicates=...); the DataFrame path
+    # lets the source's own partitioning bound per-task work).
     delta_rows = delta.count()
+    plan = (
+        plan_slices(low, high, delta_rows, target_rows_per_slice)
+        if target_rows_per_slice
+        else None
+    )
     if dst is None:
         merged = delta
     else:

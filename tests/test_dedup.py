@@ -23,7 +23,7 @@ def test_minhash_lsh_recall_vs_exact(spark, sf_small):
     docs = load_table(spark, sf_small, "documents")
     exact = {
         (r["id_a"], r["id_b"])
-        for r in ngram_jaccard_pairs(docs, threshold=0.5, band_width=None).collect()
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, blocking=None).collect()
     }
     lsh = {
         (r["id_a"], r["id_b"])
@@ -40,10 +40,26 @@ def test_minhash_lsh_jaccard_values_match_exact(spark, sf_small):
     docs = load_table(spark, sf_small, "documents")
     exact = {
         (r["id_a"], r["id_b"]): r["jaccard"]
-        for r in ngram_jaccard_pairs(docs, threshold=0.3, band_width=None).collect()
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, blocking=None).collect()
     }
     for r in minhash_lsh_pairs(docs, threshold=0.3).collect():
         assert abs(exact[(r["id_a"], r["id_b"])] - r["jaccard"]) < 1e-9
+
+
+def test_size_blocking_is_complete(spark, sf_small):
+    """The content-derived size-ratio blocking must return EXACTLY the
+    all-pairs result (the log-bucket adjacency is a guarantee, not a
+    heuristic), with each pair emitted exactly once."""
+    docs = load_table(spark, sf_small, "documents")
+    for thr in (0.3, 0.5):
+        full = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, threshold=thr, blocking=None).collect()
+        }
+        blocked_rows = ngram_jaccard_pairs(docs, threshold=thr, blocking="size").collect()
+        blocked = {(r["id_a"], r["id_b"]): r["jaccard"] for r in blocked_rows}
+        assert len(blocked_rows) == len(blocked), "pair emitted more than once"
+        assert blocked == full
 
 
 def test_simhash_finds_near_dups(spark, sf_small):
@@ -55,7 +71,7 @@ def test_simhash_finds_near_dups(spark, sf_small):
     assert all(r["hamming"] <= 7 for r in pairs)
     exact = {
         (r["id_a"], r["id_b"])
-        for r in ngram_jaccard_pairs(docs, threshold=0.8, band_width=None).collect()
+        for r in ngram_jaccard_pairs(docs, threshold=0.8, blocking=None).collect()
     }
     if exact:  # very-near dups should be hamming-close
         found = {(r["id_a"], r["id_b"]) for r in pairs}
