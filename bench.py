@@ -35,15 +35,20 @@ BENCH_QUERIES = [
     "o3_topk_per_key",
     "a9_rollup",
     "j8_salted_join",
+    "w1b_distributed_rank",
     # sync engine
     "s3_upsert_merge",
     "c4_sync_pipeline",
     # extension layer
     "d1_dedup_exact",
+    "d2_ngram_jaccard_pairs",
     "d3_minhash_lsh_pairs",
+    "d5_near_dup_components",
+    "t8_transition_gated_balance",
     "pipe1_curation_budget",
     "v1_ann_bruteforce",
     "v2_cosine_pairs",
+    "v2b_cosine_pairs_lsh_gated",
 ]
 
 

@@ -93,6 +93,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.3,
     blocking: str | None = "size",
+    hashed_verify: bool = True,
 ) -> DataFrame:
     """Pairs (id_a < id_b, jaccard) above ``threshold`` — exact AND
     complete: every qualifying pair is returned.
@@ -120,10 +121,20 @@ def ngram_jaccard_pairs(
 
     ``blocking=None`` does the raw triangular cross join (tests/tiny
     inputs only).
+
+    ``hashed_verify`` replaces each shingle string with its xxhash64
+    before the pairwise intersections: Jaccard depends only on set
+    sizes, which 64-bit hashing preserves (collision odds ~|sh|²/2⁶⁴),
+    and long-array intersects run ~2× faster than string-array ones.
     """
     import math
 
     s = with_shingles(df.select(id_col, text_col), text_col, n)
+    if hashed_verify:
+        s = s.withColumn(
+            "shingles",
+            F.array_distinct(F.transform("shingles", lambda x: F.xxhash64(x))),
+        )
     if blocking is None:
         a = s.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
         b = s.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -289,9 +300,14 @@ def connected_components(
     unchanged sum means an unchanged labeling).
     """
     e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    sym = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        # Materialize the edge list ONCE: it is joined every round, and
+        # without this each iteration re-runs the (possibly expensive)
+        # upstream pair-finding pipeline that produced the edges.
+        .localCheckpoint(eager=True)
+    )
     labels = sym.select(F.col("a").alias("id")).distinct().select(
         "id", F.col("id").alias("component")
     )

@@ -50,12 +50,35 @@ def register(name: str, survey: str, doc: str, oracle: str | None):
     return wrap
 
 
+def _already_verified() -> set[str]:
+    """Query names with a green (or by-design rows-only) row in ANY
+    prior round's CORRECTNESS_r*.json at the repo root."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except Exception:
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict) and (
+                row.get("hash_match") or row.get("err") == "no_oracle"
+            ):
+                seen.add(name)
+    return seen
+
+
 def _load_all() -> None:
     # Registration order is deliberate: the driver's correctness sweep
-    # walks the registry in registration order, so the families that
-    # have not yet received driver-side CORRECTNESS rows (round-1 sweep
-    # stopped at entry 50) register FIRST.  core/joins were fully
-    # driver-verified in round 1 (48/48 green) and go last.
+    # walks the registry in registration order and may stop at a count
+    # or time budget (round 1 stopped at entry 50), so the families
+    # that have not yet received driver-side CORRECTNESS rows register
+    # FIRST...
     from pypgsync_spark.queries import (  # noqa: F401
         syncq,
         textops,
@@ -64,6 +87,17 @@ def _load_all() -> None:
         core,
         joins,
     )
+
+    # ...and, self-maintaining across rounds: anything never yet green
+    # in a recorded CORRECTNESS file is moved to the front, so new or
+    # still-unverified queries always get sweep priority.
+    verified = _already_verified()
+    if verified:
+        fresh = {n: s for n, s in REGISTRY.items() if n not in verified}
+        done = {n: s for n, s in REGISTRY.items() if n in verified}
+        REGISTRY.clear()
+        REGISTRY.update(fresh)
+        REGISTRY.update(done)
 
 
 _load_all()

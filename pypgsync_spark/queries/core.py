@@ -22,7 +22,10 @@ from pyspark.sql import functions as F
 from pypgsync_spark.catalog import load_table
 from pypgsync_spark.functions.time import nanos_range_pred, to_millis
 from pypgsync_spark.operators.topk import topk, topk_per_key
-from pypgsync_spark.operators.windowed import row_number_boundaries
+from pypgsync_spark.operators.windowed import (
+    distributed_row_number,
+    row_number_boundaries,
+)
 from pypgsync_spark.queries import register
 
 # Epoch-millis constants (UTC midnights; events span 2024-01-01..01-30)
@@ -541,6 +544,53 @@ def a12b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w1_row_number_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row_number_boundaries(_events(spark, sf_dir), "event_id", 100)
+
+
+@register(
+    "w1b_distributed_rank",
+    survey="W1,W2",
+    doc="w1's boundary extraction through the TWO-PASS distributed rank "
+    "(range-repartition + per-partition prefix-sum offsets) instead of "
+    "the single-task global window — identical result, no "
+    "single-partition exchange; the 100 TB form of the reference's "
+    "ROW_NUMBER trick.",
+    oracle="""
+    SELECT event_id, rownum FROM (
+        SELECT event_id, row_number() OVER (ORDER BY event_id) AS rownum FROM events
+    ) WHERE rownum % 100 = 1
+    """,
+)
+def w1b_distributed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked = distributed_row_number(
+        _events(spark, sf_dir).select("event_id"), ["event_id"]
+    )
+    return ranked.filter((F.col("rownum") - 1) % 100 == 0).select("event_id", "rownum")
+
+
+@register(
+    "w1c_rank_desc",
+    survey="W1,W2",
+    doc="The reference README's DESC-ordered windowed-range variant "
+    "(README.md:94-101: ROW_NUMBER() OVER (ORDER BY updated DESC)) via "
+    "the two-pass distributed rank — descending range partitioning, "
+    "same no-single-task plan.",
+    oracle="""
+    SELECT updated_ms, rownum FROM (
+        SELECT epoch_ms(ts) AS updated_ms,
+               row_number() OVER (ORDER BY ts DESC, event_id DESC) AS rownum
+        FROM events
+    ) WHERE rownum % 250 = 1
+    """,
+)
+def w1c_rank_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked = distributed_row_number(
+        _events(spark, sf_dir).select("ts", "event_id"),
+        ["ts", "event_id"],
+        ascending=False,
+    )
+    return ranked.filter((F.col("rownum") - 1) % 250 == 0).select(
+        to_millis("ts").alias("updated_ms"), "rownum"
+    )
 
 
 @register(

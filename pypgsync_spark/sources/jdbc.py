@@ -73,17 +73,76 @@ def read_with_slice_plan(
     )
 
 
-def upsert_sql(table: str, columns: Sequence[str], keys: Sequence[str]) -> str:
-    """Render the reference's upsert statement (session.py:135-144):
-    ``INSERT ... ON CONFLICT (keys) DO UPDATE SET col = excluded.col``
-    for every non-key column."""
+# Parameter placeholder style per DB-API driver family.
+_PLACEHOLDER = {
+    "postgresql": "%s",  # psycopg2 pyformat
+    "mysql": "%s",  # mysqlclient / pymysql
+    "sqlite": "?",  # qmark
+    "duckdb": "?",  # qmark
+}
+
+UPSERT_DIALECTS = ("postgresql", "sqlite", "duckdb", "mysql", "merge")
+
+
+def upsert_sql(
+    table: str,
+    columns: Sequence[str],
+    keys: Sequence[str],
+    dialect: str = "postgresql",
+) -> str:
+    """Render the reference's upsert statement (session.py:135-144) for
+    a target dialect:
+
+    - ``postgresql`` / ``sqlite`` / ``duckdb``:
+      ``INSERT ... ON CONFLICT (keys) DO UPDATE SET col = excluded.col``
+      (the reference's literal Postgres form; SQLite and DuckDB share
+      the ``excluded`` pseudo-table).
+    - ``mysql``: ``INSERT ... AS excluded ON DUPLICATE KEY UPDATE
+      col = excluded.col`` (8.0.19+ row alias; conflict target is the
+      table's PK/unique key, not listable).
+    - ``merge``: ANSI/SQL-Server/Oracle-style
+      ``MERGE INTO ... USING (VALUES ...) WHEN (NOT) MATCHED`` —
+      the portable fallback.
+
+    When every column is a key the update clause degrades to the
+    dialect's no-op form (``DO NOTHING`` / ``col = col``), keeping the
+    statement idempotent.
+    """
+    if dialect not in UPSERT_DIALECTS:
+        raise ValueError(f"unknown dialect {dialect!r}; one of {UPSERT_DIALECTS}")
+    ph = _PLACEHOLDER.get(dialect, "?")
     collist = ", ".join(columns)
-    placeholders = ", ".join(["%s"] * len(columns))
+    placeholders = ", ".join([ph] * len(columns))
     keylist = ", ".join(keys)
-    updates = ", ".join(f"{c} = excluded.{c}" for c in columns if c not in keys)
+    nonkey = [c for c in columns if c not in keys]
+    if dialect in ("postgresql", "sqlite", "duckdb"):
+        action = (
+            "DO UPDATE SET " + ", ".join(f"{c} = excluded.{c}" for c in nonkey)
+            if nonkey
+            else "DO NOTHING"
+        )
+        return (
+            f"INSERT INTO {table} ({collist}) VALUES ({placeholders}) "
+            f"ON CONFLICT ({keylist}) {action}"
+        )
+    if dialect == "mysql":
+        updates = ", ".join(
+            f"{c} = excluded.{c}" for c in (nonkey or keys[:1])
+        ) or f"{keys[0]} = {keys[0]}"
+        return (
+            f"INSERT INTO {table} ({collist}) VALUES ({placeholders}) "
+            f"AS excluded ON DUPLICATE KEY UPDATE {updates}"
+        )
+    # ANSI MERGE
+    src_cols = ", ".join(columns)
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    sets = ", ".join(f"t.{c} = s.{c}" for c in nonkey)
+    ins_vals = ", ".join(f"s.{c}" for c in columns)
+    matched = f"WHEN MATCHED THEN UPDATE SET {sets} " if nonkey else ""
     return (
-        f"INSERT INTO {table} ({collist}) VALUES ({placeholders}) "
-        f"ON CONFLICT ({keylist}) DO UPDATE SET {updates}"
+        f"MERGE INTO {table} t USING (VALUES ({placeholders})) AS s ({src_cols}) "
+        f"ON {on} {matched}"
+        f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({ins_vals})"
     )
 
 
@@ -93,6 +152,7 @@ def write_upsert(
     table: str,
     keys: Sequence[str],
     batch_size: int = 10_000,
+    dialect: str = "postgresql",
 ) -> None:
     """Upsert ``df`` into Postgres from the executors.
 
@@ -102,7 +162,7 @@ def write_upsert(
     psycopg2 on the executors; raises ImportError otherwise.
     """
     columns = df.columns
-    sql = upsert_sql(table, columns, keys)
+    sql = upsert_sql(table, columns, keys, dialect=dialect)
 
     def write_partition(rows) -> None:
         import psycopg2  # gated: not in the test container

@@ -38,7 +38,7 @@ from pypgsync_spark.catalog import ensure_events_ts
 
 
 @contextmanager
-def stream_shuffle_partitions(spark: SparkSession, n: int | None):
+def stream_shuffle_partitions(spark: SparkSession, n: int | str | None):
     """Temporarily pin ``spark.sql.shuffle.partitions`` while a
     streaming query STARTS (the state store captures its partition
     count from this conf at first checkpoint, and AQE cannot coalesce
@@ -46,11 +46,14 @@ def stream_shuffle_partitions(spark: SparkSession, n: int | None):
     work carries a large default (the driver harness uses 200) that
     costs ~200 empty state-store tasks per micro-batch on a small
     stream; stateful-operator parallelism should be sized to the
-    stream's key cardinality instead. ``n=None`` leaves the session
-    untouched."""
+    stream's key cardinality / available cores instead. ``n="auto"``
+    (the runners' default) uses ``defaultParallelism`` — one state
+    partition per core; ``n=None`` leaves the session untouched."""
     if n is None:
         yield
         return
+    if n == "auto":
+        n = spark.sparkContext.defaultParallelism
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
@@ -95,7 +98,7 @@ def streaming_balance(
     schema: T.StructType,
     query_name: str = "user_balance_stream",
     id_col: str = "event_id",
-    state_partitions: int | None = 8,
+    state_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """Run the stateful balance as a real streaming query over parquet
     files, drain with availableNow, return the final balance table.
@@ -135,7 +138,7 @@ def session_window_stats(
     gap: str = "1 hour",
     watermark: str = "2 days",
     query_name: str = "session_windows_stream",
-    state_partitions: int | None = 8,
+    state_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """Per-user session windows (``session_window`` with an inactivity
     ``gap``): the state store merges overlapping [ts, ts+gap) windows as
@@ -180,7 +183,7 @@ def windowed_event_counts(
     window: str = "1 day",
     watermark: str = "2 days",
     query_name: str = "windowed_counts_stream",
-    state_partitions: int | None = 8,
+    state_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """Tumbling-window streaming aggregation with a watermark — the
     bounded-late-data improvement over the reference's silent late-row

@@ -32,7 +32,7 @@ def dedup_within_watermark(
     watermark: str = "2 days",
     duplicate_input: bool = True,
     query_name: str = "stream_dedup",
-    state_partitions: int | None = 8,
+    state_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """Run watermarked streaming dedup over the events files and return
     the drained (deduplicated) rows from the memory sink.

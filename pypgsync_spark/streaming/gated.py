@@ -120,7 +120,7 @@ def gated_balance(
     schema: T.StructType,
     contrib_dir: str,
     checkpoint_dir: str,
-    state_partitions: int | None = 8,
+    state_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """Run the transition-gated contribution stream into a parquet
     contribution log (drain-and-stop, checkpointed — resumable across

@@ -45,6 +45,19 @@ def test_no_cartesian_or_nested_loop_anywhere(spark, sf_small):
     assert not offenders, f"quadratic join strategies found: {offenders}"
 
 
+@pytest.mark.parametrize("name", ["w1b_distributed_rank", "w1c_rank_desc"])
+def test_distributed_rank_no_single_partition(spark, sf_small, name):
+    """The two-pass rank must never funnel rows through one task: no
+    SinglePartition exchange anywhere in the plan (the Window-based
+    w1/w2 keep the reference's literal single-task semantics; these are
+    the scale path)."""
+    plan = plan_of(spark, sf_small, name)
+    assert "SinglePartition" not in plan
+    # The range exchange runs inside the localCheckpoint materialization
+    # (pass 1); the final plan reads the checkpointed partitions back.
+    assert "scan existingrdd" in plan.lower()
+
+
 def test_filter_pushdown_reaches_scan(spark, sf_small):
     plan = plan_of(spark, sf_small, "p6_filter_eq")
     assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)]" in plan

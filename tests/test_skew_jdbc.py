@@ -50,6 +50,49 @@ def test_upsert_sql_renders_on_conflict():
     )
 
 
+def test_upsert_sql_dialects_golden():
+    cols, keys = ["id", "updated", "value"], ["id"]
+    assert upsert_sql("dst", cols, keys, dialect="sqlite") == (
+        "INSERT INTO dst (id, updated, value) VALUES (?, ?, ?) "
+        "ON CONFLICT (id) DO UPDATE SET updated = excluded.updated, "
+        "value = excluded.value"
+    )
+    assert upsert_sql("dst", cols, keys, dialect="mysql") == (
+        "INSERT INTO dst (id, updated, value) VALUES (%s, %s, %s) "
+        "AS excluded ON DUPLICATE KEY UPDATE updated = excluded.updated, "
+        "value = excluded.value"
+    )
+    assert upsert_sql("dst", cols, keys, dialect="merge") == (
+        "MERGE INTO dst t USING (VALUES (?, ?, ?)) AS s (id, updated, value) "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET t.updated = s.updated, t.value = s.value "
+        "WHEN NOT MATCHED THEN INSERT (id, updated, value) "
+        "VALUES (s.id, s.updated, s.value)"
+    )
+    # all-key degenerate form stays idempotent
+    assert upsert_sql("dst", ["id"], ["id"], dialect="postgresql").endswith("DO NOTHING")
+    import pytest
+
+    with pytest.raises(ValueError):
+        upsert_sql("dst", cols, keys, dialect="oracle8")
+
+
+def test_upsert_sql_executes_on_duckdb():
+    """The rendered duckdb-dialect statement actually RUNS: batch-apply
+    out-of-order versions against a real DuckDB table and land on the
+    same last-writer-wins fixed point as the Spark merge semantics."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE dst (id BIGINT PRIMARY KEY, updated BIGINT, value DOUBLE)")
+    sql = upsert_sql("dst", ["id", "updated", "value"], keys=["id"], dialect="duckdb")
+    con.executemany(sql, [(1, 10, 1.0), (2, 10, 2.0)])
+    # re-delivery + newer versions, out of order across batches
+    con.executemany(sql, [(1, 20, 1.5), (3, 5, 3.0), (2, 10, 2.0)])
+    got = {r[0]: (r[1], r[2]) for r in con.execute("SELECT * FROM dst").fetchall()}
+    assert got == {1: (20, 1.5), 2: (10, 2.0), 3: (5, 3.0)}
+
+
 def test_jdbc_predicates_cover_range_disjointly():
     plan = plan_slices(0, 99, estimated_rows=1000, target_rows_per_slice=250)
     preds = plan.jdbc_predicates("updated")
