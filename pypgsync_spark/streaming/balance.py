@@ -62,6 +62,42 @@ def stream_shuffle_partitions(spark: SparkSession, n: int | str | None):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@contextmanager
+def state_store_provider(spark: SparkSession, provider: str | None):
+    """Temporarily pin the streaming state-store provider while a query
+    starts (the provider is captured into the checkpoint at first
+    start). ``"rocksdb"`` selects Spark's built-in RocksDB provider —
+    the 100 TB setting: state lives off-heap on local disk with
+    incremental changelog checkpoints, so stateful operators (the
+    transition gate, dropDuplicatesWithinWatermark, session windows)
+    scale to key cardinalities that would OOM the default in-memory
+    HDFS-backed provider. ``None`` leaves the session untouched; any
+    other string is passed through as a provider class name."""
+    if provider is None:
+        yield
+        return
+    if provider == "rocksdb":
+        provider = ROCKSDB_PROVIDER
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, provider)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def _file_stream(spark: SparkSession, schema: "T.StructType", source_path: str):
     """Parquet file-stream source. Spark's file source needs a
     *directory*; when handed a single file, stream its parent with a
@@ -99,6 +135,7 @@ def streaming_balance(
     query_name: str = "user_balance_stream",
     id_col: str = "event_id",
     state_partitions: int | str | None = "auto",
+    store_provider: str | None = None,
 ) -> DataFrame:
     """Run the stateful balance as a real streaming query over parquet
     files, drain with availableNow, return the final balance table.
@@ -107,7 +144,8 @@ def streaming_balance(
     contributes once, state-store-backed); complete-mode memory sink
     exposes the running aggregate for verification.
     ``state_partitions`` sizes the state store (see
-    :func:`stream_shuffle_partitions`).
+    :func:`stream_shuffle_partitions`); ``store_provider="rocksdb"``
+    swaps the state backend (see :func:`state_store_provider`).
     """
     src = ensure_events_ts(_file_stream(spark, schema, source_path))
     agg = (
@@ -119,7 +157,9 @@ def streaming_balance(
             F.count(F.lit(1)).alias("n_events"),
         )
     )
-    with stream_shuffle_partitions(spark, state_partitions):
+    with stream_shuffle_partitions(spark, state_partitions), state_store_provider(
+        spark, store_provider
+    ):
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")

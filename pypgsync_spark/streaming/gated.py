@@ -1,5 +1,5 @@
 """Transition-gated contributions: the reference's trigger semantics,
-exactly.
+exactly — at bucketed (not per-key) Python cost.
 
 The reference's ``user_balance`` trigger (reference README.md:157-198)
 adds ``NEW.amount`` when a row *transitions into* the qualifying state
@@ -13,21 +13,44 @@ reference design).
 a row is already qualifying, but keeps the FIRST-SEEN version of each
 id — so an id whose v1 is non-qualifying and v2 qualifies would never
 contribute. This module implements the exact gate as a custom stateful
-operator: ``applyInPandasWithState`` keyed by event id, one boolean of
-state per id ("has contributed"), emitting a (user_id, value)
-contribution row on the first qualifying version only.
+operator over ``applyInPandasWithState``.
 
-Scale notes: state is one boolean per event id — at 100 TB that is the
-RocksDB state store (``spark.sql.streaming.stateStore.providerClass``),
-and ids age out of state via a processing-time timeout once their
-source retention window passes (not set here: the fixture is bounded).
+Cost model (the round-2 lesson): keying the stateful operator by
+``event_id`` makes group cardinality = number of events, so every group
+is a 1–2-row pandas frame and per-group Python overhead dominates
+(21.5 s of a 58.7 s bench). Two structural fixes, both
+semantics-preserving:
+
+1. **Qualifying pre-filter in the JVM** — non-qualifying versions never
+   emit and never flip state, so they need not cross into Python at
+   all; the gate sees only qualifying rows.
+2. **Bucketed state keying** — the operator is keyed by
+   ``pmod(xxhash64(event_id), num_buckets)`` instead of the raw id.
+   Python now sees ``num_buckets`` large frames per micro-batch instead
+   of one frame per id, and the per-id once-only logic is vectorized
+   pandas (sort + drop_duplicates + isin) inside each bucket. State per
+   bucket = the contributed id set plus a last-seen processing-time
+   stamp per id (two parallel long arrays), which is the same total
+   state as one boolean per id, just grouped. ``xxhash64`` is
+   deterministic (fixed seed), so an id's bucket — and therefore its
+   state row — is stable across micro-batches and restarts.
+
+Scale notes: at 100 TB the state store is RocksDB
+(``store_provider="rocksdb"`` on the runner → incremental checkpoints,
+state off-heap), ids age out of the contributed set via the per-id
+processing-time TTL (``ttl_ms``, refreshed on touch — the
+dropDuplicatesWithinWatermark retention model: a duplicate arriving
+after source retention re-contributes, the standard bounded-state
+trade), and ``num_buckets`` is sized so a bucket's id set fits executor
+memory (buckets ≫ cores; each bucket holds ids/buckets ≈ N/B entries).
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,68 +68,116 @@ CONTRIB_SCHEMA = T.StructType(
     ]
 )
 
-STATE_SCHEMA = T.StructType([T.StructField("contributed", T.BooleanType())])
+# Per-bucket state: parallel arrays — contributed event ids and each
+# id's last-seen processing-time millis (drives the TTL prune).
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("seen_ms", T.ArrayType(T.LongType())),
+    ]
+)
 
 
-def _gate(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Emit the first qualifying version of this event id, ever.
+def _make_bucket_gate(
+    ttl_ms: int | None,
+) -> Callable[[tuple[Any, ...], Iterator[pd.DataFrame], GroupState], Iterator[pd.DataFrame]]:
+    """Build the per-bucket gate. Input rows are pre-filtered to
+    qualifying versions; the gate emits, per event id, the earliest-ts
+    qualifying version not yet in the bucket's contributed set."""
 
-    Rows within a batch are scanned in event-time order (a batch may
-    carry several versions of the id); the state boolean carries the
-    once-only guarantee across batches and restarts (checkpointed).
-    """
-    contributed = state.get[0] if state.exists else False
-    out = []
-    if not contributed:
-        # A key's rows within a batch may span several Arrow chunks in
-        # arbitrary order — concatenate ALL of them and sort once, or
-        # the emitted contribution may not be the earliest-ts
-        # qualifying version (diverging from the reference trigger).
+    def gate(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids_raw, seen_raw = state.get
+            ids = np.asarray(ids_raw, dtype=np.int64)
+            seen = np.asarray(seen_raw, dtype=np.int64)
+        else:
+            ids = np.empty(0, dtype=np.int64)
+            seen = np.empty(0, dtype=np.int64)
+        now = state.getCurrentProcessingTimeMs()
+        # Expire-on-load: ids unseen for ttl_ms are gone BEFORE this
+        # batch's rows are considered (state-timeout semantics) — an id
+        # whose retention passed can re-contribute in this very batch.
+        if ttl_ms is not None and len(ids):
+            live = (now - seen) <= ttl_ms
+            ids, seen = ids[live], seen[live]
+
         chunks = list(pdfs)
-        pdf = pd.concat(chunks) if chunks else pd.DataFrame()
-        if len(pdf):
-            qual = pdf[pdf["qualifying"]].sort_values("ts", kind="mergesort")
-            if len(qual):
-                first = qual.iloc[0]
+        out: list[pd.DataFrame] = []
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            # Earliest qualifying version per id within this batch: a
+            # stable sort on event-time then keep-first — vectorized,
+            # equivalent to the reference trigger firing in `updated`
+            # order (rows within a batch may span Arrow chunks in
+            # arbitrary order, hence the explicit sort).
+            firsts = pdf.sort_values("ts", kind="mergesort").drop_duplicates(
+                subset="event_id", keep="first"
+            )
+            fresh_mask = ~firsts["event_id"].isin(ids)
+            fresh = firsts[fresh_mask]
+            if len(fresh):
                 out.append(
                     pd.DataFrame(
                         {
-                            "event_id": [key[0]],
-                            "user_id": [first["user_id"]],
-                            "value": [float(first["value"])],
+                            "event_id": fresh["event_id"].to_numpy(np.int64),
+                            "user_id": fresh["user_id"].to_numpy(np.int64),
+                            "value": fresh["value"].to_numpy(np.float64),
                         }
                     )
                 )
-                contributed = True
-        state.update((contributed,))
-    else:
-        # drain the iterator (required by the contract) without work
-        for _ in pdfs:
-            pass
-    return iter(out)
+            # Refresh last-seen for touched known ids; append the new
+            # contributors stamped now.
+            touched = firsts["event_id"].to_numpy(np.int64)
+            if len(ids):
+                seen = np.where(np.isin(ids, touched), now, seen)
+            if len(fresh):
+                ids = np.concatenate([ids, fresh["event_id"].to_numpy(np.int64)])
+                seen = np.concatenate([seen, np.full(len(fresh), now, dtype=np.int64)])
+
+        state.update((ids.tolist(), seen.tolist()))
+        return iter(out)
+
+    return gate
 
 
 def gated_contributions_stream(
     src: DataFrame,
     blocked: str = "error",
+    num_buckets: int | str = "auto",
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Wire the gate over a streaming events DataFrame → append-mode
-    stream of (event_id, user_id, value) contribution rows."""
-    tagged = src.select(
-        "event_id",
-        "user_id",
-        "value",
-        # micros, not cast("long") (which floors to SECONDS and would
-        # tie-break same-second versions arbitrarily)
-        F.unix_micros(F.col("ts")).alias("ts"),
-        (F.col("event_type") != blocked).alias("qualifying"),
+    stream of (event_id, user_id, value) contribution rows.
+
+    ``num_buckets="auto"`` sizes the state keyspace to 4× the session's
+    default parallelism — enough buckets that every state partition
+    stays busy, few enough that each pandas frame amortizes the Python
+    crossing. ``ttl_ms`` bounds state: ids unseen for that long fall
+    out of the contributed set (None = keep forever; the bounded
+    fixture default).
+    """
+    if num_buckets == "auto":
+        num_buckets = 4 * src.sparkSession.sparkContext.defaultParallelism
+    tagged = (
+        # The qualifying pre-filter: stays in the JVM scan, never
+        # crosses to Python (reference gate README.md:182,195-196 —
+        # non-qualifying versions cannot emit or flip state).
+        src.filter(F.col("event_type") != blocked).select(
+            "event_id",
+            "user_id",
+            "value",
+            # micros, not cast("long") (which floors to SECONDS and
+            # would tie-break same-second versions arbitrarily)
+            F.unix_micros(F.col("ts")).alias("ts"),
+            F.pmod(F.xxhash64("event_id"), F.lit(int(num_buckets))).alias("bucket"),
+        )
     )
-    return tagged.groupBy("event_id").applyInPandasWithState(
-        _gate,
+    return tagged.groupBy("bucket").applyInPandasWithState(
+        _make_bucket_gate(ttl_ms),
         outputStructType=CONTRIB_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
@@ -121,6 +192,9 @@ def gated_balance(
     contrib_dir: str,
     checkpoint_dir: str,
     state_partitions: int | str | None = "auto",
+    num_buckets: int | str = "auto",
+    ttl_ms: int | None = None,
+    store_provider: str | None = None,
 ) -> DataFrame:
     """Run the transition-gated contribution stream into a parquet
     contribution log (drain-and-stop, checkpointed — resumable across
@@ -136,17 +210,29 @@ def gated_balance(
     replayed epoch re-emits), so a plain append could double-write an
     epoch whose files landed before the checkpoint commit — per-epoch
     overwrite makes the replay idempotent.
+
+    ``store_provider="rocksdb"`` swaps the state store to RocksDB for
+    unbounded-cardinality runs; ``ttl_ms`` bounds the contributed-id
+    state (see module docstring).
     """
     src = ensure_events_ts(_file_stream(spark, schema, source_path))
-    contrib = gated_contributions_stream(src)
+    contrib = gated_contributions_stream(src, num_buckets=num_buckets, ttl_ms=ttl_ms)
 
     def append_contribs(batch: DataFrame, epoch_id: int) -> None:
-        if not batch.isEmpty():
-            batch.write.mode("overwrite").parquet(f"{contrib_dir}/epoch={epoch_id}")
+        # Unconditional write: an isEmpty() pre-check would execute the
+        # whole stateful stage once for the probe and again for the
+        # write (foreachBatch frames are not cached) — doubling the
+        # micro-batch cost; an empty epoch just writes an empty dir.
+        batch.write.mode("overwrite").parquet(f"{contrib_dir}/epoch={epoch_id}")
 
-    from pypgsync_spark.streaming.balance import stream_shuffle_partitions
+    from pypgsync_spark.streaming.balance import (
+        state_store_provider,
+        stream_shuffle_partitions,
+    )
 
-    with stream_shuffle_partitions(spark, state_partitions):
+    with stream_shuffle_partitions(spark, state_partitions), state_store_provider(
+        spark, store_provider
+    ):
         q = (
             contrib.writeStream.foreachBatch(append_contribs)
             .outputMode("append")

@@ -66,3 +66,64 @@ def test_gated_balance_transition_semantics(spark, tmp_path):
     # cumulative balances: id1's late transition adds 5 for user 1;
     # id2 does NOT re-contribute despite a newer qualifying version
     assert got2 == {(1, 15.0, 2), (2, 7.0, 1)}
+
+
+def test_gated_state_ttl_expires_ids(spark, tmp_path):
+    """With ttl_ms=0 every contributed id ages out of state after its
+    batch — a later qualifying version re-contributes (the documented
+    bounded-state trade, same retention model as
+    dropDuplicatesWithinWatermark)."""
+    from pypgsync_spark.streaming.gated import gated_balance
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    contrib = str(tmp_path / "contrib")
+
+    _land(spark, incoming, "b1", [(7, 100 * NS, 1, "click", 10.0, "{}")])
+    bal1 = gated_balance(spark, str(incoming), SCHEMA, contrib, ckpt, ttl_ms=0)
+    assert {(r["user_id"], r["balance"]) for r in bal1.collect()} == {(1, 10.0)}
+
+    _land(spark, incoming, "b2", [(7, 200 * NS, 1, "view", 5.0, "{}")])
+    bal2 = gated_balance(spark, str(incoming), SCHEMA, contrib, ckpt, ttl_ms=0)
+    # id7 expired from the contributed set → its later version re-adds
+    assert {(r["user_id"], r["balance"], r["n_events"]) for r in bal2.collect()} == {
+        (1, 15.0, 2)
+    }
+
+
+def test_gated_balance_rocksdb_provider(spark, tmp_path):
+    """The RocksDB state-store knob: same answers, different backend.
+    Skips if the provider class is absent from this Spark build."""
+    import pytest
+
+    from pypgsync_spark.streaming.balance import ROCKSDB_PROVIDER
+    from pypgsync_spark.streaming.gated import gated_balance
+
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(ROCKSDB_PROVIDER)
+    except Exception:
+        pytest.skip("RocksDB state store provider not in this Spark build")
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    _land(spark, incoming, "b1", [
+        (1, 100 * NS, 1, "error", 50.0, "{}"),
+        (2, 100 * NS, 1, "click", 10.0, "{}"),
+        (3, 100 * NS, 2, "click", 7.0, "{}"),
+    ])
+    bal = gated_balance(
+        spark,
+        str(incoming),
+        SCHEMA,
+        str(tmp_path / "contrib"),
+        str(tmp_path / "ckpt"),
+        store_provider="rocksdb",
+    )
+    got = {(r["user_id"], r["balance"], r["n_events"]) for r in bal.collect()}
+    assert got == {(1, 10.0, 1), (2, 7.0, 1)}
+    # knob restored after the run
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        != ROCKSDB_PROVIDER
+    )
