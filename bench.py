@@ -19,37 +19,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pypgsync_spark.queries import REGISTRY
+from pypgsync_spark.queries import REGISTRY, bench_queries
 from pypgsync_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-BENCH_QUERIES = [
-    # reference-parity core
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "j6_shipping_topk",
-    "j7_region_nation_revenue",
-    "a4_user_balance",
-    "w1_row_number_boundaries",
-    "o3_topk_per_key",
-    "a9_rollup",
-    "j8_salted_join",
-    "w1b_distributed_rank",
-    # sync engine
-    "s3_upsert_merge",
-    "c4_sync_pipeline",
-    # extension layer
-    "d1_dedup_exact",
-    "d2_ngram_jaccard_pairs",
-    "d3_minhash_lsh_pairs",
-    "d5_near_dup_components",
-    "t8_transition_gated_balance",
-    "pipe1_curation_budget",
-    "v1_ann_bruteforce",
-    "v2_cosine_pairs",
-    "v2b_cosine_pairs_lsh_gated",
-]
+# Generated from the registry's bench tags (QuerySpec.bench) so a new
+# query lands in the bench in the same commit that registers it; the
+# rank gives a stable execution order independent of the registry's
+# per-round verification rotation.
+BENCH_QUERIES = bench_queries()
 
 
 def materialize(df) -> int:
@@ -64,13 +43,16 @@ def main() -> None:
     # warmup: JVM + parquet footer caches
     REGISTRY["a6_count_star"].fn(spark, SF_DIR).count()
 
-    # Each query runs twice: the first run pays one-time session costs
-    # (whole-stage-codegen compilation, Python-worker pool startup,
-    # parquet footer reads) that are milliseconds-against-hours at real
-    # scale; the second run is the steady-state data cost. The headline
-    # metric is steady state — the apples-to-apples comparison with the
-    # baseline's warm-database rows/s (BASELINE.md) — with cold times
-    # reported alongside.
+    # Each query runs three times: the first run pays one-time session
+    # costs (whole-stage-codegen compilation, Python-worker pool
+    # startup, parquet footer reads) that are milliseconds-against-hours
+    # at real scale; the steady figure is the MIN of the two warm runs —
+    # min-of-k is the standard noise-robust point estimate for a
+    # deterministic workload (transient co-tenant load only ever adds
+    # time; the round-2 sweep showed +50% swings on untouched queries
+    # from exactly that). The headline metric is steady state — the
+    # apples-to-apples comparison with the baseline's warm-database
+    # rows/s (BASELINE.md) — with cold times reported alongside.
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -78,9 +60,12 @@ def main() -> None:
         t0 = time.time()
         materialize(fn(spark, SF_DIR))
         cold[name] = round(time.time() - t0, 3)
-        t0 = time.time()
-        materialize(fn(spark, SF_DIR))
-        times[name] = round(time.time() - t0, 3)
+        warm = []
+        for _ in range(2):
+            t0 = time.time()
+            materialize(fn(spark, SF_DIR))
+            warm.append(time.time() - t0)
+        times[name] = round(min(warm), 3)
 
     # sync throughput: rows merged per second through the upsert pipeline
     from pypgsync_spark.catalog import load_table

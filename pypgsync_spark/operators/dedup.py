@@ -92,11 +92,28 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.3,
-    blocking: str | None = "size",
+    blocking: str | None = "prefix",
     hashed_verify: bool = True,
 ) -> DataFrame:
     """Pairs (id_a < id_b, jaccard) above ``threshold`` — exact AND
     complete: every qualifying pair is returned.
+
+    ``blocking="prefix"`` (default — the 100 TB path) is the
+    AllPairs/PPJoin prefix filter (Bayardo et al. WWW'07; Vernica et
+    al. SIGMOD'10): sort every doc's shingles by one global canonical
+    order (ascending corpus frequency, ties by value — rarest first),
+    and keep each doc's first ``|x| − ⌈θ·|x|⌉ + 1`` shingles as its
+    *prefix*. Any pair with jaccard > θ has overlap ≥ ⌈θ·max(|A|,|B|)⌉,
+    and two sets sorted by the same total order whose overlap is ≥ t
+    must collide within their (size − t + 1)-prefixes — so the
+    equi-join on prefix shingles finds every qualifying pair. The
+    PPJoin length filter (θ·|A| < |B| and θ·|B| < |A|, from
+    jaccard ≤ min/max) prunes cross-size collisions inside the join,
+    and the exact Jaccard verify does the rest. Unlike size blocking
+    the candidate count is driven by *content* (shared rare shingles),
+    not by the length histogram, so a corpus of near-uniform doc
+    lengths no longer degenerates to a quadratic bucket — distinct
+    documents rarely share their rarest shingles.
 
     ``blocking="size"`` prunes candidates with a content-derived key
     that provably loses nothing: jaccard(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
@@ -110,14 +127,9 @@ def ngram_jaccard_pairs(
     qualifying pair matches exactly once after the id_a < id_b filter
     (only the smaller-id orientation survives, and the exploded side
     meets a given right row at one key), so no dedup pass is needed.
-
-    Worst case (all docs the same length) is still quadratic within a
-    bucket — the intrinsic price of exactness. At 100 TB either accept
-    the probabilistic path (:func:`minhash_lsh_pairs`) or sharpen this
-    join with a positional prefix filter (PPJoin/Vernica et al.: sort
-    shingles by global frequency, candidates must share one of the
-    first ⌈(1−θ)|A|⌉+1 shingles — same equi-join shape on
-    (prefix-shingle) keys).
+    Worst case (all docs the same length) is quadratic within a
+    bucket — kept as the simpler option for corpora with a spread
+    length histogram.
 
     ``blocking=None`` does the raw triangular cross join (tests/tiny
     inputs only).

@@ -33,33 +33,57 @@ class QuerySpec:
     oracle: str | None  # DuckDB SQL; None => driver does a rows-only check
     survey: str  # SURVEY §2 operator ids this query covers
     doc: str
+    bench: int | None = None  # headline-bench rank; None => not benched
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, survey: str, doc: str, oracle: str | None):
-    """Decorator: add a query callable to the registry."""
+def register(
+    name: str, survey: str, doc: str, oracle: str | None, bench: int | None = None
+):
+    """Decorator: add a query callable to the registry.
+
+    ``bench`` opts the query into bench.py's headline list at that rank
+    (a stable execution order independent of the registry's per-round
+    verification rotation). A query registered with ``bench`` lands in
+    the same commit as its bench entry by construction — the round-2
+    verdict's "keep the sweep honest" rule.
+    """
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, survey=survey, doc=doc)
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, survey=survey, doc=doc, bench=bench
+        )
         return fn
 
     return wrap
 
 
-def _already_verified() -> set[str]:
-    """Query names with a green (or by-design rows-only) row in ANY
-    prior round's CORRECTNESS_r*.json at the repo root."""
+def bench_queries() -> list[str]:
+    """Names of bench-tagged queries in stable rank order."""
+    tagged = [(s.bench, name) for name, s in REGISTRY.items() if s.bench is not None]
+    return [name for _, name in sorted(tagged)]
+
+
+def _last_green_round() -> dict[str, int]:
+    """Map query name -> the LATEST round number in which it had a
+    green (or by-design rows-only) row in a CORRECTNESS_r*.json at the
+    repo root. Names absent from the map have never been verified."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    seen: set[str] = set()
+    last: dict[str, int] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -69,8 +93,8 @@ def _already_verified() -> set[str]:
             if isinstance(row, dict) and (
                 row.get("hash_match") or row.get("err") == "no_oracle"
             ):
-                seen.add(name)
-    return seen
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def _load_all() -> None:
@@ -88,16 +112,21 @@ def _load_all() -> None:
         joins,
     )
 
-    # ...and, self-maintaining across rounds: anything never yet green
-    # in a recorded CORRECTNESS file is moved to the front, so new or
-    # still-unverified queries always get sweep priority.
-    verified = _already_verified()
-    if verified:
-        fresh = {n: s for n, s in REGISTRY.items() if n not in verified}
-        done = {n: s for n, s in REGISTRY.items() if n in verified}
-        REGISTRY.clear()
-        REGISTRY.update(fresh)
-        REGISTRY.update(done)
+    # ...and, self-maintaining across rounds: the registry is ordered
+    # by staleness — never-verified queries first, then ascending by
+    # the round of each query's most recent green row. With the
+    # driver's 50-row sweep cap this ROTATES verification: a query
+    # re-checked this round moves to the back, and queries whose only
+    # green rows predate recent code changes come back around instead
+    # of staying stale forever (round-2 verdict, "What's missing" #1).
+    last = _last_green_round()
+    ordered = sorted(
+        enumerate(REGISTRY.items()),
+        key=lambda t: (last.get(t[1][0], 0), t[0]),
+    )
+    rotated = {name: spec for _, (name, spec) in ordered}
+    REGISTRY.clear()
+    REGISTRY.update(rotated)
 
 
 _load_all()

@@ -272,6 +272,7 @@ def a3_count_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a4_user_balance",
+    bench=5,
     survey="A4,P7",
     doc="Grouped SUM — the README Q2 initial user_balance load "
     "(README.md:146-151): decimal-exact sum per user.",
@@ -402,6 +403,7 @@ def a8_groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a9_rollup",
+    bench=8,
     survey="§2.4 ext",
     doc="ROLLUP hierarchy totals over lineitem (flag → flag+status → "
     "grand total) with GROUPING_ID disambiguating subtotal rows from "
@@ -533,6 +535,7 @@ def a12b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "w1_row_number_boundaries",
+    bench=6,
     survey="W1,W2,P5",
     doc="The reference's signature windowed-range trick: global "
     "row_number + modulo boundary filter (session.py:273-292).",
@@ -548,6 +551,7 @@ def w1_row_number_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "w1b_distributed_rank",
+    bench=10,
     survey="W1,W2",
     doc="w1's boundary extraction through the TWO-PASS distributed rank "
     "(range-repartition + per-partition prefix-sum offsets) instead of "
@@ -758,6 +762,7 @@ def o2_topk_single_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "o3_topk_per_key",
+    bench=7,
     survey="O2,W1",
     doc="Top-3 orders per customer via ranked window (the scale form of "
     "Q3b across all keys at once; WindowGroupLimit pushdown).",

@@ -150,6 +150,7 @@ def j5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j6_shipping_topk",
+    bench=3,
     survey="§2.3,O2,A4",
     doc="TPC-H Q3 shape: segment-filtered customer⋈orders⋈lineitem, "
     "revenue per order, top-10 (decimal-exact revenue, unique tie-break).",
@@ -194,6 +195,7 @@ def j6_shipping_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j7_region_nation_revenue",
+    bench=4,
     survey="§2.3,A4",
     doc="TPC-H Q5 shape: revenue by nation for one region and a "
     "date-bounded order year (joins five tables).",
@@ -239,6 +241,7 @@ def j7_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q1_pricing_summary",
+    bench=1,
     survey="A4,O1,§2.8",
     doc="TPC-H Q1 pricing summary over lineitem: the headline wide "
     "aggregation (8 aggregates, decimal-exact, whole-stage codegen).",
@@ -288,6 +291,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q6_forecast_revenue",
+    bench=2,
     survey="A4,P3,P9",
     doc="TPC-H Q6 shape: single filtered sum — the predicate-pushdown "
     "and row-group-skipping showcase (the Spark analogue of the "
@@ -321,6 +325,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j8_salted_join",
+    bench=9,
     survey="§2.3,ext:skew",
     doc="Skew-mitigated inner join: orders salted over 8 reducers, "
     "customer replicated 8x, joined on (custkey, salt) — identical "

@@ -159,6 +159,7 @@ def t9_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t8_transition_gated_balance",
+    bench=17,
     survey="A5,T5,T4",
     doc="The reference's trigger semantics EXACTLY (README.md:157-198): "
     "a custom stateful operator (applyInPandasWithState, one boolean "

@@ -152,6 +152,7 @@ _MERGE_ORACLE = f"""
 
 @register(
     "s3_upsert_merge",
+    bench=11,
     survey="S3,C4,§2.3",
     doc="The upsert merge (reference session.py:135-151) as "
     "union + last-writer-wins dedup: stale destination + fresh delta → "
@@ -180,6 +181,7 @@ def s3b_coalesce_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c4_sync_pipeline",
+    bench=12,
     survey="C4,C3,S3",
     doc="End-to-end sync_once(): low watermark read off the destination "
     "snapshot (= events before Jan 10), bounded delta extraction from "

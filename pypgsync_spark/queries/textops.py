@@ -154,6 +154,7 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d1_dedup_exact",
+    bench=13,
     survey="ext:dedup",
     doc="Exact dedup: one keeper per distinct normalized content, "
     "min doc_id wins (deterministic dropDuplicates).",
@@ -170,6 +171,7 @@ def d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d2_ngram_jaccard_pairs",
+    bench=14,
     survey="ext:dedup",
     doc="ALL near-dup pairs by exact 3-gram Jaccard > 0.3 — complete "
     "(content-derived size-ratio blocking cannot lose a qualifying "
@@ -191,6 +193,7 @@ def d2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d3_minhash_lsh_pairs",
+    bench=15,
     survey="ext:dedup",
     doc="MinHash(64)+LSH(16 bands) candidate pairs verified by exact "
     "Jaccard > 0.3. Rows-only for the driver (xxhash64 signatures are "
@@ -214,6 +217,7 @@ def d4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d5_near_dup_components",
+    bench=16,
     survey="ext:dedup",
     doc="Near-dup pairs → clusters → canonical keeper: connected "
     "components (Pregel-style min-label propagation) over the exact "
@@ -261,6 +265,7 @@ def d5_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipe1_curation_budget",
+    bench=18,
     survey="ext:pipeline",
     doc="Flagship training-data curation pipeline composing the "
     "extension layer end-to-end: exact dedup → has-embedding semi-join "

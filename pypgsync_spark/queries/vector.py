@@ -45,6 +45,7 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
 
 @register(
     "v1_ann_bruteforce",
+    bench=19,
     survey="ext:similarity",
     doc="Exact top-10 by cosine against the vec_id=0 query vector — "
     "the ANN exactness baseline (TakeOrderedAndProject, no global sort).",
@@ -68,6 +69,7 @@ def v1_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "v2_cosine_pairs",
+    bench=20,
     survey="ext:dedup,ext:similarity",
     doc="Embedding near-dup: all pairs with cosine > 0.4 — exact "
     "block-nested GEMM self-join, no driver collect/broadcast "
@@ -86,6 +88,7 @@ def v2_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "v2b_cosine_pairs_lsh_gated",
+    bench=21,
     survey="ext:dedup,ext:similarity",
     doc="Embedding near-dup, approximate: hyperplane-LSH banding gates "
     "candidate pairs (16 bits, 8 bands), exact GEMM verifies inside "
