@@ -151,6 +151,62 @@ def ngram_jaccard_pairs(
         a = s.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
         b = s.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
         joined = a.join(b, F.col("id_a") < F.col("id_b"))
+    elif blocking == "prefix":
+        if not 0.0 < threshold < 1.0:
+            raise ValueError("prefix blocking needs 0 < threshold < 1")
+        sp = s.filter(F.size("shingles") > 0)
+        # Global canonical order: ascending corpus frequency, ties by
+        # shingle value. Rarest-first prefixes minimize candidates —
+        # distinct documents rarely share their rarest shingles.
+        ex = sp.select(
+            F.col(id_col).alias("id"),
+            F.size("shingles").alias("sz"),
+            F.explode("shingles").alias("sh"),
+        )
+        freq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("__freq"))
+        w = Window.partitionBy("id").orderBy(F.col("__freq").asc(), F.col("sh").asc())
+        # Prefix-filter lemma: J(A,B) > θ ⟹ |A∩B| > θ·max(|A|,|B|), so
+        # overlap t ≥ ⌈θ·|A|⌉ — and two sets sorted by one total order
+        # with overlap ≥ t must collide within their (size − t + 1)-
+        # prefixes. Partitioning the rank window by doc id is skew-free
+        # (per-doc shingle counts are bounded by doc length).
+        pref = (
+            ex.join(freq, on="sh")
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(
+                F.col("__rk")
+                <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+            )
+            .select("id", "sz", "sh")
+        )
+        # PPJoin length filter inside the equi-join: J ≤ min/max ⟹ any
+        # qualifying pair has θ·|A| < |B| and θ·|B| < |A|.
+        cand = (
+            pref.select(
+                F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "sh"
+            )
+            .join(
+                pref.select(
+                    F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "sh"
+                ),
+                on="sh",
+            )
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.col("sz_a") * threshold < F.col("sz_b"))
+                & (F.col("sz_b") * threshold < F.col("sz_a"))
+            )
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        sh_tbl = sp.select(F.col(id_col).alias("id"), "shingles")
+        joined = cand.join(
+            sh_tbl.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
+            on="id_a",
+        ).join(
+            sh_tbl.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
+            on="id_b",
+        )
     elif blocking == "size":
         if not 0.0 < threshold < 1.0:
             raise ValueError("size blocking needs 0 < threshold < 1")

@@ -97,6 +97,61 @@ def _last_green_round() -> dict[str, int]:
     return last
 
 
+def _impl_mtime(fn: Callable) -> float:
+    """Latest mtime across the package modules a query's callable
+    (transitively, at module scope) depends on — its queries module
+    plus every ``pypgsync_spark`` module reachable through module-level
+    imports (operators/, functions/, streaming/, ...)."""
+    import inspect
+    import sys
+
+    seen: set[str] = set()
+    latest = 0.0
+    stack = [getattr(fn, "__module__", "")]
+    while stack:
+        name = stack.pop()
+        if not name.startswith("pypgsync_spark") or name in seen:
+            continue
+        seen.add(name)
+        mod = sys.modules.get(name)
+        if mod is None:
+            continue
+        path = getattr(mod, "__file__", None)
+        if path:
+            import os
+
+            try:
+                latest = max(latest, os.path.getmtime(path))
+            except OSError:
+                pass
+        for val in vars(mod).values():
+            if inspect.ismodule(val):
+                stack.append(getattr(val, "__name__", ""))
+            else:
+                owner = getattr(val, "__module__", None)
+                if isinstance(owner, str):
+                    stack.append(owner)
+    return latest
+
+
+def _green_round_mtimes() -> dict[int, float]:
+    """Round number -> mtime of its CORRECTNESS_r*.json."""
+    import glob
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    out: dict[int, float] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            try:
+                out[int(m.group(1))] = os.path.getmtime(path)
+            except OSError:
+                pass
+    return out
+
+
 def _load_all() -> None:
     # Registration order is deliberate: the driver's correctness sweep
     # walks the registry in registration order and may stop at a count
@@ -113,16 +168,30 @@ def _load_all() -> None:
     )
 
     # ...and, self-maintaining across rounds: the registry is ordered
-    # by staleness — never-verified queries first, then ascending by
-    # the round of each query's most recent green row. With the
-    # driver's 50-row sweep cap this ROTATES verification: a query
-    # re-checked this round moves to the back, and queries whose only
-    # green rows predate recent code changes come back around instead
-    # of staying stale forever (round-2 verdict, "What's missing" #1).
+    # by staleness. A query counts as STALE — and sorts to the front,
+    # with the never-verified — when any package module it reaches
+    # through module-level imports was modified after the CORRECTNESS
+    # file of its last green round was written: a green row only
+    # vouches for the code that produced it (the round-3 advisor found
+    # d2/d5 broken at HEAD yet absent from an all-green sweep, because
+    # the old rotation keyed on last-green-round alone). Within equal
+    # staleness, bench-tagged queries go first (they run every round
+    # regardless, so a broken one fails the bench too), then ascending
+    # last-green round, then registration order. With the driver's
+    # 50-row cap this still ROTATES: re-checked queries move back,
+    # stale ones come around.
     last = _last_green_round()
+    round_mtimes = _green_round_mtimes()
     ordered = sorted(
         enumerate(REGISTRY.items()),
-        key=lambda t: (last.get(t[1][0], 0), t[0]),
+        key=lambda t: (
+            0
+            if _impl_mtime(t[1][1].fn) > round_mtimes.get(last.get(t[1][0], 0), 0.0)
+            else 1,
+            0 if t[1][1].bench is not None else 1,
+            last.get(t[1][0], 0),
+            t[0],
+        ),
     )
     rotated = {name: spec for _, (name, spec) in ordered}
     REGISTRY.clear()

@@ -144,6 +144,44 @@ def _make_bucket_gate(
     return gate
 
 
+def pin_num_buckets(
+    checkpoint_dir: str, num_buckets: int | str, default_parallelism: int
+) -> int:
+    """Resolve and PIN the bucket count for a checkpointed gate run.
+
+    The bucket id is the stateful operator's grouping key, captured in
+    the checkpoint — if ``num_buckets`` ever changes for an existing
+    checkpoint, event ids remap to different buckets, their contributed
+    state is no longer found, and they silently re-contribute. So the
+    resolved count is persisted beside the checkpoint at first start
+    and every later start reuses the pinned value. A conflicting
+    explicit value is an error (the caller is asking for silent double
+    contributions), and ``"auto"`` resolves to the pinned value, not
+    the current cluster size — restarting on a different cluster is
+    exactly the case the pin exists for. (Marker uses local-file ops;
+    for an object-store checkpoint, ship the value in the job config
+    instead.)
+    """
+    import os
+
+    marker = os.path.join(checkpoint_dir, "_pypgsync_num_buckets")
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            pinned = int(fh.read().strip())
+        if num_buckets != "auto" and int(num_buckets) != pinned:
+            raise ValueError(
+                f"num_buckets={num_buckets} conflicts with the value pinned in "
+                f"{marker} ({pinned}); changing it for an existing checkpoint "
+                "remaps state keys and double-counts contributions"
+            )
+        return pinned
+    resolved = 4 * default_parallelism if num_buckets == "auto" else int(num_buckets)
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    with open(marker, "w") as fh:
+        fh.write(str(resolved))
+    return resolved
+
+
 def gated_contributions_stream(
     src: DataFrame,
     blocked: str = "error",
@@ -216,7 +254,10 @@ def gated_balance(
     state (see module docstring).
     """
     src = ensure_events_ts(_file_stream(spark, schema, source_path))
-    contrib = gated_contributions_stream(src, num_buckets=num_buckets, ttl_ms=ttl_ms)
+    pinned = pin_num_buckets(
+        checkpoint_dir, num_buckets, spark.sparkContext.defaultParallelism
+    )
+    contrib = gated_contributions_stream(src, num_buckets=pinned, ttl_ms=ttl_ms)
 
     def append_contribs(batch: DataFrame, epoch_id: int) -> None:
         # Unconditional write: an isEmpty() pre-check would execute the

@@ -92,6 +92,41 @@ def test_gated_state_ttl_expires_ids(spark, tmp_path):
     }
 
 
+def test_num_buckets_pinned_across_restarts(spark, tmp_path):
+    """The bucket count is part of the checkpoint's state keyspace:
+    first start persists it; later starts reuse the pinned value even
+    when "auto" would now resolve differently, and a conflicting
+    explicit value is an error, not silent state-key remapping."""
+    import pytest
+
+    from pypgsync_spark.streaming.gated import pin_num_buckets
+
+    ckpt = str(tmp_path / "ckpt")
+    first = pin_num_buckets(ckpt, "auto", default_parallelism=8)
+    assert first == 32
+    # restart on a "bigger cluster": auto must return the PINNED value
+    assert pin_num_buckets(ckpt, "auto", default_parallelism=64) == 32
+    # explicit matching value is fine; conflicting value errors
+    assert pin_num_buckets(ckpt, 32, default_parallelism=64) == 32
+    with pytest.raises(ValueError, match="pinned"):
+        pin_num_buckets(ckpt, 16, default_parallelism=64)
+
+
+def test_gated_balance_pin_file_written(spark, tmp_path):
+    """gated_balance writes the pin marker on first run and a rerun of
+    the same checkpoint keeps answers stable (the restart path)."""
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    ckpt = tmp_path / "ckpt"
+    _land(spark, incoming, "b1", [(2, 100 * NS, 1, "click", 10.0, "{}")])
+    gated_balance(
+        spark, str(incoming), SCHEMA, str(tmp_path / "contrib"), str(ckpt)
+    ).collect()
+    marker = ckpt / "_pypgsync_num_buckets"
+    assert marker.is_file()
+    assert int(marker.read_text()) >= 1
+
+
 def test_gated_balance_rocksdb_provider(spark, tmp_path):
     """The RocksDB state-store knob: same answers, different backend.
     Skips if the provider class is absent from this Spark build."""
