@@ -34,25 +34,33 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def ensure_events_ts(df: DataFrame) -> DataFrame:
+def ensure_events_ts(df: DataFrame, event_time: bool = False) -> DataFrame:
     """Normalize the events ``ts`` column to TimestampType.
 
-    The fixture stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces
-    as a BIGINT of epoch nanos. Convert via integer division (``div``,
-    not ``/`` — nanos exceed double's exact-integer range) to micros,
-    matching DuckDB's floor-to-micros read of the same file.
+    Fixture generations differ: current fixtures store TIMESTAMP(MICROS),
+    which Spark reads natively (no-op here; range predicates go straight
+    onto ``ts`` via ``functions.time.ts_range_pred`` and push down to the
+    scan). Older fixtures stored TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` it
+    surfaces as a BIGINT of epoch nanos — convert via integer division
+    (``div``, not ``/`` — nanos exceed double's exact-integer range) to
+    micros, matching DuckDB's floor-to-micros read of the same file, and
+    keep the raw value as ``ts_nanos`` (a pure alias of the parquet
+    column, so ``functions.time.nanos_range_pred`` predicates on it still
+    reach the scan).
 
-    The raw nanos value is kept as ``ts_nanos``: it is a pure alias of
-    the parquet column, so predicates on it push down to the scan
-    (row-group min/max skipping), which predicates on the *derived*
-    ``ts``/``updated_ms`` never can. ``functions.time.nanos_range_pred``
-    transposes epoch-millis bounds onto it exactly.
+    ``event_time=True`` (the streaming entry points) additionally casts
+    a TIMESTAMP_NTZ ``ts`` to TIMESTAMP: ``withWatermark`` demands the
+    LTZ type, and under the engine's pinned-UTC session the cast is an
+    exact instant map. Batch readers keep NTZ — the cast sits between
+    the scan and any filter, which would break predicate pushdown.
     """
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts_nanos", F.col("ts")).withColumn(
             "ts", F.expr("timestamp_micros(ts div 1000)")
         )
+    if event_time and dict(df.dtypes).get("ts") == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

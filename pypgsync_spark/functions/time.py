@@ -38,6 +38,48 @@ def now_millis_col() -> Column:
     return F.unix_millis(F.current_timestamp())
 
 
+def ts_range_pred(
+    ts: Column | str,
+    lo_ms: int | None = None,
+    hi_ms: int | None = None,
+    hi_inclusive: bool = True,
+) -> Column:
+    """Transpose an epoch-millis range predicate onto the physical
+    TIMESTAMP column so it pushes down to the parquet scan.
+
+    The derived version column is ``updated_ms = unix_millis(ts)``,
+    i.e. ``floor(micros / 1000)`` of the stored microsecond value, so:
+
+    - ``updated_ms >= lo``  ⟺  ``ts >= timestamp_millis(lo)``
+    - ``updated_ms <= hi``  ⟺  ``ts <  timestamp_millis(hi + 1)``
+    - ``updated_ms <  hi``  ⟺  ``ts <  timestamp_millis(hi)``
+
+    Exact equivalences, not approximations — the derived-column filter
+    can be *replaced* by this one. Filtering on ``unix_millis(ts)``
+    defeats pushdown (Catalyst does not invert the expression); a plain
+    timestamp comparison reaches PushedFilters and skips row groups via
+    the column's min/max statistics. The ``timestamp_millis(lit)``
+    bounds constant-fold to timestamp literals at plan time.
+
+    The bounds are cast to TIMESTAMP_NTZ (an exact instant map under
+    the engine's pinned-UTC session): parquet columns written with
+    isAdjustedToUTC=false — the events fixture — load as NTZ, and a
+    mixed NTZ/LTZ comparison would coerce the *column* instead of the
+    literal, which breaks pushdown.
+    """
+    c = F.col(ts) if isinstance(ts, str) else ts
+
+    def _b(ms: int) -> Column:
+        return F.timestamp_millis(F.lit(ms)).cast("timestamp_ntz")
+
+    cond = F.lit(True)
+    if lo_ms is not None:
+        cond = cond & (c >= _b(lo_ms))
+    if hi_ms is not None:
+        cond = cond & (c < _b((hi_ms + 1) if hi_inclusive else hi_ms))
+    return cond
+
+
 def nanos_range_pred(
     nanos: Column | str,
     lo_ms: int | None = None,

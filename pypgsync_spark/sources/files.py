@@ -34,16 +34,26 @@ FORMATS = ("parquet", "orc", "csv", "json", "text")
 # vectorized decode — the recommended substrate at scale.
 COLUMNAR = ("parquet", "orc")
 
+# Microsecond-precision text round-trips need BOTH format knobs: Spark
+# routes TIMESTAMP (LTZ) through ``timestampFormat`` but TIMESTAMP_NTZ —
+# what parquet isAdjustedToUTC=false columns (e.g. the events fixture)
+# load as — through the separate ``timestampNTZFormat``; leaving the
+# NTZ one at its default silently truncates to milliseconds on write.
+_TS_OPTS = {
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+}
+
 _READ_DEFAULTS: dict[str, dict[str, str]] = {
-    "csv": {"header": "true", "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
-    "json": {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
+    "csv": {"header": "true", **_TS_OPTS},
+    "json": {**_TS_OPTS},
 }
 
 _WRITE_DEFAULTS: dict[str, dict[str, str]] = {
     "parquet": {"compression": "snappy"},
     "orc": {"compression": "zstd"},
-    "csv": {"header": "true", "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
-    "json": {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
+    "csv": {"header": "true", **_TS_OPTS},
+    "json": {**_TS_OPTS},
 }
 
 

@@ -147,7 +147,7 @@ def streaming_balance(
     :func:`stream_shuffle_partitions`); ``store_provider="rocksdb"``
     swaps the state backend (see :func:`state_store_provider`).
     """
-    src = ensure_events_ts(_file_stream(spark, schema, source_path))
+    src = ensure_events_ts(_file_stream(spark, schema, source_path), event_time=True)
     agg = (
         qualifying(src)
         .dropDuplicates([id_col])
@@ -190,7 +190,7 @@ def session_window_stats(
     precision — the oracle must compare in micros, not millis, or
     exact-boundary sessions split differently.
     """
-    src = ensure_events_ts(_file_stream(spark, schema, source_path))
+    src = ensure_events_ts(_file_stream(spark, schema, source_path), event_time=True)
     agg = (
         src.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
@@ -228,7 +228,7 @@ def windowed_event_counts(
     """Tumbling-window streaming aggregation with a watermark — the
     bounded-late-data improvement over the reference's silent late-row
     loss (SURVEY §2.10 T3). Returns (window_start_ms, event_type, n, total)."""
-    src = ensure_events_ts(_file_stream(spark, schema, source_path))
+    src = ensure_events_ts(_file_stream(spark, schema, source_path), event_time=True)
     agg = (
         src.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")

@@ -42,9 +42,9 @@ def dedup_within_watermark(
     simulation: every row arrives exactly twice, and the dedup must
     emit it exactly once.
     """
-    src = ensure_events_ts(_file_stream(spark, schema, source_path))
+    src = ensure_events_ts(_file_stream(spark, schema, source_path), event_time=True)
     if duplicate_input:
-        dup = ensure_events_ts(_file_stream(spark, schema, source_path))
+        dup = ensure_events_ts(_file_stream(spark, schema, source_path), event_time=True)
         src = src.unionByName(dup)
     deduped = src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(id_cols)

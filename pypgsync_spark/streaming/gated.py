@@ -253,7 +253,7 @@ def gated_balance(
     unbounded-cardinality runs; ``ttl_ms`` bounds the contributed-id
     state (see module docstring).
     """
-    src = ensure_events_ts(_file_stream(spark, schema, source_path))
+    src = ensure_events_ts(_file_stream(spark, schema, source_path), event_time=True)
     pinned = pin_num_buckets(
         checkpoint_dir, num_buckets, spark.sparkContext.defaultParallelism
     )

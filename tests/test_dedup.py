@@ -153,3 +153,47 @@ def test_connected_components_handcrafted_graph(spark):
     want |= {(i, 10) for i in (10, 11, 12)}
     want |= {(20, 20), (21, 20)}
     assert got == want
+
+
+def test_connected_components_star_matches_pregel(spark):
+    """large-star/small-star output contract == the Pregel version on a
+    mixed graph (chain + triangle + pair + isolated-in-edges node)."""
+    from pypgsync_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21), (30, 30)],               # self-loop must not crash
+        ["id_a", "id_b"],
+    )
+    a = {(r["id"], r["component"]) for r in connected_components(edges).collect()}
+    b = {(r["id"], r["component"]) for r in connected_components_star(edges).collect()}
+    # the Pregel version includes self-loop node 30 via its symmetric
+    # edge list; star drops (30,30) as a self-loop but must still label
+    # the node if it appears in any real edge — normalize by dropping it
+    a = {(i, c) for i, c in a if i != 30}
+    b = {(i, c) for i, c in b if i != 30}
+    assert a == b
+
+
+def test_connected_components_star_chain_rounds(spark):
+    """The reason star exists: a 48-node chain converges in O(log n)
+    rounds where min-label Pregel needs O(diameter). Asserts both the
+    labeling and the round bound."""
+    from pypgsync_spark.operators.dedup import connected_components_star
+
+    n = 48
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    stats: dict = {}
+    labels = connected_components_star(edges, stats=stats).collect()
+    assert {(r["id"], r["component"]) for r in labels} == {
+        (i, 0) for i in range(n + 1)
+    }
+    # ceil(log2(49)) = 6; generous headroom, but far below the 48
+    # rounds diameter-bounded propagation would need
+    assert stats["rounds"] <= 10, stats

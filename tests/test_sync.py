@@ -139,7 +139,7 @@ def test_stream_sync_applies_late_rows(spark, sf_small, tmp_path):
 
     full = spark.read.parquet(table_path(sf_small, "events"))
     raw_schema = full.schema
-    cutoff_ns = 1704844800000 * 1_000_000  # Jan 10 in raw nanos
+    cutoff = F.timestamp_millis(F.lit(1704844800000))  # Jan 10
 
     def land(df, name: str) -> None:
         """Write df and land its part files flat in the incoming dir
@@ -153,7 +153,7 @@ def test_stream_sync_applies_late_rows(spark, sf_small, tmp_path):
             shutil.copy(part, incoming / f"{name}_{i}.parquet")
 
     # batch 1: only recent rows (ts >= Jan 10) arrive first
-    land(full.filter(F.col("ts") >= cutoff_ns), "b1")
+    land(full.filter(F.col("ts") >= cutoff), "b1")
 
     store = ParquetSyncedTable(spark, str(tmp_path / "dst"))
 
@@ -171,9 +171,9 @@ def test_stream_sync_applies_late_rows(spark, sf_small, tmp_path):
 
     drain()
     n_recent = store.read().count()
-    assert n_recent == full.filter(F.col("ts") >= cutoff_ns).count()
+    assert n_recent == full.filter(F.col("ts") >= cutoff).count()
 
     # batch 2: LATE rows arrive — every version is older than dst max
-    land(full.filter(F.col("ts") < cutoff_ns), "b2")
+    land(full.filter(F.col("ts") < cutoff), "b2")
     drain()
     assert store.read().count() == full.count()  # nothing lost
