@@ -112,6 +112,29 @@ def nanos_range_pred(
     return cond
 
 
+def events_range_pred(
+    df,
+    lo_ms: int | None = None,
+    hi_ms: int | None = None,
+    hi_inclusive: bool = True,
+) -> Column:
+    """Schema-aware epoch-millis range predicate for the events table
+    that always lands on the RAW parquet column.
+
+    Current fixtures store TIMESTAMP(MICROS): ``ts`` is the physical
+    column and :func:`ts_range_pred` reaches PushedFilters. Legacy
+    TIMESTAMP(NANOS) fixtures surface (via ``nanosAsLong``) as a BIGINT
+    that ``catalog.ensure_events_ts`` keeps as ``ts_nanos`` while
+    deriving ``ts`` — there, a predicate on the derived ``ts`` cannot
+    push down, but :func:`nanos_range_pred` on ``ts_nanos`` can. Branch
+    on the column's presence so both fixture generations get row-group
+    skipping at the scan.
+    """
+    if "ts_nanos" in df.columns:
+        return nanos_range_pred("ts_nanos", lo_ms, hi_ms, hi_inclusive)
+    return ts_range_pred("ts", lo_ms, hi_ms, hi_inclusive)
+
+
 def millis_age_seconds(later_ms: Column, earlier_ms: Column) -> Column:
     """``(later - earlier) / 1000`` seconds — the README Q3c interval
     arithmetic (README.md:299,306) done as integer math, which is the

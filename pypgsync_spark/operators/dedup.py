@@ -22,6 +22,8 @@ deterministic across runs/partitionings, JVM-side, no Python UDFs.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -428,17 +430,17 @@ def connected_components_star(
     the converged round count (the chain-fixture test asserts the
     O(log n) bound holds).
     """
-    e = (
-        edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .localCheckpoint(eager=True)
-    )
+    raw = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # node set from the UNFILTERED edges: a node appearing only in
+    # self-loop edges (u,u) must still self-label, matching the Pregel
+    # variant's output contract
     nodes = (
-        e.select(F.col("a").alias("id"))
-        .unionByName(e.select(F.col("b").alias("id")))
+        raw.select(F.col("a").alias("id"))
+        .unionByName(raw.select(F.col("b").alias("id")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    e = raw.filter(F.col("a") != F.col("b")).localCheckpoint(eager=True)
 
     def _large_star(ed: DataFrame) -> DataFrame:
         sym = ed.unionByName(ed.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -469,6 +471,7 @@ def connected_components_star(
 
     prev = None
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         rounds += 1
@@ -480,15 +483,34 @@ def connected_components_star(
         ).collect()[0]
         cur = (sig["n"], sig["h"])
         if cur == prev:
+            converged = True
             break
         prev = cur
     if stats is not None:
         stats["rounds"] = rounds
+    if not converged:
+        # the star fixpoint was not reached: a node may still carry
+        # several surviving edges. min(component) below keeps the
+        # labeling one-row-per-id (possibly coarser than the true CC),
+        # mirroring the Pregel variant's silent-nonconvergence shape.
+        warnings.warn(
+            f"connected_components_star: no fixpoint after {max_iter} "
+            "rounds; labeling may be incomplete",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # stars: every edge is (member, root). Roots and isolated original
-    # nodes label themselves.
-    return nodes.join(
-        e.select(F.col("a").alias("id"), F.col("b").alias("component")), on="id", how="left"
-    ).select("id", F.coalesce("component", "id").alias("component"))
+    # nodes label themselves. min() guards the max_iter-exhausted case
+    # where an id could appear with multiple surviving edges.
+    return (
+        nodes.join(
+            e.select(F.col("a").alias("id"), F.col("b").alias("component")),
+            on="id",
+            how="left",
+        )
+        .groupBy("id")
+        .agg(F.min(F.coalesce("component", "id")).alias("component"))
+    )
 
 
 def simhash_signatures(

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pypgsync_spark.catalog import load_table
-from pypgsync_spark.functions.time import to_millis, ts_range_pred
+from pypgsync_spark.functions.time import events_range_pred, to_millis
 from pypgsync_spark.operators.topk import topk, topk_per_key
 from pypgsync_spark.operators.windowed import (
     distributed_row_number,
@@ -91,10 +91,11 @@ def p2_project_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def p3_filter_range_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _events_ms(spark, sf_dir)
-    # Range stated on the physical timestamp column (exact transposition)
-    # so it reaches PushedFilters; on the derived updated_ms it cannot.
+    # Range stated on the raw parquet column (exact transposition; the
+    # helper picks ts vs legacy ts_nanos) so it reaches PushedFilters;
+    # on the derived updated_ms it cannot.
     return df.filter(
-        ts_range_pred("ts", MS_JAN05, MS_JAN20, hi_inclusive=True)
+        events_range_pred(df, MS_JAN05, MS_JAN20, hi_inclusive=True)
     ).select("event_id", "updated_ms")
 
 
@@ -112,7 +113,7 @@ def p3_filter_range_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p4_filter_range_halfopen(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _events_ms(spark, sf_dir)
     return df.filter(
-        ts_range_pred("ts", MS_JAN05, MS_JAN20, hi_inclusive=False)
+        events_range_pred(df, MS_JAN05, MS_JAN20, hi_inclusive=False)
     ).select("event_id", "updated_ms")
 
 

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pypgsync_spark.catalog import load_table
-from pypgsync_spark.functions.time import to_millis, ts_range_pred
+from pypgsync_spark.functions.time import events_range_pred, to_millis
 from pypgsync_spark.operators.merge import coalesce_merge, latest_per_key, upsert_merge
 from pypgsync_spark.plans.intervals import closed_intervals, plan_slices
 from pypgsync_spark.queries import register
@@ -117,9 +117,11 @@ def c3_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _stale_dst(df: DataFrame) -> DataFrame:
     """Stale destination snapshot: rows before Jan 20, versions 1000 ms
     behind and values off by 1 (simulates not-yet-synced updates).
-    Range stated on the physical timestamp column so it reaches
-    PushedFilters (exact transposition of ``updated_ms < MS_JAN20``)."""
-    return df.filter(ts_range_pred("ts", hi_ms=MS_JAN20, hi_inclusive=False)).select(
+    Range stated on the raw parquet column (``ts`` on micros fixtures,
+    ``ts_nanos`` on legacy nanos ones — ``events_range_pred`` branches)
+    so it reaches PushedFilters on either fixture generation (exact
+    transposition of ``updated_ms < MS_JAN20``)."""
+    return df.filter(events_range_pred(df, hi_ms=MS_JAN20, hi_inclusive=False)).select(
         "event_id",
         (F.col("updated_ms") - 1000).alias("updated_ms"),
         "user_id",
@@ -132,7 +134,7 @@ def _stale_dst(df: DataFrame) -> DataFrame:
 def _fresh_delta(df: DataFrame) -> DataFrame:
     """Fresh source delta: everything at/after the Jan 10 low watermark
     (closed-range read, reference session.py:129-132)."""
-    return df.filter(ts_range_pred("ts", lo_ms=MS_JAN10)).select(
+    return df.filter(events_range_pred(df, lo_ms=MS_JAN10)).select(
         "event_id", "updated_ms", "user_id", "event_type", "value", "props"
     )
 
@@ -200,10 +202,11 @@ def c4_sync_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the physical ts rides along so the delta read's watermark range
     # can be transposed onto the raw parquet column (row-group skipping
     # at the scan — the scan THE reference built its slice machinery for).
+    raw_ts = ["ts", "ts_nanos"] if "ts_nanos" in df.columns else ["ts"]
     src = df.select(
-        "event_id", "updated_ms", "user_id", "event_type", "value", "props", "ts"
+        "event_id", "updated_ms", "user_id", "event_type", "value", "props", *raw_ts
     )
-    dst = src.filter(ts_range_pred("ts", hi_ms=MS_JAN10, hi_inclusive=False))
+    dst = src.filter(events_range_pred(src, hi_ms=MS_JAN10, hi_inclusive=False))
     # emulate the reference's wall-clock high watermark with src max
     high = int(src.agg(F.max("updated_ms")).first()[0])
     merged, _stats = sync_once(
@@ -212,6 +215,6 @@ def c4_sync_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["event_id"],
         version_col="updated_ms",
         high=high,
-        pushdown_cond=lambda lo, hi: ts_range_pred("ts", lo, hi),
+        pushdown_cond=lambda lo, hi: events_range_pred(src, lo, hi),
     )
-    return merged.drop("ts")
+    return merged.drop(*raw_ts)

@@ -171,11 +171,9 @@ def test_connected_components_star_matches_pregel(spark):
     )
     a = {(r["id"], r["component"]) for r in connected_components(edges).collect()}
     b = {(r["id"], r["component"]) for r in connected_components_star(edges).collect()}
-    # the Pregel version includes self-loop node 30 via its symmetric
-    # edge list; star drops (30,30) as a self-loop but must still label
-    # the node if it appears in any real edge — normalize by dropping it
-    a = {(i, c) for i, c in a if i != 30}
-    b = {(i, c) for i, c in b if i != 30}
+    # identical contract including the self-loop-only node 30, which
+    # must self-label in both variants
+    assert (30, 30) in b
     assert a == b
 
 

@@ -154,3 +154,30 @@ def test_window_analytics_single_exchange(spark, sf_small):
     serves all three functions)."""
     plan = plan_of(spark, sf_small, "w5_window_analytics")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_events_range_pred_branches_on_legacy_nanos(spark):
+    """events_range_pred must state the range on whichever column is
+    physically in the parquet file: legacy TIMESTAMP(NANOS) fixtures
+    surface a BIGINT ts_nanos (catalog.ensure_events_ts keeps it as a
+    raw alias) and only a predicate on THAT column can reach
+    PushedFilters; micros fixtures push on ts itself."""
+    from pyspark.sql import functions as F
+
+    from pypgsync_spark.functions.time import events_range_pred
+
+    rows = [(i, i * 1_000_000) for i in (999, 1000, 1500, 2000, 2001)]
+    legacy = spark.createDataFrame(rows, "event_id: long, ts_nanos: long").withColumn(
+        "ts", F.expr("timestamp_micros(ts_nanos div 1000)")
+    )
+    pred = events_range_pred(legacy, lo_ms=1000, hi_ms=2000)
+    # stated on the raw bigint column, not the derived timestamp
+    assert "ts_nanos" in str(pred)
+    got = {r.event_id for r in legacy.filter(pred).collect()}
+    assert got == {1000, 1500, 2000}
+
+    micros = legacy.drop("ts_nanos")
+    pred2 = events_range_pred(micros, lo_ms=1000, hi_ms=2000)
+    assert "ts_nanos" not in str(pred2)
+    got2 = {r.event_id for r in micros.filter(pred2).collect()}
+    assert got2 == {1000, 1500, 2000}
