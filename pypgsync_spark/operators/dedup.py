@@ -369,20 +369,44 @@ def connected_components(
     by the label-sum fixpoint (labels only ever decrease, so an
     unchanged sum means an unchanged labeling).
     """
+    sym = _sym_edges(edges, id_a, id_b)
+    labels = _self_labels(sym)
+    labels, _converged, _rounds = _min_label_rounds(sym, labels, max_iter)
+    return labels
+
+
+def _sym_edges(edges: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """Symmetrized, deduped edge list, materialized ONCE: it is joined
+    every round, and without the checkpoint each iteration re-runs the
+    (possibly expensive) upstream pair-finding pipeline that produced
+    the edges."""
     e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    sym = (
+    return (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        # Materialize the edge list ONCE: it is joined every round, and
-        # without this each iteration re-runs the (possibly expensive)
-        # upstream pair-finding pipeline that produced the edges.
         .localCheckpoint(eager=True)
     )
-    labels = sym.select(F.col("a").alias("id")).distinct().select(
+
+
+def _self_labels(sym: DataFrame) -> DataFrame:
+    return sym.select(F.col("a").alias("id")).distinct().select(
         "id", F.col("id").alias("component")
     )
+
+
+def _min_label_rounds(
+    sym: DataFrame, labels: DataFrame, max_rounds: int
+) -> tuple[DataFrame, bool, int]:
+    """Up to ``max_rounds`` of min-label propagation; returns
+    (labels, converged, rounds_run). One shuffle-on-id per round;
+    convergence via the label-sum fixpoint (labels only ever decrease,
+    so an unchanged sum means an unchanged labeling). decimal(38,0)
+    accumulator: a BIGINT sum of many large ids can overflow (an
+    ANSI-mode error, a silent wrap otherwise)."""
     prev_sum = None
-    for _ in range(max_iter):
+    converged = False
+    rounds = 0
+    for _ in range(max_rounds):
         nbr = sym.join(
             labels.select(F.col("id").alias("b"), "component"), on="b"
         ).select(F.col("a").alias("id"), "component")
@@ -392,11 +416,79 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        s = labels.agg(F.sum("component")).collect()[0][0]
+        rounds += 1
+        s = labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
-    return labels
+    return labels, converged, rounds
+
+
+def connected_components_hybrid(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    pregel_rounds: int = 3,
+    max_iter: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Adaptive CC — the 100 TB default. Same output contract as
+    :func:`connected_components` / :func:`connected_components_star`.
+
+    Near-dup graphs are almost always shallow (clusters of mutual
+    near-duplicates, diameter 1–2), where min-label Pregel converges in
+    2–3 rounds of ONE cheap shuffle each and the star machinery's extra
+    per-round shuffles are pure overhead. But chain-shaped graphs
+    (boilerplate-heavy web text) blow Pregel up to O(diameter) rounds.
+    So: run up to ``pregel_rounds`` of min-label propagation; if the
+    fixpoint is reached, done. Otherwise CONTRACT the graph through the
+    partial labels (endpoints → current label, drop intra-group edges —
+    the quotient graph is ≥(2·pregel_rounds+1)× smaller in diameter)
+    and finish with large-star/small-star in O(log n) rounds. The
+    global min id of each component survives contraction as its own
+    label (it is the min of its closed neighborhood), so the quotient
+    roots are exactly the original component minima and the composed
+    labeling matches the other variants bit-for-bit.
+
+    ``stats`` (optional dict) reports ``pregel_rounds`` and
+    ``star_rounds`` actually run.
+    """
+    sym = _sym_edges(edges, id_a, id_b)
+    labels = _self_labels(sym)
+    labels, converged, rounds = _min_label_rounds(sym, labels, pregel_rounds)
+    if stats is not None:
+        stats["pregel_rounds"] = rounds
+        stats["star_rounds"] = 0
+    if converged:
+        return labels
+    la = labels.select(F.col("id").alias("a"), F.col("component").alias("ca"))
+    lb = labels.select(F.col("id").alias("b"), F.col("component").alias("cb"))
+    contracted = (
+        sym.join(la, on="a")
+        .join(lb, on="b")
+        .filter(F.col("ca") != F.col("cb"))
+        .select(F.col("ca").alias("id_a"), F.col("cb").alias("id_b"))
+        .distinct()
+    )
+    star_stats: dict = {}
+    roots = connected_components_star(
+        contracted, max_iter=max_iter, stats=star_stats
+    )
+    if stats is not None:
+        stats["star_rounds"] = star_stats.get("rounds", 0)
+    return (
+        labels.join(
+            roots.select(
+                F.col("id").alias("component"), F.col("component").alias("root")
+            ),
+            on="component",
+            how="left",
+        )
+        .select("id", F.coalesce("root", "component").alias("component"))
+    )
 
 
 def connected_components_star(
@@ -430,7 +522,13 @@ def connected_components_star(
     the converged round count (the chain-fixture test asserts the
     O(log n) bound holds).
     """
-    raw = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # materialize the upstream edge pipeline exactly ONCE — nodes and
+    # the working edge list both derive from this checkpoint (two eager
+    # checkpoints here would run the possibly-expensive pair-finding
+    # pipeline twice)
+    raw = edges.select(
+        F.col(id_a).alias("a"), F.col(id_b).alias("b")
+    ).localCheckpoint(eager=True)
     # node set from the UNFILTERED edges: a node appearing only in
     # self-loop edges (u,u) must still self-label, matching the Pregel
     # variant's output contract
@@ -438,9 +536,8 @@ def connected_components_star(
         raw.select(F.col("a").alias("id"))
         .unionByName(raw.select(F.col("b").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    e = raw.filter(F.col("a") != F.col("b")).localCheckpoint(eager=True)
+    e = raw.filter(F.col("a") != F.col("b"))
 
     def _large_star(ed: DataFrame) -> DataFrame:
         sym = ed.unionByName(ed.select(F.col("b").alias("a"), F.col("a").alias("b")))

@@ -248,13 +248,14 @@ def d4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d5_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pypgsync_spark.operators.dedup import connected_components_star
+    from pypgsync_spark.operators.dedup import connected_components_hybrid
 
     docs = _docs(spark, sf_dir).select("doc_id")
     edges = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
-    # large-star/small-star: O(log n) rounds on any graph shape — the
-    # 100 TB path (min-label Pregel is O(diameter) on chain graphs)
-    comp = connected_components_star(edges)
+    # adaptive CC: cheap min-label rounds for the (common) shallow
+    # near-dup graph, large-star/small-star O(log n) fallback for
+    # chain-shaped graphs — the 100 TB path either way
+    comp = connected_components_hybrid(edges)
     return (
         docs.join(comp.select(F.col("id").alias("doc_id"), "component"), on="doc_id", how="left")
         .select(

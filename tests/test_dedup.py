@@ -195,3 +195,63 @@ def test_connected_components_star_chain_rounds(spark):
     # ceil(log2(49)) = 6; generous headroom, but far below the 48
     # rounds diameter-bounded propagation would need
     assert stats["rounds"] <= 10, stats
+
+
+def test_connected_components_hybrid_matches_pregel(spark):
+    """Hybrid (Pregel-then-contract-then-star) must match the plain
+    variants on a mixed graph, including the self-loop-only node."""
+    from pypgsync_spark.operators.dedup import (
+        connected_components,
+        connected_components_hybrid,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21), (30, 30)],
+        ["id_a", "id_b"],
+    )
+    a = {(r["id"], r["component"]) for r in connected_components(edges).collect()}
+    stats: dict = {}
+    b = {
+        (r["id"], r["component"])
+        for r in connected_components_hybrid(edges, stats=stats).collect()
+    }
+    assert (30, 30) in b
+    assert a == b
+
+
+def test_connected_components_hybrid_chain_falls_over_to_star(spark):
+    """On a 48-node chain the Pregel prefix cannot converge in 3
+    rounds; the hybrid must contract and finish via star with a total
+    round count far below the chain diameter."""
+    from pypgsync_spark.operators.dedup import connected_components_hybrid
+
+    n = 48
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    stats: dict = {}
+    labels = connected_components_hybrid(edges, stats=stats).collect()
+    assert {(r["id"], r["component"]) for r in labels} == {
+        (i, 0) for i in range(n + 1)
+    }
+    assert stats["pregel_rounds"] == 3
+    assert 1 <= stats["star_rounds"] <= 10, stats
+
+
+def test_connected_components_hybrid_shallow_skips_star(spark):
+    """A diameter-2 graph converges inside the Pregel prefix — the
+    star stage must not run at all (stats['star_rounds'] == 0)."""
+    from pypgsync_spark.operators.dedup import connected_components_hybrid
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    stats: dict = {}
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components_hybrid(edges, stats=stats).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+    assert stats["star_rounds"] == 0
