@@ -146,3 +146,57 @@ def v5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = [list(r["embedding"]) for r in cent_rows]
     assigned = ivf_assign(emb, centroids)
     return ivf_topk(assigned, centroids, _query_vec(spark, sf_dir), k=_TOPK, n_probe=2)
+
+
+@register(
+    "d6_embedding_near_dup",
+    bench=22,
+    survey="ext:dedup,ext:similarity",
+    doc="Embedding-cosine near-dup CLUSTERS — the fifth dedup family "
+    "closed end-to-end: exact cosine pairs (> 0.4, block-GEMM "
+    "self-join, v2's kernel) -> adaptive connected components "
+    "(Pregel prefix + large-star/small-star fallback) -> one canonical "
+    "keeper per cluster (min vec_id). Oracle computes the same "
+    "transitive closure with a recursive CTE over "
+    "list_dot_product-derived edges.",
+    oracle=f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE {_DUCK_COS} > 0.4
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+    )
+    SELECT id AS vec_id,
+           CAST(min(r) AS BIGINT) AS component,
+           (id = min(r)) AS keep
+    FROM reach GROUP BY id
+    """,
+)
+def d6_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.operators.dedup import connected_components_hybrid
+
+    emb = _emb(spark, sf_dir)
+    edges = cosine_pairs(emb, threshold=0.4)
+    comp = connected_components_hybrid(edges)
+    return (
+        emb.select("vec_id")
+        .join(
+            comp.select(F.col("id").alias("vec_id"), "component"),
+            on="vec_id",
+            how="left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce("component", "vec_id").cast("long").alias("component"),
+        )
+        .withColumn("keep", F.col("vec_id") == F.col("component"))
+    )
