@@ -90,6 +90,45 @@ def coalesce_merge(
     return joined.select(*[F.col(k) for k in keys], *picked).select(*cols)
 
 
+def join_merge(
+    dst: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    version_col: str,
+) -> DataFrame:
+    """Last-writer-wins merge as a full-outer JOIN (not union+window).
+
+    Same fixed point as :func:`upsert_merge` when ``dst`` has one row
+    per key (always true for a synced destination) and ``delta`` is
+    pre-collapsed with :func:`latest_per_key`: per key, the delta row
+    wins iff its version is >= the destination's (source beats
+    destination on ties, reference session.py:142-144).
+
+    Why it exists: the join formulation is the one that can exploit a
+    bucketed destination (sources/bucketed.py). union+window always
+    re-shuffles the union output — bucketing info does not survive a
+    union — while a full-outer sort-merge join against a table bucketed
+    on ``keys`` plans with NO exchange on the destination side; only
+    the delta shuffles.
+    """
+    if not keys:
+        raise ValueError("merge requires at least one key column")
+    cols = dst.columns
+    if set(cols) != set(delta.columns):
+        raise ValueError(f"schema mismatch: dst={cols} delta={delta.columns}")
+    joined = dst.alias("d").join(delta.alias("s"), on=list(keys), how="full_outer")
+    take_s = F.col(f"s.{version_col}").isNotNull() & (
+        F.col(f"d.{version_col}").isNull()
+        | (F.col(f"s.{version_col}") >= F.col(f"d.{version_col}"))
+    )
+    picked = [
+        F.when(take_s, F.col(f"s.{c}")).otherwise(F.col(f"d.{c}")).alias(c)
+        for c in cols
+        if c not in keys
+    ]
+    return joined.select(*[F.col(k) for k in keys], *picked).select(*cols)
+
+
 def latest_per_key(df: DataFrame, keys: Sequence[str], version_col: str) -> DataFrame:
     """Collapse to one row per key: greatest ``version_col`` wins."""
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(version_col).desc())

@@ -182,6 +182,38 @@ def s3b_coalesce_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s3c_bucketed_merge",
+    survey="S3,S4,§2.3",
+    doc="The same merge against a DESTINATION BUCKETED on the merge key "
+    "(sources/bucketed.py): the full-outer sort-merge join reads the "
+    "bucketed table's hash layout straight off the scan, so the big "
+    "side never shuffles — only the delta does (plan-asserted in "
+    "tests/test_bucketed.py). The 100 TB incremental-sync layout; "
+    "result identical to s3/s3b by construction.",
+    oracle=_MERGE_ORACLE,
+)
+def s3c_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    from pypgsync_spark.sources.bucketed import bucketed_merge, write_bucketed
+
+    df = _events_ms(spark, sf_dir)
+    # table name keyed on the fixture dir so repeated driver runs
+    # overwrite rather than collide; data lands in a scratch dir, not
+    # the session warehouse
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    table = f"sync_dst_bucketed_{tag}"
+    path = tempfile.mkdtemp(prefix="pypgsync_bucketed_")
+    write_bucketed(
+        _stale_dst(df), table, ["event_id"], num_buckets=8, path=f"{path}/t"
+    )
+    return bucketed_merge(
+        spark, table, _fresh_delta(df), ["event_id"], "updated_ms", num_buckets=8
+    )
+
+
+@register(
     "c4_sync_pipeline",
     bench=12,
     survey="C4,C3,S3",
