@@ -214,6 +214,41 @@ def s3c_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s4b_partitioned_sink",
+    survey="S4,S7",
+    doc="Date-partitioned sink round-trip (sources/partitioned.py): "
+    "full write, then a DYNAMIC-overwrite delta write that physically "
+    "rewrites only the delta's date partitions (inode-asserted in "
+    "tests/test_partitioned.py) — the object-store analogue of the "
+    "reference's in-place delta-proportional upsert IO. Returns "
+    "per-date counts read back through the partitioned layout; date "
+    "predicates become PartitionFilters on this read path.",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def s4b_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pypgsync_spark.sources.partitioned import (
+        DATE_COL,
+        read_date_partitioned,
+        with_event_date,
+        write_date_partitioned,
+    )
+
+    df = with_event_date(_events_ms(spark, sf_dir).drop("ts_nanos"))
+    path = tempfile.mkdtemp(prefix="pypgsync_partitioned_") + "/t"
+    write_date_partitioned(df, path)
+    # incremental pass: rewrite just the newest date (delta-shaped write)
+    newest = df.select(F.max(DATE_COL)).first()[0]
+    write_date_partitioned(df.filter(F.col(DATE_COL) == F.lit(newest)), path)
+    back = read_date_partitioned(spark, path)
+    return back.groupBy(DATE_COL).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
     "c4_sync_pipeline",
     bench=12,
     survey="C4,C3,S3",
