@@ -119,3 +119,33 @@ def test_merge_schema_mismatch_raises(spark):
         upsert_merge(dst, bad, ["id"], "updated")
     with pytest.raises(ValueError, match="at least one key"):
         upsert_merge(dst, dst, [], "updated")
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_join_merge_random_property(spark, seed):
+    """join_merge (the bucketed-destination formulation) ≡ model LWW ≡
+    upsert_merge, under its contract: dst unique per key, delta
+    pre-collapsed with latest_per_key."""
+    from pypgsync_spark.operators.merge import join_merge
+
+    rng = random.Random(seed)
+    dst_rows = [(i, rng.randrange(100), f"d{i}") for i in rng.sample(range(30), 20)]
+    delta_rows = [(i, rng.randrange(100), f"s{i}") for i in rng.sample(range(30), 15)]
+    dst = spark.createDataFrame(dst_rows, SCHEMA)
+    delta = spark.createDataFrame(delta_rows, SCHEMA)
+    out = rows_set(
+        join_merge(dst, latest_per_key(delta, ["id"], "updated"), ["id"], "updated")
+    )
+    assert out == expected_lww(dst_rows, delta_rows)
+    assert out == rows_set(upsert_merge(dst, delta, ["id"], "updated"))
+
+
+def test_join_merge_idempotent_and_tie_source_wins(spark):
+    from pypgsync_spark.operators.merge import join_merge
+
+    dst = spark.createDataFrame([(1, 10, "dst"), (2, 20, "b")], SCHEMA)
+    delta = spark.createDataFrame([(1, 10, "src"), (3, 30, "c")], SCHEMA)
+    once = join_merge(dst, delta, ["id"], "updated")
+    assert rows_set(once) == {(1, 10, "src"), (2, 20, "b"), (3, 30, "c")}
+    twice = join_merge(once, delta, ["id"], "updated")
+    assert rows_set(once) == rows_set(twice)
