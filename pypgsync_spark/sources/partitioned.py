@@ -49,3 +49,62 @@ def write_date_partitioned(
 
 def read_date_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def compact_date_partitions(
+    spark: SparkSession,
+    path: str,
+    dates: list | None = None,
+    rows_per_file: int = 1_000_000,
+    shards_per_date: int = 1,
+) -> None:
+    """Rewrite the given date partitions (default: all) into few,
+    right-sized files.
+
+    Streaming/micro-batch ingest leaves one-or-more files PER TRIGGER
+    per partition; at 100 TB the resulting file-count explosion is the
+    classic small-file problem (every file is a scan task and a
+    metadata round-trip). Compaction = read the partitions back,
+    repartition so each date lands in ``shards_per_date`` tasks
+    (one per date by default; raise it for hot dates so a single day
+    never serializes through one task), and dynamic-overwrite JUST
+    those partitions — untouched dates keep their files bit-for-bit.
+    ``maxRecordsPerFile`` caps file size (a record-count proxy chosen
+    by the caller from its average row width).
+
+    The read is ``localCheckpoint``-ed before the write: Spark
+    (correctly) refuses to overwrite a path its output plan still
+    reads, and the checkpoint cuts that lineage. Compact date-by-date
+    (``dates``) to bound what is materialized at once.
+
+    Compacting the output of a STOPPED streaming file sink finalizes
+    it into a plain batch table: the sink's ``_spark_metadata``
+    transaction log (which pins the pre-compaction file list) is
+    removed after the rewrite — leaving it would make every subsequent
+    read resolve deleted files. Do not compact under a live stream.
+    """
+    import os
+    import shutil
+    df = read_date_partitioned(spark, path)
+    if dates is not None:
+        df = df.filter(F.col(DATE_COL).isin([str(d) for d in dates]))
+    # pin the partition column's string form: the read infers DATE and
+    # the rewrite must land in the identical directory names
+    df = df.withColumn(DATE_COL, F.col(DATE_COL).cast("string"))
+    if shards_per_date > 1:
+        shard = F.pmod(F.xxhash64(*df.columns), F.lit(shards_per_date))
+        df = df.repartition(F.col(DATE_COL), shard)
+    else:
+        df = df.repartition(F.col(DATE_COL))
+    df = df.localCheckpoint(eager=True)
+    (
+        df.write.format("parquet")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", rows_per_file)
+        .partitionBy(DATE_COL)
+        .mode("overwrite")
+        .save(path)
+    )
+    meta = os.path.join(path, "_spark_metadata")
+    if os.path.isdir(meta):
+        shutil.rmtree(meta)
