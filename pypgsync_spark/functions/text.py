@@ -36,6 +36,21 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenization, simplified to the engine-portable core:
+# letter runs, digit runs, and non-space punctuation runs each count as
+# one token (the BPE merge step would only split these further, so this
+# is the stable lower bound both Spark and DuckDB can compute with one
+# regexp scan).
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Token count under the BPE-ish pre-tokenizer regex — JVM-side
+    ``regexp_count``, no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(F.lower(c), F.lit(BPE_ISH_PATTERN))
+
+
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """Distinct n-word shingles of a token array.
 

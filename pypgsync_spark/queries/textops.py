@@ -16,8 +16,10 @@ from pyspark.sql import functions as F
 
 from pypgsync_spark.catalog import load_table
 from pypgsync_spark.functions.text import (
+    BPE_ISH_PATTERN,
     EN_STOPWORDS,
     LANG_MARKERS,
+    bpe_ish_token_count,
     content_fingerprint,
     lang_id,
     quality_features,
@@ -57,10 +59,13 @@ _DUCK_SHINGLES = f"""
 @register(
     "t1_token_count",
     survey="ext:text",
-    doc="Whitespace token count + char length per document.",
+    doc="Token counting per document: whitespace tokens, BPE-ish "
+    "pre-tokenizer tokens (letter/digit/punctuation runs — the GPT-2 "
+    "pre-tokenization core, one JVM regexp scan, no UDF), char length.",
     oracle=f"""
     SELECT doc_id,
            len({_DUCK_TOKENS}) AS n_tokens,
+           len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}')) AS n_tokens_bpe,
            length(text) AS n_chars_m
     FROM documents
     """,
@@ -70,6 +75,7 @@ def t1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"),
         F.length("text").alias("n_chars_m"),
     )
 
@@ -377,3 +383,66 @@ def mm1_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_binary_payload(_docs(spark, sf_dir))
     return frame_sample(d, frame_size=64, every_k=4)
+
+
+@register(
+    "samp1_hash_stratified",
+    survey="ext:sampling",
+    doc="Deterministic stratified sampling: per source stratum, keep "
+    "the 25 docs that sort first by md5(doc_id || text) — a seedless, "
+    "engine-reproducible pseudo-random order (hash-order sampling). "
+    "One shuffle on the stratum key, rank window per stratum; at "
+    "100 TB Catalyst plans the rn<=k filter as WindowGroupLimit "
+    "(per-task top-k before the shuffle), so the shuffle carries "
+    "~k·strata rows, not the corpus.",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY source ORDER BY md5(doc_id || text), doc_id
+    ) <= 25
+    """,
+)
+def samp1_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.col("text")))
+    w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 25)
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "split1_hash_split",
+    survey="ext:sampling",
+    doc="Reproducible train/val/test split: route each doc by the "
+    "first two hex chars of md5(doc_id || text) — 'cc' ≈ 80 %, "
+    "'e6' ≈ 90 % of the 256-bucket space. Pure projection, no "
+    "shuffle, stable under repartitioning/reruns/engines (md5 is "
+    "bit-identical everywhere) — the property ad-hoc rand() splits "
+    "lack. Returns per-split counts.",
+    oracle="""
+    WITH tagged AS (
+      SELECT CASE WHEN substr(md5(doc_id || text), 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5(doc_id || text), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, count(*) AS n FROM tagged GROUP BY split
+    """,
+)
+def split1_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    b = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.col("text"))), 1, 2
+    )
+    split = (
+        F.when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
+    )
+    return d.select(split.alias("split")).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")
+    )
