@@ -13,7 +13,7 @@ drift).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pypgsync_spark.catalog import load_table
@@ -529,4 +529,59 @@ def j12_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0)
             .alias("avg_yearly")
         )
+    )
+
+
+@register(
+    "j13_asof_prior_event",
+    survey="§2.3 ext:asof",
+    doc="As-of join (operators/asof.py): each error event picks up the "
+    "latest prior-or-simultaneous non-error event of the same user — "
+    "the union+window formulation: ONE shuffle on user_id, no "
+    "BroadcastNestedLoopJoin (the naive range-join plan). Right side "
+    "pre-collapsed per (user, ts) for determinism. Oracle is DuckDB's "
+    "native ASOF LEFT JOIN.",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, epoch_ms(ts) AS updated_ms, user_id, event_type, value
+      FROM events
+    ),
+    l AS (SELECT event_id, user_id, updated_ms FROM e WHERE event_type = 'error'),
+    r AS (
+      SELECT user_id, updated_ms, event_id AS prior_id, value AS prior_value
+      FROM e WHERE event_type <> 'error'
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id, updated_ms ORDER BY event_id DESC) = 1
+    )
+    SELECT l.event_id, l.user_id, l.updated_ms, r.prior_id, r.prior_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.updated_ms >= r.updated_ms
+    """,
+)
+def j13_asof_prior_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.operators.asof import asof_join
+    from pypgsync_spark.queries.core import _events_ms
+
+    e = _events_ms(spark, sf_dir)
+    left = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "updated_ms"
+    )
+    w = Window.partitionBy("user_id", "updated_ms").orderBy(F.col("event_id").desc())
+    right = (
+        e.filter(F.col("event_type") != "error")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "updated_ms",
+            F.col("event_id").alias("prior_id"),
+            F.col("value").alias("prior_value"),
+        )
+    )
+    return asof_join(
+        left,
+        right,
+        on=["user_id"],
+        left_ts="updated_ms",
+        value_cols=["prior_id", "prior_value"],
     )
