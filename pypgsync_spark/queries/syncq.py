@@ -285,3 +285,56 @@ def c4_sync_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         pushdown_cond=lambda lo, hi: events_range_pred(src, lo, hi),
     )
     return merged.drop(*raw_ts)
+
+
+@register(
+    "c5_slice_assignment",
+    survey="C1,C2,ext:rangejoin",
+    doc="The reference's chunked fetch, distributed: plan the slice "
+    "grid (c2) then assign every event to its containing slice with "
+    "the bucketed range join (operators/rangejoin.py — equi-join on "
+    "the bucket axis, never BroadcastNestedLoopJoin) and count rows "
+    "per slice. Every event lands in exactly one slice; the per-slice "
+    "counts are what calculate_optimal_slices sized toward.",
+    oracle="""
+    WITH s AS (
+        SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi, count(*) AS n
+        FROM events
+    ), p AS (
+        SELECT lo, hi, CAST(ceil(n / 1000.0) AS BIGINT) AS nslices FROM s
+    ), w AS (
+        SELECT lo, hi, nslices,
+               CAST(ceil((hi - lo + 1) * 1.0 / nslices) AS BIGINT) AS width
+        FROM p
+    ), grid AS (
+        SELECT CAST(i AS INT) AS slice_id,
+               CAST(lo + i * width AS BIGINT) AS slice_lo,
+               CAST(least(lo + (i + 1) * width - 1, hi) AS BIGINT) AS slice_hi
+        FROM w, (SELECT unnest(range(0, 100000)) AS i)
+        WHERE lo + i * width <= hi
+    )
+    SELECT g.slice_id, g.slice_lo, g.slice_hi, count(*) AS n_events
+    FROM grid g JOIN events e
+      ON epoch_ms(e.ts) BETWEEN g.slice_lo AND g.slice_hi
+    GROUP BY g.slice_id, g.slice_lo, g.slice_hi
+    """,
+)
+def c5_slice_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.operators.rangejoin import range_join
+
+    df = _events_ms(spark, sf_dir)
+    row = df.agg(
+        F.min("updated_ms").alias("lo"),
+        F.max("updated_ms").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    plan = plan_slices(int(row["lo"]), int(row["hi"]), int(row["n"]), 1000)
+    grid = spark.createDataFrame(
+        [(i, lo, hi) for i, (lo, hi) in enumerate(plan.slices)], _SLICE_SCHEMA
+    )
+    pts = df.select(F.col("updated_ms"))
+    return (
+        range_join(pts, grid, "updated_ms")
+        .groupBy("slice_id", "slice_lo", "slice_hi")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
