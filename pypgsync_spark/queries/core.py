@@ -991,3 +991,38 @@ def f_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.unix_millis(F.date_trunc("DAY", F.col("ts"))).alias("day_ms"))
         .agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("value")).alias("total_value"))
     )
+
+
+@register(
+    "a14_pivot_types",
+    survey="§2.4 ext",
+    doc="Pivot: per-user event counts spread across the five event_type "
+    "columns. The value list is PINNED (not discovered) — Spark's "
+    "unpinned pivot runs an extra distinct-collect job over the corpus "
+    "and makes the output schema data-dependent, both wrong at 100 TB. "
+    "Plans as one conditional aggregate, same shuffle as a plain "
+    "groupBy.",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'error')    AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def a14_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        # pivot leaves NULL where a (user, type) pair never occurred;
+        # the FILTER oracle counts 0 there
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types],
+        )
+    )
