@@ -446,3 +446,98 @@ def split1_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(split.alias("split")).groupBy("split").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "tx1_tfidf_top_terms",
+    survey="ext:text",
+    doc="TF-IDF top-3 terms per document: term frequency per (doc, "
+    "term) from one explode, document frequency from a per-term "
+    "aggregate of the same exploded stream (two shuffles, both "
+    "map-side-combined), smooth idf = ln((N+1)/(df+1)) + 1, top-3 by "
+    "weight with deterministic term tie-break (WindowGroupLimit "
+    "per-doc top-k, no global sort).",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tfidf FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, term
+    ) <= 3
+    """,
+)
+def tx1_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    n_docs = d.count()
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df_, on="term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@register(
+    "tx2_top_bigrams",
+    survey="ext:text",
+    doc="Corpus-wide top-20 word bigrams with counts — the n-gram "
+    "frequency table behind contamination checks and boilerplate "
+    "inventories. One explode + map-side-combined count + "
+    "TakeOrderedAndProject (heap top-k, no global sort); deterministic "
+    "bigram tie-break.",
+    oracle=f"""
+    WITH t AS (SELECT {_DUCK_TOKENS} AS tk FROM documents),
+    bg AS (
+      SELECT concat_ws(' ', tk[i], tk[i+1]) AS bigram
+      FROM t, (SELECT unnest(range(1, 100000)) AS i)
+      WHERE i <= len(tk) - 1
+    )
+    SELECT bigram, count(*) AS n FROM bg
+    GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def tx2_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tk = tokens(F.col("text"))
+    # positional bigrams (NOT distinct per doc — corpus frequency needs
+    # every occurrence), built with the same slice+join idiom as
+    # word_shingles; docs with < 2 tokens contribute nothing (guarded:
+    # sequence(1, 0) would generate a DESCENDING [1, 0] and slice at 0
+    # errors)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(1)))
+    arr = F.when(
+        F.size(tk) >= 2,
+        F.transform(idx, lambda i: F.array_join(F.slice(tk, i, 2), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    bigrams = d.select(F.explode(arr).alias("bigram"))
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )
