@@ -541,3 +541,76 @@ def tx2_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram"))
         .limit(20)
     )
+
+
+@register(
+    "tx3_decontamination",
+    survey="ext:text,ext:dedup",
+    doc="Benchmark decontamination: flag every training document "
+    "sharing at least one 3-gram shingle with the held-out set (here: "
+    "doc_id % 50 == 0 stands in for the benchmark corpus). Exploded "
+    "shingles LEFT SEMI-joined against the distinct benchmark "
+    "shingles — one shuffle on the shingle value, and the contaminated "
+    "id set comes back as a distinct aggregate; no per-pair work, no "
+    "cross join. The n-gram-overlap check every LLM data pipeline "
+    "runs before training.",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+    bench AS (
+      SELECT DISTINCT unnest(sh) AS sh FROM s WHERE doc_id % 50 = 0
+    ),
+    train AS (SELECT doc_id, unnest(sh) AS sh FROM s WHERE doc_id % 50 <> 0)
+    SELECT DISTINCT t.doc_id, TRUE AS contaminated
+    FROM train t JOIN bench b USING (sh)
+    """,
+)
+def tx3_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.operators.dedup import with_shingles
+
+    s = with_shingles(_docs(spark, sf_dir).select("doc_id", "text"), "text", 3)
+    bench = (
+        s.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    train = s.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    )
+    return (
+        train.join(bench, on="sh", how="left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+
+
+# One regexp pass per pattern, engine-portable (no lookarounds — RE2
+# and Java regex agree on these).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+
+
+@register(
+    "tx4_redact_pii",
+    survey="ext:text",
+    doc="PII redaction pass: emails and phone-number-shaped spans "
+    "replaced by typed placeholders — two JVM regexp_replace scans, "
+    "no UDF, schema-preserving (the map step of a redaction pipeline; "
+    "patterns chosen from the RE2 ∩ Java-regex portable subset so the "
+    "oracle runs the identical expressions).",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text
+    FROM documents
+    """,
+)
+def tx4_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select("doc_id", clean.alias("clean_text"))
