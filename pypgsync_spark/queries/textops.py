@@ -1,7 +1,9 @@
 """Text-analysis + dedup queries over ``documents`` (extension layer,
 SURVEY §7 Phase 4): exact dedup, n-gram Jaccard near-dup, MinHash-LSH,
-SimHash, token counting, quality scoring, language-ID, fingerprinting,
-and the multimodal binary plumbing.
+SimHash, token counting (whitespace + BPE-ish), quality scoring,
+language-ID, fingerprinting, TF-IDF, bigram frequency, benchmark
+decontamination, PII redaction, deterministic sampling / train-val-test
+splitting, the curation pipeline, and the multimodal binary plumbing.
 
 Oracle-checked wherever the computation is ANSI-SQL-expressible; the
 hash-based candidates (MinHash, SimHash) are rows-only — their
