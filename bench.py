@@ -73,6 +73,10 @@ def main() -> None:
     n_events = load_table(spark, SF_DIR, "events").count()
     sync_rps = round(n_events / max(times["s3_upsert_merge"], 1e-9))
 
+    # hybrid-CC round counts for d5 (round-5 verdict: make the bench
+    # carry the evidence of how much work the CC stage actually did)
+    from pypgsync_spark.queries.textops import D5_CC_STATS
+
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     out = {
         "metric": "headline_queries_wall_clock_steady",
@@ -84,6 +88,7 @@ def main() -> None:
         "sf": float(sf) if sf else SF_DIR,
         "sync_rows_per_sec": sync_rps,
         "n_events": n_events,
+        "d5_cc_stats": dict(D5_CC_STATS),
     }
     print(json.dumps(out))
     spark.stop()

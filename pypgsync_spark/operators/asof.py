@@ -85,6 +85,16 @@ def asof_join(
     payload = F.struct(
         F.col(right_ts).alias("__rts"), *[F.col(c) for c in value_cols]
     )
+    # SQL join semantics: NULL keys never match (NULL = NULL is not
+    # true; DuckDB's ASOF oracle agrees). Window.partitionBy would
+    # happily group NULL keys into one partition, so NULL-key right
+    # rows (and NULL-ts ones, which have no position on the axis) are
+    # dropped up front — left rows with NULL keys ride through and get
+    # a NULL payload, exactly like an unmatched left-join row.
+    non_null = F.lit(True)
+    for k in [*keys, right_ts]:
+        non_null = non_null & F.col(k).isNotNull()
+    right = right.filter(non_null)
     r = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias(_TS),

@@ -472,7 +472,20 @@ def connected_components_hybrid(
         .filter(F.col("ca") != F.col("cb"))
         .select(F.col("ca").alias("id_a"), F.col("cb").alias("id_b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    # The sum-fixpoint detector needs one round AFTER stabilization to
+    # fire, so a graph that converges at exactly ``pregel_rounds``
+    # reports converged=False (round-5 advisor). The quotient graph is
+    # the cheap tiebreak: labels are a fixpoint iff every edge joins
+    # two same-label nodes, i.e. the contracted graph is EMPTY — and a
+    # uniform label is necessarily the component min (the min node's
+    # label can never decrease below itself). The emptiness probe is a
+    # limit-1 scan of the just-materialized checkpoint; the whole star
+    # stage (2+ shuffle rounds on an empty edge list, plus the compose
+    # join) is skipped.
+    if contracted.isEmpty():
+        return labels
     star_stats: dict = {}
     roots = connected_components_star(
         contracted, max_iter=max_iter, stats=star_stats

@@ -71,12 +71,24 @@ def range_join(
     joined = pts.join(ivals, on=[_BKT], how="inner").filter(cond).drop(_BKT)
     if how == "inner":
         return joined
-    matched = joined
-    unmatched = pts.drop(_BKT).join(
-        matched.select(*points.columns), on=list(points.columns), how="left_anti"
+    # Unmatched set via ANTI-join against the intervals on the same
+    # (bucket, bounds) condition — i.e. "points whose bucket holds no
+    # containing interval". Row-identity-exact: a matched point row
+    # with NULLs in its payload columns can't sneak back in (the old
+    # all-point-columns anti-join was null-UNSAFE and re-emitted such
+    # rows as phantom unmatched copies), and duplicate point rows keep
+    # their multiplicity. A NULL point value gets a NULL bucket, never
+    # equi-matches, and is correctly kept as unmatched.
+    p = pts.alias("__rj_p")
+    iv = ivals.alias("__rj_i")
+    anti_cond = (
+        (p[_BKT] == iv[_BKT])
+        & (p[point_col] >= iv[lo_col])
+        & (p[point_col] <= iv[hi_col])
     )
+    unmatched = p.join(iv, anti_cond, "left_anti").drop(_BKT)
     for c in intervals.columns:
         unmatched = unmatched.withColumn(
             c, F.lit(None).cast(intervals.schema[c].dataType)
         )
-    return matched.unionByName(unmatched)
+    return joined.unionByName(unmatched)

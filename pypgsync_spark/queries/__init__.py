@@ -97,59 +97,39 @@ def _last_green_round() -> dict[str, int]:
     return last
 
 
-def _impl_mtime(fn: Callable) -> float:
-    """Latest mtime across the package modules a query's callable
-    (transitively, at module scope) depends on — its queries module
-    plus every ``pypgsync_spark`` module reachable through module-level
-    imports (operators/, functions/, streaming/, ...)."""
-    import inspect
-    import sys
-
-    seen: set[str] = set()
-    latest = 0.0
-    stack = [getattr(fn, "__module__", "")]
-    while stack:
-        name = stack.pop()
-        if not name.startswith("pypgsync_spark") or name in seen:
-            continue
-        seen.add(name)
-        mod = sys.modules.get(name)
-        if mod is None:
-            continue
-        path = getattr(mod, "__file__", None)
-        if path:
-            import os
-
-            try:
-                latest = max(latest, os.path.getmtime(path))
-            except OSError:
-                pass
-        for val in vars(mod).values():
-            if inspect.ismodule(val):
-                stack.append(getattr(val, "__name__", ""))
-            else:
-                owner = getattr(val, "__module__", None)
-                if isinstance(owner, str):
-                    stack.append(owner)
-    return latest
-
-
-def _green_round_mtimes() -> dict[int, float]:
-    """Round number -> mtime of its CORRECTNESS_r*.json."""
-    import glob
+def _recorded_fingerprints() -> dict[str, dict]:
+    """FINGERPRINTS.json at the repo root: query name ->
+    ``{"fp": <hex>, "round": N}`` — the fingerprint of the code that
+    round N's green row actually ran (recorded at round start by
+    scripts/record_fingerprints.py, backfilled from git history by
+    scripts/backfill_fingerprints.py)."""
+    import json
     import os
-    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    out: dict[int, float] = {}
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if m:
-            try:
-                out[int(m.group(1))] = os.path.getmtime(path)
-            except OSError:
-                pass
-    return out
+    try:
+        with open(os.path.join(root, "FINGERPRINTS.json")) as f:
+            data = json.load(f)
+    except Exception:
+        return {}
+    return data if isinstance(data, dict) else {}
+
+
+def _is_stale(name: str, spec: QuerySpec, last_green: int, recorded: dict) -> bool:
+    """A query is STALE when its last green row cannot vouch for the
+    code at HEAD: never verified, no fingerprint recorded for the green
+    round, or the fingerprint changed since. Function-level (round-5
+    verdict #1): the fingerprint covers the query callable's transitive
+    in-package source closure plus its oracle text, so editing an
+    unrelated query in the same module no longer un-verifies this one."""
+    if last_green == 0:
+        return True
+    rec = recorded.get(name)
+    if not isinstance(rec, dict) or rec.get("round") != last_green:
+        return True
+    from pypgsync_spark.queries.fingerprint import spec_fingerprint
+
+    return spec_fingerprint(spec.fn, spec.oracle) != rec.get("fp")
 
 
 def _load_all() -> None:
@@ -169,25 +149,25 @@ def _load_all() -> None:
 
     # ...and, self-maintaining across rounds: the registry is ordered
     # by staleness. A query counts as STALE — and sorts to the front,
-    # with the never-verified — when any package module it reaches
-    # through module-level imports was modified after the CORRECTNESS
-    # file of its last green round was written: a green row only
+    # with the never-verified — when its function-level fingerprint
+    # (AST-normalized source closure + oracle, fingerprint.py) differs
+    # from the one recorded for its last green round: a green row only
     # vouches for the code that produced it (the round-3 advisor found
     # d2/d5 broken at HEAD yet absent from an all-green sweep, because
-    # the old rotation keyed on last-green-round alone). Within equal
+    # the old rotation keyed on last-green-round alone; the round-5
+    # verdict then found the module-mtime successor re-staled 51
+    # untouched queries whenever a sibling was edited). Within equal
     # staleness, bench-tagged queries go first (they run every round
     # regardless, so a broken one fails the bench too), then ascending
     # last-green round, then registration order. With the driver's
     # 50-row cap this still ROTATES: re-checked queries move back,
     # stale ones come around.
     last = _last_green_round()
-    round_mtimes = _green_round_mtimes()
+    recorded = _recorded_fingerprints()
     ordered = sorted(
         enumerate(REGISTRY.items()),
         key=lambda t: (
-            0
-            if _impl_mtime(t[1][1].fn) > round_mtimes.get(last.get(t[1][0], 0), 0.0)
-            else 1,
+            0 if _is_stale(t[1][0], t[1][1], last.get(t[1][0], 0), recorded) else 1,
             0 if t[1][1].bench is not None else 1,
             last.get(t[1][0], 0),
             t[0],

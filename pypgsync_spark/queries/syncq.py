@@ -194,17 +194,19 @@ def s3b_coalesce_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s3c_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
+    import os
     import tempfile
 
     from pypgsync_spark.sources.bucketed import bucketed_merge, write_bucketed
 
     df = _events_ms(spark, sf_dir)
-    # table name keyed on the fixture dir so repeated driver runs
-    # overwrite rather than collide; data lands in a scratch dir, not
+    # table name AND scratch path keyed on the fixture dir so repeated
+    # bench/correctness runs overwrite one directory instead of leaking
+    # a fresh mkdtemp per call (round-5 advisor); data lands outside
     # the session warehouse
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     table = f"sync_dst_bucketed_{tag}"
-    path = tempfile.mkdtemp(prefix="pypgsync_bucketed_")
+    path = os.path.join(tempfile.gettempdir(), f"pypgsync_bucketed_{tag}")
     write_bucketed(
         _stale_dst(df), table, ["event_id"], num_buckets=8, path=f"{path}/t"
     )
@@ -229,6 +231,8 @@ def s3c_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def s4b_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
     import tempfile
 
     from pypgsync_spark.sources.partitioned import (
@@ -239,7 +243,10 @@ def s4b_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     df = with_event_date(_events_ms(spark, sf_dir).drop("ts_nanos"))
-    path = tempfile.mkdtemp(prefix="pypgsync_partitioned_") + "/t"
+    # deterministic scratch path keyed on the fixture dir: reruns
+    # overwrite rather than leak (round-5 advisor)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"pypgsync_partitioned_{tag}", "t")
     write_date_partitioned(df, path)
     # incremental pass: rewrite just the newest date (delta-shaped write)
     newest = df.select(F.max(DATE_COL)).first()[0]

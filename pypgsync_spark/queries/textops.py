@@ -47,6 +47,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+# Filled by d5_near_dup_components on each run; bench.py reports it so
+# every BENCH_r*.json records how many CC rounds the hybrid spent.
+D5_CC_STATS: dict = {}
+
+
 # DuckDB-side shared fragments (tokens / shingles) mirroring
 # functions/text.py exactly.
 _DUCK_TOKENS = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -262,8 +267,13 @@ def d5_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
     # adaptive CC: cheap min-label rounds for the (common) shallow
     # near-dup graph, large-star/small-star O(log n) fallback for
-    # chain-shaped graphs — the 100 TB path either way
-    comp = connected_components_hybrid(edges)
+    # chain-shaped graphs — the 100 TB path either way. Round stats
+    # land in D5_CC_STATS so bench.py can report how much work the
+    # hybrid actually did (round-5 verdict: the +25% bench move turned
+    # out to be pair-generation/harness noise — on this fixture the
+    # prefix converges in 2 rounds and the star stage never runs).
+    D5_CC_STATS.clear()
+    comp = connected_components_hybrid(edges, stats=D5_CC_STATS)
     return (
         docs.join(comp.select(F.col("id").alias("doc_id"), "component"), on="doc_id", how="left")
         .select(
@@ -485,7 +495,16 @@ def tx1_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = _docs(spark, sf_dir)
-    n_docs = d.count()
+    # N rides along as a SCALAR SUBQUERY (the oracle's ``n`` CTE in
+    # Spark form): Catalyst runs the count as its own stage and folds
+    # the result in as a literal — no driver-side .count() barrier at
+    # plan-construction time (round-5 verdict #5), and no join node at
+    # all (a cross-joined 1-row literal would plan as
+    # BroadcastNestedLoopJoin and break the registry-wide no-BNLJ
+    # invariant; a constant-key equi-join gets constant-folded back
+    # into exactly that).
+    d.createOrReplaceTempView("pypgsync_tx1_docs")
+    n_expr = F.expr("(SELECT count(*) FROM pypgsync_tx1_docs)").cast("double")
     toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
@@ -493,7 +512,7 @@ def tx1_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "term",
         F.round(
-            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+            F.col("tf") * (F.log((n_expr + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
         ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))

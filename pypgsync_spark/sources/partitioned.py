@@ -83,8 +83,6 @@ def compact_date_partitions(
     removed after the rewrite — leaving it would make every subsequent
     read resolve deleted files. Do not compact under a live stream.
     """
-    import os
-    import shutil
     df = read_date_partitioned(spark, path)
     if dates is not None:
         df = df.filter(F.col(DATE_COL).isin([str(d) for d in dates]))
@@ -105,6 +103,22 @@ def compact_date_partitions(
         .mode("overwrite")
         .save(path)
     )
-    meta = os.path.join(path, "_spark_metadata")
-    if os.path.isdir(meta):
-        shutil.rmtree(meta)
+    # Storage ops go through the Hadoop FileSystem API, NOT os/shutil:
+    # this layout is explicitly the object-store path, and a local-only
+    # rmtree would silently leave the streaming transaction log behind
+    # on s3a://-style URIs (round-5 advisor) — making every subsequent
+    # read resolve the pre-compaction (deleted) file list.
+    _hadoop_delete_if_dir(spark, f"{path}/_spark_metadata")
+
+
+def _hadoop_delete_if_dir(spark: SparkSession, uri: str) -> bool:
+    """Recursively delete ``uri`` if it exists as a directory, via the
+    JVM Hadoop FileSystem resolved FOR THAT URI's scheme (local file://,
+    hdfs://, s3a://, ... — whatever the session's Hadoop conf knows).
+    Returns True when something was deleted."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p) and fs.getFileStatus(p).isDirectory():
+        return bool(fs.delete(p, True))
+    return False

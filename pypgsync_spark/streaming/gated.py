@@ -145,7 +145,10 @@ def _make_bucket_gate(
 
 
 def pin_num_buckets(
-    checkpoint_dir: str, num_buckets: int | str, default_parallelism: int
+    spark,
+    checkpoint_dir: str,
+    num_buckets: int | str,
+    default_parallelism: int,
 ) -> int:
     """Resolve and PIN the bucket count for a checkpointed gate run.
 
@@ -158,16 +161,29 @@ def pin_num_buckets(
     explicit value is an error (the caller is asking for silent double
     contributions), and ``"auto"`` resolves to the pinned value, not
     the current cluster size — restarting on a different cluster is
-    exactly the case the pin exists for. (Marker uses local-file ops;
-    for an object-store checkpoint, ship the value in the job config
-    instead.)
-    """
-    import os
+    exactly the case the pin exists for.
 
-    marker = os.path.join(checkpoint_dir, "_pypgsync_num_buckets")
-    if os.path.isfile(marker):
-        with open(marker) as fh:
-            pinned = int(fh.read().strip())
+    The marker lives WHERE THE CHECKPOINT LIVES: all IO goes through
+    the Hadoop FileSystem resolved for the checkpoint URI's scheme, so
+    the restart-safety guarantee holds for ``s3a://``/``hdfs://``
+    checkpoints, not just local paths (round-4/5 advisor carry).
+    """
+    jvm = spark._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(
+        f"{checkpoint_dir.rstrip('/')}/_pypgsync_num_buckets"
+    )
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(marker):
+        stream = fs.open(marker)
+        try:
+            raw = bytearray()
+            b = stream.read()
+            while b != -1 and len(raw) < 64:
+                raw.append(b)
+                b = stream.read()
+        finally:
+            stream.close()
+        pinned = int(bytes(raw).decode().strip())
         if num_buckets != "auto" and int(num_buckets) != pinned:
             raise ValueError(
                 f"num_buckets={num_buckets} conflicts with the value pinned in "
@@ -176,9 +192,11 @@ def pin_num_buckets(
             )
         return pinned
     resolved = 4 * default_parallelism if num_buckets == "auto" else int(num_buckets)
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    with open(marker, "w") as fh:
-        fh.write(str(resolved))
+    out = fs.create(marker, True)
+    try:
+        out.write(bytearray(str(resolved).encode()))
+    finally:
+        out.close()
     return resolved
 
 
@@ -255,7 +273,7 @@ def gated_balance(
     """
     src = ensure_events_ts(_file_stream(spark, schema, source_path), event_time=True)
     pinned = pin_num_buckets(
-        checkpoint_dir, num_buckets, spark.sparkContext.defaultParallelism
+        spark, checkpoint_dir, num_buckets, spark.sparkContext.defaultParallelism
     )
     contrib = gated_contributions_stream(src, num_buckets=pinned, ttl_ms=ttl_ms)
 

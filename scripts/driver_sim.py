@@ -2,7 +2,8 @@
 entry() smoke at sf0.001, every queries() entry vs its oracle_sql()
 via DuckDB at sf0.01 (the driver's correctness scale).
 
-Usage: python scripts/driver_sim.py [sf_dir]
+Usage: python scripts/driver_sim.py [sf_dir] [query_name ...]
+(query names restrict the sweep; entry() smoke runs either way)
 """
 
 from __future__ import annotations
@@ -14,7 +15,9 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import SparkSession
 
-sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+args = sys.argv[1:]
+sf_dir = args.pop(0) if args and "/" in args[0] else "/root/testdata/sf0.01"
+only = set(args)
 
 # Deliberately NOT our tuned session: mimic a plain driver session.
 spark = (
@@ -34,6 +37,10 @@ print(f"entry(): {rows} rows, schema={df.columns}, {time.time()-t0:.1f}s")
 assert rows > 0
 
 qs = e.queries()
+if only:
+    unknown = only - set(qs)
+    assert not unknown, f"unknown query names: {sorted(unknown)}"
+    qs = {n: f for n, f in qs.items() if n in only}
 oracles = e.oracle_sql()
 print(f"{len(qs)} queries, {len(oracles)} with oracles")
 

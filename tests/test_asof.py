@@ -89,3 +89,21 @@ def test_asof_plan_single_exchange_no_nested_loop(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_null_keys_never_match(spark):
+    # round-5 advisor: NULL join keys must not pair up (SQL semantics,
+    # and what the DuckDB ASOF oracle does). NULL-key left rows survive
+    # with a NULL payload; NULL-key / NULL-ts right rows are ignored.
+    l = spark.createDataFrame(
+        [(None, 10), (1, 10)], "k int, ts int"
+    )
+    r = spark.createDataFrame(
+        [(None, 5, "null-key"), (1, None, "null-ts"), (1, 7, "real")],
+        "k int, ts int, v string",
+    )
+    got = sorted(
+        ((row["k"], row["ts"], row["v"]) for row in asof_join(l, r, ["k"], "ts").collect()),
+        key=str,
+    )
+    assert got == sorted([(None, 10, None), (1, 10, "real")], key=str)

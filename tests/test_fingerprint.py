@@ -1,0 +1,148 @@
+"""Fingerprint sensitivity contract (queries/fingerprint.py).
+
+The staleness rule's whole value is its precision: it must trip on any
+behavior-relevant change in a query's transitive closure and must NOT
+trip on cosmetic edits or on unrelated code in the same module (the
+round-5 verdict's 51-query false-stale treadmill). These tests build a
+throwaway package on disk and mutate it between fingerprint runs.
+"""
+
+from __future__ import annotations
+
+import linecache
+import sys
+import textwrap
+
+import pytest
+
+from pypgsync_spark.queries import fingerprint as fp
+from pypgsync_spark.queries import QuerySpec, _is_stale
+
+
+PKG = "fppkg_test"
+
+V1 = {
+    "__init__.py": "",
+    "helper.py": """
+        BUCKET_WIDTH = 10
+
+        def shingle(text):
+            # split into fixed-width shingles
+            return [text[i : i + BUCKET_WIDTH] for i in range(len(text))]
+    """,
+    "q.py": """
+        from fppkg_test import helper
+
+        def my_query(spark, sf_dir):
+            '''Docstring prose.'''
+            return helper.shingle(sf_dir)
+
+        def unrelated(spark, sf_dir):
+            return 42
+    """,
+}
+
+
+def _materialize(tmp_path, files):
+    pkg = tmp_path / PKG
+    pkg.mkdir(exist_ok=True)
+    for name, src in files.items():
+        (pkg / name).write_text(textwrap.dedent(src))
+    # purge every cached view of the package so inspect re-reads disk
+    for mod in [m for m in sys.modules if m == PKG or m.startswith(PKG + ".")]:
+        del sys.modules[mod]
+    linecache.clearcache()
+    sys.path.insert(0, str(tmp_path))
+    try:
+        import importlib
+
+        q = importlib.import_module(f"{PKG}.q")
+    finally:
+        sys.path.remove(str(tmp_path))
+    return q
+
+
+@pytest.fixture()
+def pkg_fp(tmp_path, monkeypatch):
+    monkeypatch.setattr(fp, "PACKAGE", PKG)
+
+    def compute(files):
+        q = _materialize(tmp_path, files)
+        return fp.callable_fingerprint(q.my_query)
+
+    return compute
+
+
+def test_stable_across_recompute(pkg_fp):
+    assert pkg_fp(V1) == pkg_fp(V1)
+
+
+def test_cosmetic_edits_do_not_trip(pkg_fp):
+    base = pkg_fp(V1)
+    cosmetic = dict(V1)
+    cosmetic["q.py"] = V1["q.py"].replace(
+        "'''Docstring prose.'''", "'''Totally different docstring.'''"
+    )
+    cosmetic["helper.py"] = V1["helper.py"].replace(
+        "# split into fixed-width shingles", "# a rewritten, much longer comment"
+    )
+    assert pkg_fp(cosmetic) == base
+
+
+def test_unrelated_sibling_function_does_not_trip(pkg_fp):
+    base = pkg_fp(V1)
+    grown = dict(V1)
+    grown["q.py"] = V1["q.py"] + textwrap.indent(
+        "\ndef newcomer(spark, sf_dir):\n    return 99\n", " " * 8
+    )
+    assert pkg_fp(grown) == base
+
+
+def test_callee_body_change_trips(pkg_fp):
+    base = pkg_fp(V1)
+    changed = dict(V1)
+    changed["helper.py"] = V1["helper.py"].replace(
+        "range(len(text))", "range(0, len(text), 2)"
+    )
+    assert pkg_fp(changed) != base
+
+
+def test_constant_change_trips(pkg_fp):
+    base = pkg_fp(V1)
+    changed = dict(V1)
+    changed["helper.py"] = V1["helper.py"].replace("BUCKET_WIDTH = 10", "BUCKET_WIDTH = 12")
+    assert pkg_fp(changed) != base
+
+
+def test_own_body_change_trips(pkg_fp):
+    base = pkg_fp(V1)
+    changed = dict(V1)
+    changed["q.py"] = V1["q.py"].replace(
+        "return helper.shingle(sf_dir)", "return helper.shingle(sf_dir)[:5]"
+    )
+    assert pkg_fp(changed) != base
+
+
+def test_oracle_text_participates():
+    f = lambda spark, sf_dir: None  # noqa: E731 — source-less is fine here
+    a = fp.spec_fingerprint(f, "SELECT 1 AS x")
+    b = fp.spec_fingerprint(f, "SELECT 2 AS x")
+    ws = fp.spec_fingerprint(f, "SELECT   1\n  AS x")
+    assert a != b
+    assert a == ws  # whitespace-only SQL reformat does not un-verify
+
+
+def test_is_stale_decision_table():
+    f = lambda spark, sf_dir: None  # noqa: E731
+    spec = QuerySpec(name="x", fn=f, oracle="SELECT 1", survey="", doc="")
+    good = fp.spec_fingerprint(f, "SELECT 1")
+    # never verified
+    assert _is_stale("x", spec, 0, {})
+    # green round has no recorded fingerprint
+    assert _is_stale("x", spec, 5, {})
+    # recorded for a different round than the last green one
+    assert _is_stale("x", spec, 5, {"x": {"fp": good, "round": 4}})
+    # fingerprint drifted
+    assert _is_stale("x", spec, 5, {"x": {"fp": "dead", "round": 5}})
+    # fresh
+    assert not _is_stale("x", spec, 5, {"x": {"fp": good, "round": 5}})

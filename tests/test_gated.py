@@ -102,14 +102,33 @@ def test_num_buckets_pinned_across_restarts(spark, tmp_path):
     from pypgsync_spark.streaming.gated import pin_num_buckets
 
     ckpt = str(tmp_path / "ckpt")
-    first = pin_num_buckets(ckpt, "auto", default_parallelism=8)
+    first = pin_num_buckets(spark, ckpt, "auto", default_parallelism=8)
     assert first == 32
     # restart on a "bigger cluster": auto must return the PINNED value
-    assert pin_num_buckets(ckpt, "auto", default_parallelism=64) == 32
+    assert pin_num_buckets(spark, ckpt, "auto", default_parallelism=64) == 32
     # explicit matching value is fine; conflicting value errors
-    assert pin_num_buckets(ckpt, 32, default_parallelism=64) == 32
+    assert pin_num_buckets(spark, ckpt, 32, default_parallelism=64) == 32
     with pytest.raises(ValueError, match="pinned"):
-        pin_num_buckets(ckpt, 16, default_parallelism=64)
+        pin_num_buckets(spark, ckpt, 16, default_parallelism=64)
+
+
+def test_num_buckets_pin_on_non_local_fs_uri(spark, tmp_path):
+    """The pin must survive an object-store checkpoint (round-4/5
+    advisor carry): all marker IO goes through the Hadoop FileSystem
+    for the URI's scheme. Exercised with an explicit ``file:`` scheme
+    URI — plain open()/os.path would treat the URI string as a weird
+    relative path and fail, so a green run proves the marker went
+    through Hadoop's scheme-based FileSystem lookup (the same code
+    path an s3a:// checkpoint takes)."""
+    import pytest
+
+    from pypgsync_spark.streaming.gated import pin_num_buckets
+
+    ckpt = f"file:{tmp_path}/ckpt"
+    assert pin_num_buckets(spark, ckpt, "auto", default_parallelism=8) == 32
+    assert pin_num_buckets(spark, ckpt, "auto", default_parallelism=64) == 32
+    with pytest.raises(ValueError, match="pinned"):
+        pin_num_buckets(spark, ckpt, 16, default_parallelism=64)
 
 
 def test_gated_balance_pin_file_written(spark, tmp_path):

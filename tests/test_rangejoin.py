@@ -40,6 +40,36 @@ def test_range_join_left_keeps_unmatched(spark):
     assert got == {(5, 0), (500, None)}
 
 
+def test_range_join_left_null_payload_not_duplicated(spark):
+    # round-5 advisor repro: a MATCHED point row carrying a NULL in a
+    # payload column must not also come back as a phantom unmatched row
+    # (the old anti-join on all point columns was null-unsafe)
+    pts = spark.createDataFrame(
+        [(5, None), (500, "x")], "v int, tag string"
+    )
+    iv = spark.createDataFrame([(0, 0, 9)], ["sid", "slice_lo", "slice_hi"])
+    rows = range_join(pts, iv, "v", how="left").collect()
+    assert len(rows) == 2
+    got = {(r["v"], r["tag"], r["sid"]) for r in rows}
+    assert got == {(5, None, 0), (500, "x", None)}
+
+
+def test_range_join_left_null_point_and_duplicates(spark):
+    # NULL point value → kept once as unmatched; duplicate identical
+    # point rows keep their multiplicity on both branches
+    pts = spark.createDataFrame(
+        [(None,), (5,), (5,), (500,), (500,)], "v int"
+    )
+    iv = spark.createDataFrame([(0, 0, 9)], ["sid", "slice_lo", "slice_hi"])
+    got = sorted(
+        ((r["v"], r["sid"]) for r in range_join(pts, iv, "v", how="left").collect()),
+        key=str,
+    )
+    assert got == sorted(
+        [(None, None), (5, 0), (5, 0), (500, None), (500, None)], key=str
+    )
+
+
 def test_range_join_explicit_bucket_width(spark):
     pts = spark.createDataFrame([(i,) for i in range(50)], ["v"])
     iv = spark.createDataFrame(
