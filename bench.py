@@ -77,6 +77,33 @@ def main() -> None:
     # carry the evidence of how much work the CC stage actually did)
     from pypgsync_spark.queries.textops import D5_CC_STATS
 
+    # Env-gated RocksDB state-store line for the stateful gate (round-4
+    # advisor #6 / round-5 verdict #9): same t8 pipeline with
+    # store_provider="rocksdb". Off by default — the HDFS-backed store
+    # is the right choice at this fixture's state size and the RocksDB
+    # JNI spin-up would pollute the headline total.
+    if os.environ.get("SPARK_GRAFT_ROCKSDB") == "1":
+        import tempfile
+
+        from pypgsync_spark.queries.streamq import _events_stream_source
+        from pypgsync_spark.catalog import table_path
+        from pypgsync_spark.streaming.gated import gated_balance
+
+        schema = _events_stream_source(spark, SF_DIR)
+        work = tempfile.mkdtemp(prefix="bench_t8_rocksdb_")
+        t0 = time.time()
+        gated_balance(
+            spark,
+            source_path=table_path(SF_DIR, "events"),
+            schema=schema,
+            contrib_dir=f"{work}/contrib",
+            checkpoint_dir=f"{work}/ckpt",
+            store_provider="rocksdb",
+        ).write.format("noop").mode("overwrite").save()
+        t8_rocksdb = {"sec": round(time.time() - t0, 3)}
+    else:
+        t8_rocksdb = {"skipped": "set SPARK_GRAFT_ROCKSDB=1 to bench the RocksDB state store"}
+
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     out = {
         "metric": "headline_queries_wall_clock_steady",
@@ -89,6 +116,7 @@ def main() -> None:
         "sync_rows_per_sec": sync_rps,
         "n_events": n_events,
         "d5_cc_stats": dict(D5_CC_STATS),
+        "t8_rocksdb": t8_rocksdb,
     }
     print(json.dumps(out))
     spark.stop()
