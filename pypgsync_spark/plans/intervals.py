@@ -27,6 +27,15 @@ from dataclasses import dataclass, field
 
 TARGET_ROWS_PER_SLICE = 10_000_000  # reference session.py:236-238
 
+# Hard ceiling on slices per plan. The slice list lives on the DRIVER
+# (it becomes spark.read.jdbc(predicates=...) — one partition each), so
+# an adversarial rows/target ratio must not materialize a billion-entry
+# Python list there; 100k partitions already saturates any realistic
+# executor fleet, and wider slices simply let AQE split further
+# downstream. The reference has no such guard (session.py:236-238
+# divides unchecked) — a deliberate scale-safety divergence.
+MAX_SLICES_PER_PLAN = 100_000
+
 
 def closed_intervals(start: int, end: int, width: int) -> list[tuple[int, int]]:
     """Closed, non-overlapping integer sub-ranges of ``[start, end]``.
@@ -75,6 +84,7 @@ def plan_slices(
     high: int,
     estimated_rows: int,
     target_rows_per_slice: int = TARGET_ROWS_PER_SLICE,
+    max_slices: int = MAX_SLICES_PER_PLAN,
 ) -> SlicePlan:
     """Split ``[low, high]`` into slices of ~``target_rows_per_slice``.
 
@@ -82,11 +92,14 @@ def plan_slices(
     metadata / Catalyst stats in this engine, where the reference parsed
     ``EXPLAIN`` output (reference session.py:219-234). Assumes roughly
     uniform density of the watermark column over the range, as the
-    reference does (reference session.py:236-238).
+    reference does (reference session.py:236-238). The slice count is
+    clamped to ``max_slices`` (see :data:`MAX_SLICES_PER_PLAN`): the
+    plan is driver-resident metadata and must stay metadata-sized no
+    matter how degenerate the rows/target ratio is.
     """
     if low > high or estimated_rows <= 0:
         return SlicePlan(low=low, high=high, estimated_rows=max(estimated_rows, 0))
-    n_slices = max(1, math.ceil(estimated_rows / target_rows_per_slice))
+    n_slices = max(1, min(math.ceil(estimated_rows / target_rows_per_slice), max_slices))
     span = high - low + 1
     width = max(1, math.ceil(span / n_slices))
     return SlicePlan(

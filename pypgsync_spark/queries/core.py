@@ -1026,3 +1026,34 @@ def a14_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types],
         )
     )
+
+
+@register(
+    "a15_multi_distinct",
+    bench=27,
+    survey="A7,A4",
+    doc="Grouped multi-distinct aggregate: distinct users AND distinct "
+    "active days per event type in one pass — Catalyst plans the two "
+    "DISTINCT columns through a single Expand (each input row fans to "
+    "one tagged row per distinct spec, partially aggregated map-side), "
+    "so the data shuffles once on the group key instead of once per "
+    "distinct column; the plain count rides the same Expand.",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT CAST(ts AS DATE)) AS n_days,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a15_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct(F.to_date("ts")).alias("n_days"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -585,3 +585,85 @@ def j13_asof_prior_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="updated_ms",
         value_cols=["prior_id", "prior_value"],
     )
+
+
+@register(
+    "j14_late_shipments",
+    bench=23,
+    survey="§2.3,A4,F4",
+    doc="Late-shipment report (TPC-H Q12 flavor on this fixture's "
+    "columns): lineitems shipped >90 days after order date, counted "
+    "and revenue-summed per order priority. The interval predicate "
+    "lives in the JOIN's post-filter — both sides shuffle once on "
+    "orderkey (sort-merge at scale) and the priority rollup is a "
+    "map-side-combined agg over five groups.",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_late,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,2))) AS DOUBLE) AS late_revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderpriority
+    """,
+)
+def j14_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_late"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "late_revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "j15_large_orders",
+    bench=24,
+    survey="§2.3,A4",
+    doc="Large-order lookup (TPC-H Q18 flavor): aggregate lineitem by "
+    "orderkey FIRST (map-side-combined, the fact table collapses "
+    "~4:1 before any join), keep orders above the quantity threshold, "
+    "then join orders + broadcast customer. Aggregating before "
+    "joining is the decisive 100 TB move — the alternative "
+    "join-then-aggregate shuffles the full fact×dim product.",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 180
+    )
+    SELECT c_name, o_orderkey, o_totalprice, sum_qty
+    FROM big
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def j15_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 180)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )

@@ -190,3 +190,36 @@ def t8_transition_gated_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib_dir=f"{work}/contrib",
         checkpoint_dir=f"{work}/ckpt",
     )
+
+
+@register(
+    "t10_stream_stream_join",
+    bench=29,
+    survey="§2.10 ext,§2.3",
+    doc="Watermark-bounded stream-stream interval join: every error "
+    "event paired with the same user's click events from the "
+    "preceding 6 hours — two watermarked sub-streams of the events "
+    "source joined on user_id plus an event-time range. The "
+    "watermark + range bound let the state store evict both sides "
+    "continuously (the only stream-stream join shape that runs "
+    "unbounded); drained via availableNow into an append-mode memory "
+    "sink, so the final table equals the batch interval join the "
+    "oracle states.",
+    oracle="""
+    SELECT e.event_id AS error_id, c.event_id AS click_id
+    FROM events e JOIN events c
+      ON e.user_id = c.user_id
+     AND e.event_type = 'error' AND c.event_type = 'click'
+     AND c.ts >= e.ts - INTERVAL 6 HOUR AND c.ts <= e.ts
+    """,
+)
+def t10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.streaming.joins import interval_join_events
+
+    schema = _events_stream_source(spark, sf_dir)
+    return interval_join_events(
+        spark,
+        source_path=table_path(sf_dir, "events"),
+        schema=schema,
+        query_name="t10_ssj_mem",
+    )

@@ -345,3 +345,69 @@ def c5_slice_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("slice_id", "slice_lo", "slice_hi")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "c6_scd2_history",
+    bench=26,
+    survey="S3 ext,W1",
+    doc="SCD Type-2 history build — the warehouse-side complement of "
+    "the LWW upsert: collapse each user's event-type run-lengths into "
+    "validity intervals (valid_from_ms, valid_to_ms, NULL = current) "
+    "with gaps-and-islands (lag-change flag → running sum → per-run "
+    "aggregate → lead for the closing edge). All four steps share ONE "
+    "shuffle on user_id — Catalyst reuses the window exchange, and the "
+    "run aggregate is map-side combined within it; at 100 TB this is "
+    "the standard one-pass CDC-to-dimension compaction.",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, event_type, event_id, epoch_ms(ts) AS ms,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT *, sum(chg) OVER (
+        PARTITION BY user_id ORDER BY ms, event_id
+        ROWS UNBOUNDED PRECEDING) AS run
+      FROM ch
+    ),
+    scd AS (
+      SELECT user_id, event_type, run,
+             CAST(min(ms) AS BIGINT) AS valid_from_ms,
+             count(*) AS n_events
+      FROM runs GROUP BY user_id, event_type, run
+    )
+    SELECT user_id, event_type, valid_from_ms,
+           lead(valid_from_ms) OVER (
+             PARTITION BY user_id ORDER BY valid_from_ms) AS valid_to_ms,
+           n_events
+    FROM scd
+    """,
+)
+def c6_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    df = _events_ms(spark, sf_dir).select(
+        "user_id", "event_type", "event_id", F.col("updated_ms").alias("ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    prev = F.lag("event_type").over(w)
+    runs = df.withColumn(
+        "chg",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0),
+    ).withColumn("run", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    scd = runs.groupBy("user_id", "event_type", "run").agg(
+        F.min("ms").alias("valid_from_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_ms")
+    return scd.select(
+        "user_id",
+        "event_type",
+        "valid_from_ms",
+        F.lead("valid_from_ms").over(w2).alias("valid_to_ms"),
+        "n_events",
+    )

@@ -635,3 +635,78 @@ def tx4_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         "<PHONE>",
     )
     return d.select("doc_id", clean.alias("clean_text"))
+
+
+@register(
+    "tx5_repetition_filter",
+    bench=25,
+    survey="ext:text,ext:quality",
+    doc="Repetition-based quality filter (the Gopher-rules family): "
+    "per-document duplicate-bigram fraction and top-bigram fraction "
+    "from ONE explode of the in-order word-bigram stream, aggregated "
+    "back to one row per doc (two map-side-combined shuffles on "
+    "doc_id), then thresholded into a keep flag. Catches the "
+    "boilerplate/template pages exact- and near-dedup both miss "
+    "because the repetition is INTERNAL to the document.",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(t) - 1, 0) + 1),
+               i -> concat_ws(' ', t[i], t[i+1]))) AS g
+      FROM tok
+    ),
+    cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+    agg AS (
+      SELECT doc_id, sum(c) AS total, max(c) AS mx,
+             sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(total, 0) AS BIGINT) AS n_bigrams,
+           round(coalesce(mx, 0) * 1.0 / greatest(coalesce(total, 1), 1), 6)
+             AS top_bigram_frac,
+           round(coalesce(dup, 0) * 1.0 / greatest(coalesce(total, 1), 1), 6)
+             AS dup_bigram_frac,
+           (coalesce(mx, 0) * 1.0 / greatest(coalesce(total, 1), 1) <= 0.0625
+            AND coalesce(dup, 0) * 1.0 / greatest(coalesce(total, 1), 1) <= 0.12)
+             AS keep
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+)
+def tx5_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    tk = tokens(F.col("text"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(1)))
+    arr = F.when(
+        F.size(tk) >= 2,
+        F.transform(idx, lambda i: F.array_join(F.slice(tk, i, 2), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    cnt = (
+        d.select("doc_id", F.explode(arr).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("total"),
+        F.max("c").alias("mx"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup"),
+    )
+    total = F.greatest(F.coalesce(F.col("total"), F.lit(1)), F.lit(1))
+    top_frac = F.coalesce(F.col("mx"), F.lit(0)) / total
+    dup_frac = F.coalesce(F.col("dup"), F.lit(0)) / total
+    return (
+        d.select("doc_id")
+        .join(agg, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("total"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round(top_frac, 6).alias("top_bigram_frac"),
+            F.round(dup_frac, 6).alias("dup_bigram_frac"),
+            ((top_frac <= 0.0625) & (dup_frac <= 0.12)).alias("keep"),
+        )
+    )

@@ -200,3 +200,37 @@ def d6_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("keep", F.col("vec_id") == F.col("component"))
     )
+
+
+@register(
+    "v6_label_centroids",
+    bench=28,
+    survey="ext:similarity,A4",
+    doc="Per-label embedding centroids in LONG form (label, dimension, "
+    "mean) — the cluster-summarization step an IVF index build or a "
+    "near-dup-cluster representative picker runs over the full corpus. "
+    "posexplode fans each vector to (label, pos, value) rows that "
+    "aggregate map-side into label×64 partial sums, so the shuffle "
+    "carries one row per (label, dimension) — centroid computation "
+    "never moves the vectors themselves. Long form keeps the driver "
+    "hash on scalars (no array-serialization ambiguity) and is what "
+    "the IVF assign step consumes anyway.",
+    oracle="""
+    WITH e AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings
+    )
+    SELECT label, CAST(pos - 1 AS INT) AS pos,
+           round(avg(CAST(v AS DOUBLE)), 6) AS centroid_val
+    FROM e GROUP BY label, pos
+    """,
+)
+def v6_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
+        .select(F.col("label"), F.col("pos").cast("int").alias("pos"), "centroid_val")
+    )

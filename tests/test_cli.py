@@ -98,7 +98,12 @@ def test_plan_slices_invariants(low, span, rows, target):
     plan = plan_slices(low, low + span, rows, target)
     assert not plan.is_noop
     assert plan.slices[0][0] == low and plan.slices[-1][1] == low + span
-    # slice count tracks the rows/target ratio (never more than needed + 1)
+    # slice count tracks the rows/target ratio (never more than needed
+    # + 1) AND stays driver-metadata-sized no matter how degenerate the
+    # ratio gets (rows=1e9 @ target=1 must NOT plan a billion slices)
     import math
 
+    from pypgsync_spark.plans.intervals import MAX_SLICES_PER_PLAN
+
     assert len(plan.slices) <= max(1, math.ceil(rows / target)) + 1
+    assert len(plan.slices) <= MAX_SLICES_PER_PLAN + 1
