@@ -96,6 +96,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.3,
     blocking: str | None = "prefix",
     hashed_verify: bool = True,
+    materialize_shingles: bool = False,
 ) -> DataFrame:
     """Pairs (id_a < id_b, jaccard) above ``threshold`` — exact AND
     complete: every qualifying pair is returned.
@@ -149,6 +150,16 @@ def ngram_jaccard_pairs(
             "shingles",
             F.array_distinct(F.transform("shingles", lambda x: F.xxhash64(x))),
         )
+    if materialize_shingles:
+        # The shingle table feeds the prefix build once and the verify
+        # join twice; without materialization each branch re-runs the
+        # interpreted higher-order-function shingling over the full
+        # corpus (measured 2× end-to-end on the fixture). localCheckpoint
+        # stores at MEMORY_AND_DISK, so at scale it spills to local disk
+        # rather than OOM; the trade is lineage truncation (an executor
+        # loss mid-query fails the job instead of recomputing) — opt-in
+        # for that reason.
+        s = s.localCheckpoint(eager=True)
     if blocking is None:
         a = s.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
         b = s.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))

