@@ -1057,3 +1057,38 @@ def a15_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@register(
+    "w7_range_frame",
+    bench=31,
+    survey="W1,W2,F3",
+    doc="Event-time RANGE window frame: per user, the trailing-24-hour "
+    "event count and value sum at every event — RANGE BETWEEN on the "
+    "epoch-millis order key, so frame membership follows VALUES not "
+    "row positions (peers with equal timestamps all join the frame, "
+    "which also makes the result tie-deterministic). One shuffle on "
+    "user_id; in-partition frames evaluate with a sliding two-pointer "
+    "pass, never re-scanning the window per row.",
+    oracle="""
+    SELECT event_id, user_id, epoch_ms(ts) AS ms,
+           CAST(count(*) OVER w AS BIGINT) AS n_24h,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_24h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                 RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w7_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("updated_ms")
+        .rangeBetween(-86400000, 0)
+    )
+    return _events_ms(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.col("updated_ms").alias("ms"),
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("sum_24h"),
+    )

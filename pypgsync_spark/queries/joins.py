@@ -667,3 +667,43 @@ def j15_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_name", "o_orderkey", "o_totalprice", "sum_qty")
     )
+
+
+@register(
+    "j16_small_quantity_revenue",
+    bench=32,
+    survey="§2.3,A4",
+    doc="Correlated-aggregate filter (TPC-H Q17 flavor): yearly "
+    "revenue from lineitems whose quantity is below half their part's "
+    "average quantity. The correlated scalar subquery decorrelates to "
+    "a per-part aggregate joined back to the fact table — the "
+    "aggregate side collapses to one row per part before the join, so "
+    "the extra pass costs one map-side-combined shuffle, not a "
+    "fact×fact self-join. half_avg is exact: quantities are integral "
+    "doubles, so the mean's numerator sums without rounding in any "
+    "order.",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem JOIN pa USING (l_partkey)
+    WHERE l_quantity < half_avg
+    """,
+)
+def j16_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pa = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(pa, on="l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            (_dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly")
+        )
+    )

@@ -234,3 +234,35 @@ def v6_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
         .select(F.col("label"), F.col("pos").cast("int").alias("pos"), "centroid_val")
     )
+
+
+@register(
+    "v7_knn_join",
+    bench=30,
+    survey="ext:similarity",
+    doc="Exact cosine k-NN graph (top-3 neighbors of EVERY vector) via "
+    "block-GEMM with per-group local top-k: each block-pair group "
+    "emits B·k candidates per row, a row_number window reduces to k — "
+    "shuffle carries B·N·k candidate rows, never the O(N²) score "
+    "matrix. The k-NN graph is what embedding clustering, diversity "
+    "sampling and near-dup analysis consume downstream.",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id, nbr_id, cos_sim FROM (
+      SELECT a.vec_id, b.vec_id AS nbr_id,
+             round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) DESC,
+                 b.vec_id) AS rn
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ) WHERE rn <= 3
+    """,
+)
+def v7_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.operators.similarity import knn_join
+
+    return knn_join(_emb(spark, sf_dir), k=3)
