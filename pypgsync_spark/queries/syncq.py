@@ -411,3 +411,41 @@ def c6_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from_ms").over(w2).alias("valid_to_ms"),
         "n_events",
     )
+
+
+@register(
+    "s1_pysource_range_scan",
+    bench=33,
+    survey="S1,S2",
+    doc="The reference's range-partitioned chunked source EXECUTED: a "
+    "PySpark Python DataSource (sources/pysource.py) plans one input "
+    "partition per closed slice of event_id (plans.intervals — the "
+    "reference's chunker semantics), each task runs its own SQL "
+    "cursor against the stand-in engine (DuckDB) and streams Arrow "
+    "batches of fetch_size rows; the value > 50 predicate is pushed "
+    "through pushFilters() into every slice's WHERE clause. The "
+    "first driver-checkable evidence for S1/S2, which JDBC-to-"
+    "Postgres could not provide in this sandbox.",
+    oracle="""
+    SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ms
+    FROM events WHERE value > 50
+    """,
+)
+def s1_pysource_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.catalog import table_path
+    from pypgsync_spark.sources.pysource import read_sql_table
+
+    df = read_sql_table(
+        spark,
+        table_path(sf_dir, "events"),
+        partition_column="event_id",
+        num_partitions=8,
+        fetch_size=2048,
+    )
+    return df.filter(F.col("value") > 50).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        to_millis("ts").alias("ms"),
+    )

@@ -1,0 +1,248 @@
+"""Range-partitioned SQL source via PySpark 4's Python DataSource API.
+
+The reference reads its source RDBMS in bounded slices — one SQL cursor
+per watermark range, rows fetched in chunks (reference session.py:127-151,
+SURVEY §2.1 S1/S2). On a JVM cluster that maps to
+``spark.read.jdbc(partitionColumn=..., numPartitions=...)``
+(sources/jdbc.py); this module implements the SAME contract as a native
+Spark V2 source in pure Python so the slice machinery is *executable and
+driver-testable in this sandbox*, with DuckDB standing in for the RDBMS:
+
+- ``partitions()`` plans one :class:`InputPartition` per closed slice of
+  ``partition_column`` (``plans.intervals.closed_intervals`` — the exact
+  semantics the reference's chunker uses), each carrying its own
+  ``WHERE lo <= col AND col <= hi`` SQL. Spark schedules one task per
+  slice: S1, range-partitioned parallel read.
+- ``read()`` executes the slice's SQL and yields Arrow record batches of
+  ``fetch_size`` rows (DuckDB's ``fetch_record_batch``): S2, chunked
+  cursor fetch, Arrow all the way into Spark.
+- ``pushFilters()`` accepts the comparison/null filters Spark offers and
+  compiles them into each slice's WHERE clause — the Python-source
+  analogue of predicate pushdown reaching the scan; unsupported filters
+  are handed back for Spark to evaluate post-scan.
+
+At 100 TB the same class points at a real warehouse (any DB-API/ADBC
+engine that emits Arrow); the slice planner, chunked fetch, and filter
+compilation are engine-agnostic. Sandbox caveat: DuckDB runs in-process
+per task, so "the database" is the parquet file itself — the plumbing
+(partition planning, per-task cursors, Arrow batches, pushdown) is the
+real thing, the network hop is not.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+)
+
+SOURCE_NAME = "pypgsync_sql"
+
+# DuckDB → Spark DDL (the fixture tables' surface; extend as needed).
+_TYPE_MAP = {
+    "BIGINT": "bigint",
+    "INTEGER": "int",
+    "SMALLINT": "smallint",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "VARCHAR": "string",
+    "BOOLEAN": "boolean",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp_ntz",
+    "FLOAT[]": "array<float>",
+    "DOUBLE[]": "array<double>",
+}
+
+
+def _sql_literal(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    return str(v)
+
+
+def _compile_filter(f: Filter) -> str | None:
+    """One supported filter → SQL, or None when unsupported. Only
+    top-level columns (len(attribute) == 1) — nested paths go back to
+    Spark."""
+    attr = getattr(f, "attribute", None)
+    if not attr or len(attr) != 1:
+        return None
+    col = '"' + attr[0].replace('"', '""') + '"'
+    if isinstance(f, EqualTo):
+        return f"{col} = {_sql_literal(f.value)}"
+    if isinstance(f, GreaterThan):
+        return f"{col} > {_sql_literal(f.value)}"
+    if isinstance(f, GreaterThanOrEqual):
+        return f"{col} >= {_sql_literal(f.value)}"
+    if isinstance(f, LessThan):
+        return f"{col} < {_sql_literal(f.value)}"
+    if isinstance(f, LessThanOrEqual):
+        return f"{col} <= {_sql_literal(f.value)}"
+    if isinstance(f, IsNotNull):
+        return f"{col} IS NOT NULL"
+    if isinstance(f, IsNull):
+        return f"{col} IS NULL"
+    return None
+
+
+@dataclass
+class SqlSlicePartition(InputPartition):
+    sql: str
+
+
+class SqlSliceReader(DataSourceReader):
+    def __init__(self, schema, options):
+        self.options = options
+        self.table_path = options["table_path"]
+        self.partition_column = options["partition_column"]
+        self.num_partitions = int(options.get("num_partitions", 4))
+        self.fetch_size = int(options.get("fetch_size", 10_000))
+        self.pushed_sql: list[str] = []
+
+    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        # replace, never append: Spark holds ONE reader instance per
+        # .load() relation and re-plans push into the same object — an
+        # append would stack filters from successive queries. (A query
+        # with NO pushable filters may skip this call entirely, so
+        # different queries should not share one .load(); see
+        # read_sql_table.)
+        self.pushed_sql = []
+        for f in filters:
+            sql = _compile_filter(f)
+            if sql is None:
+                yield f  # unsupported → Spark evaluates it post-scan
+            else:
+                self.pushed_sql.append(sql)
+
+    def _bounds(self) -> tuple[int, int] | None:
+        """MIN/MAX of the partition column — the same probe the
+        reference issues before slicing (reference session.py:216-218);
+        one metadata-scale query on the driver."""
+        import duckdb
+
+        lo, hi = duckdb.connect().execute(
+            f'SELECT min("{self.partition_column}"), max("{self.partition_column}") '
+            f"FROM read_parquet('{self.table_path}')"
+        ).fetchone()
+        if lo is None:
+            return None
+        return int(lo), int(hi)
+
+    def partitions(self):
+        from pypgsync_spark.plans.intervals import plan_slices
+
+        bounds = self._bounds()
+        base = f"SELECT * FROM read_parquet('{self.table_path}')"
+        where = list(self.pushed_sql)
+        if bounds is None:
+            sql = base + (" WHERE " + " AND ".join(where) if where else "")
+            return [SqlSlicePartition(sql)]
+        lo, hi = bounds
+        # rows ≈ span is the uniform-density assumption the reference
+        # makes; target sized so the plan yields num_partitions slices
+        span = hi - lo + 1
+        target = max(1, -(-span // self.num_partitions))
+        plan = plan_slices(lo, hi, estimated_rows=span, target_rows_per_slice=target)
+        parts = []
+        for slo, shi in plan.slices:
+            preds = [
+                f'"{self.partition_column}" >= {slo}',
+                f'"{self.partition_column}" <= {shi}',
+                *where,
+            ]
+            parts.append(SqlSlicePartition(base + " WHERE " + " AND ".join(preds)))
+        return parts
+
+    def read(self, partition):
+        import duckdb
+
+        reader = duckdb.connect().execute(partition.sql).fetch_record_batch(
+            rows_per_batch=self.fetch_size
+        )
+        for batch in reader:
+            yield batch
+
+
+class SqlSliceDataSource(DataSource):
+    """``spark.read.format("pypgsync_sql")`` — see module docstring.
+
+    Required options: ``table_path`` (parquet file the stand-in engine
+    serves), ``partition_column`` (integer column to range-slice).
+    Optional: ``num_partitions`` (default 4), ``fetch_size`` rows per
+    Arrow batch (default 10000).
+    """
+
+    @classmethod
+    def name(cls):
+        return SOURCE_NAME
+
+    def schema(self):
+        import duckdb
+
+        rows = duckdb.connect().execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{self.options['table_path']}')"
+        ).fetchall()
+        fields = []
+        for name, dtype, *_ in rows:
+            spark_t = _TYPE_MAP.get(dtype.upper())
+            if spark_t is None:
+                raise ValueError(f"unmapped source type {dtype!r} for column {name!r}")
+            fields.append(f"`{name}` {spark_t}")
+        return ", ".join(fields)
+
+    def reader(self, schema):
+        return SqlSliceReader(schema, self.options)
+
+
+def register_sql_source(spark) -> None:
+    """Idempotently register the source with a session."""
+    # a reader that implements pushFilters() is REJECTED outright when
+    # this flag is off (runtime-settable, default false in 4.1)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(SqlSliceDataSource)
+    except Exception:
+        # already registered in this session — the registration is
+        # name-keyed and re-registration of the same class is a no-op
+        # failure we tolerate
+        pass
+
+
+def read_sql_table(
+    spark,
+    table_path: str,
+    partition_column: str,
+    num_partitions: int = 4,
+    fetch_size: int = 10_000,
+):
+    """Fresh range-partitioned read through the Python SQL source.
+
+    Always builds a NEW ``.load()``: Spark keeps one reader instance
+    per load relation and filter pushdown mutates it, so sharing a
+    loaded DataFrame across differently-filtered queries would leak
+    one query's pushed predicates into the next (a raw ``df.count()``
+    after a filtered query returns the filtered count). One load per
+    query is also how the JDBC reader is idiomatically used.
+    """
+    register_sql_source(spark)
+    return (
+        spark.read.format(SOURCE_NAME)
+        .option("table_path", table_path)
+        .option("partition_column", partition_column)
+        .option("num_partitions", str(num_partitions))
+        .option("fetch_size", str(fetch_size))
+        .load()
+    )
