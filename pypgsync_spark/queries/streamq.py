@@ -230,3 +230,52 @@ def t10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cardinality / cores, same as every state_partitions knob.
         state_partitions=8,
     )
+
+
+@register(
+    "t11_cdc_stream_sync",
+    bench=34,
+    survey="T1,T2,S1,S2",
+    doc="The reference's continuous polling loop as a REAL streaming "
+    "source (sources/pysource.py SqlCdcStreamReader): each micro-batch "
+    "probes MAX(event_id) (the watermark probe, T2), slices the "
+    "(last, max] delta with the sync engine's interval planner into "
+    "range-partitioned SQL cursors against the stand-in engine, and "
+    "streams Arrow batches; offsets ride the checkpoint, so restarts "
+    "resume after the last committed batch. Drained with availableNow "
+    "into a grouped aggregate the batch oracle states.",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def t11_cdc_stream_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pypgsync_spark.sources.pysource import read_cdc_stream
+    from pypgsync_spark.streaming.balance import stream_shuffle_partitions
+
+    src = read_cdc_stream(
+        spark, table_path(sf_dir, "events"), "event_id", num_partitions=4
+    )
+    agg = src.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+    ck = tempfile.mkdtemp(prefix="t11_cdc_ck_")
+    with stream_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("t11_cdc_mem")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("t11_cdc_mem")

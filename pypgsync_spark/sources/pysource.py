@@ -36,6 +36,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -48,6 +49,7 @@ from pyspark.sql.datasource import (
 )
 
 SOURCE_NAME = "pypgsync_sql"
+CDC_SOURCE_NAME = "pypgsync_cdc"
 
 # DuckDB → Spark DDL (the fixture tables' surface; extend as needed).
 _TYPE_MAP = {
@@ -240,6 +242,133 @@ def read_sql_table(
     register_sql_source(spark)
     return (
         spark.read.format(SOURCE_NAME)
+        .option("table_path", table_path)
+        .option("partition_column", partition_column)
+        .option("num_partitions", str(num_partitions))
+        .option("fetch_size", str(fetch_size))
+        .load()
+    )
+
+
+class SqlCdcStreamReader(DataSourceStreamReader):
+    """The reference's continuous mode as a REAL streaming source.
+
+    The reference polls in a loop: probe ``MAX(watermark)``, read the
+    ``(last, max]`` delta in bounded slices, apply, repeat (reference
+    cli.py:72-74 + session.py:216-240). Structured Streaming's source
+    contract is that loop with the bookkeeping done right, and this
+    class maps it 1:1:
+
+    - ``latestOffset()`` = the MAX probe (one scalar query per
+      micro-batch, driver-side — metadata-scale);
+    - ``partitions(start, end)`` = the delta sliced with the SAME
+      interval planner the batch engine uses: one :class:`InputPartition`
+      per closed ``partition_column`` range, so every micro-batch is a
+      range-partitioned parallel read, exactly like the batch source;
+    - ``read()`` = per-slice SQL cursor streaming Arrow batches;
+    - offsets live in the CHECKPOINT (not a hand-rolled state table —
+      the reference's watermark persistence, but transactional with
+      the sink via foreachBatch/idempotent merge), so restart resumes
+      after the last committed batch: effectively-once.
+
+    Offset format: ``{"last": <highest partition_column value already
+    emitted>}``. Monotonically-increasing append column assumed — the
+    same assumption the reference's watermark protocol makes.
+    """
+
+    def __init__(self, schema, options):
+        self.options = options
+        self.table_path = options["table_path"]
+        self.partition_column = options["partition_column"]
+        self.num_partitions = int(options.get("num_partitions", 4))
+        self.fetch_size = int(options.get("fetch_size", 10_000))
+        start = options.get("start_offset")
+        self._start = int(start) if start is not None else -1
+
+    def initialOffset(self):  # noqa: N802
+        return {"last": self._start}
+
+    def _max_id(self) -> int | None:
+        import duckdb
+
+        (hi,) = duckdb.connect().execute(
+            f'SELECT max("{self.partition_column}") '
+            f"FROM read_parquet('{self.table_path}')"
+        ).fetchone()
+        return None if hi is None else int(hi)
+
+    def latestOffset(self):  # noqa: N802
+        hi = self._max_id()
+        return {"last": self._start if hi is None else max(hi, self._start)}
+
+    def partitions(self, start: dict, end: dict):
+        from pypgsync_spark.plans.intervals import plan_slices
+
+        lo, hi = int(start["last"]) + 1, int(end["last"])
+        if lo > hi:
+            # empty micro-batch: one no-op cursor (Spark requires ≥1)
+            return [SqlSlicePartition(self._slice_sql(0, -1))]
+        span = hi - lo + 1
+        target = max(1, -(-span // self.num_partitions))
+        plan = plan_slices(lo, hi, estimated_rows=span, target_rows_per_slice=target)
+        return [SqlSlicePartition(self._slice_sql(a, b)) for a, b in plan.slices]
+
+    def _slice_sql(self, lo: int, hi: int) -> str:
+        return (
+            f"SELECT * FROM read_parquet('{self.table_path}') "
+            f'WHERE "{self.partition_column}" >= {lo} '
+            f'AND "{self.partition_column}" <= {hi}'
+        )
+
+    def read(self, partition):
+        import duckdb
+
+        reader = duckdb.connect().execute(partition.sql).fetch_record_batch(
+            rows_per_batch=self.fetch_size
+        )
+        for batch in reader:
+            yield batch
+
+    def commit(self, end: dict) -> None:
+        # offset durability is the checkpoint's job; the source keeps
+        # no state of its own (restart-safe by construction)
+        pass
+
+
+class SqlCdcStreamDataSource(DataSource):
+    """``spark.readStream.format("pypgsync_cdc")`` — continuous sync
+    of an append-only SQL table. Same options as the batch source."""
+
+    @classmethod
+    def name(cls):
+        return CDC_SOURCE_NAME
+
+    def schema(self):
+        return SqlSliceDataSource(self.options).schema()
+
+    def streamReader(self, schema):  # noqa: N802
+        return SqlCdcStreamReader(schema, self.options)
+
+
+def register_cdc_stream_source(spark) -> None:
+    """Idempotently register the streaming CDC source."""
+    try:
+        spark.dataSource.register(SqlCdcStreamDataSource)
+    except Exception:
+        pass
+
+
+def read_cdc_stream(
+    spark,
+    table_path: str,
+    partition_column: str,
+    num_partitions: int = 4,
+    fetch_size: int = 10_000,
+):
+    """Fresh streaming read through the CDC source."""
+    register_cdc_stream_source(spark)
+    return (
+        spark.readStream.format(CDC_SOURCE_NAME)
         .option("table_path", table_path)
         .option("partition_column", partition_column)
         .option("num_partitions", str(num_partitions))
