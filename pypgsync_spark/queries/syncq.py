@@ -449,3 +449,45 @@ def s1_pysource_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         to_millis("ts").alias("ms"),
     )
+
+
+@register(
+    "s4c_pysink_batched_write",
+    bench=35,
+    survey="S4",
+    doc="Batched destination writes through the Python DataSource V2 "
+    "write protocol (sources/pysource.py SqlBatchArrowWriter): every "
+    "task streams its partition's Arrow batches through one staged "
+    "cursor, the driver's commit() publishes all staged files at "
+    "once, abort() leaves nothing (pytest-asserted) — the reference's "
+    "per-worker batched INSERT made transactional. The query writes "
+    "the events table through the sink, reads it back, and aggregates; "
+    "the oracle states the expected aggregate of what must have "
+    "arrived exactly-once.",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def s4c_pysink_batched_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from pypgsync_spark.sources.pysource import register_sql_sink
+
+    register_sql_sink(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"pypgsync_pysink_{tag}")
+    src = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src.write.format("pypgsync_sink").option("path", dest).mode("overwrite").save()
+    back = spark.read.parquet(dest)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+    )

@@ -36,6 +36,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -46,10 +47,12 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 SOURCE_NAME = "pypgsync_sql"
 CDC_SOURCE_NAME = "pypgsync_cdc"
+SINK_NAME = "pypgsync_sink"
 
 # DuckDB → Spark DDL (the fixture tables' surface; extend as needed).
 _TYPE_MAP = {
@@ -375,3 +378,95 @@ def read_cdc_stream(
         .option("fetch_size", str(fetch_size))
         .load()
     )
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class SqlBatchArrowWriter(DataSourceArrowWriter):
+    """S4 — batched executor-side writes with a real two-phase commit.
+
+    The reference batches INSERTs through one connection per worker
+    (reference session.py:127-151's executemany path). Spark's V2 write
+    protocol is that, made transactional: every task writes its
+    partition's Arrow batches to a STAGED file under
+    ``<dest>/_staging_<uuid>/`` (one cursor per task, rows flowing
+    batch-by-batch — never materialized whole), returns a commit
+    message, and only the DRIVER's ``commit()`` publishes all staged
+    files into the destination atomically-enough (rename within one
+    filesystem); ``abort()`` removes the staging dir so failed jobs
+    leave NOTHING behind. Against a real warehouse the same protocol
+    is staging tables + ``INSERT ... SELECT`` on commit.
+    """
+
+    def __init__(self, options, overwrite: bool):
+        import uuid
+
+        self.dest = options["path"]
+        self.overwrite = overwrite
+        self.staging = f"{self.dest}/_staging_{uuid.uuid4().hex}"
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.staging, exist_ok=True)
+        path = f"{self.staging}/task-{uuid.uuid4().hex}.parquet"
+        writer = None
+        rows = 0
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(path, batch.schema)
+            writer.write_batch(batch)
+            rows += batch.num_rows
+        if writer is not None:
+            writer.close()
+        else:
+            # empty partition still stages an empty marker-less file?
+            # no — stage nothing, report zero rows
+            return _StagedFile(path="", rows=0)
+        return _StagedFile(path=path, rows=rows)
+
+    def commit(self, messages):
+        import glob
+        import os
+        import shutil
+
+        os.makedirs(self.dest, exist_ok=True)
+        if self.overwrite:
+            for old in glob.glob(f"{self.dest}/*.parquet"):
+                os.remove(old)
+        for m in messages:
+            if m and m.path:
+                shutil.move(m.path, f"{self.dest}/{os.path.basename(m.path)}")
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class SqlBatchSinkDataSource(DataSource):
+    """``df.write.format("pypgsync_sink").option("path", dest)`` —
+    the batched, two-phase-commit destination (S4)."""
+
+    @classmethod
+    def name(cls):
+        return SINK_NAME
+
+    def writer(self, schema, overwrite: bool):
+        return SqlBatchArrowWriter(self.options, overwrite)
+
+
+def register_sql_sink(spark) -> None:
+    try:
+        spark.dataSource.register(SqlBatchSinkDataSource)
+    except Exception:
+        pass

@@ -214,3 +214,56 @@ def test_cdc_stream_end_to_end(spark, sf_small):
     got = spark.table("cdc_e2e_mem").collect()[0][0]
     want = spark.read.parquet(table_path(sf_small, "events")).count()
     assert got == want
+
+
+# ---------------- batched two-phase-commit sink ----------------
+
+
+def test_sink_writes_and_commits(spark, sf_small, tmp_path):
+    from pypgsync_spark.sources.pysource import register_sql_sink
+
+    register_sql_sink(spark)
+    dest = str(tmp_path / "sink_out")
+    src = spark.read.parquet(table_path(sf_small, "events"))
+    src.write.format("pypgsync_sink").option("path", dest).mode("append").save()
+    back = spark.read.parquet(dest)
+    assert back.count() == src.count()
+    import os
+
+    # staging fully cleaned after commit
+    assert not [d for d in os.listdir(dest) if d.startswith("_staging_")]
+
+
+def test_sink_overwrite_replaces(spark, sf_small, tmp_path):
+    from pypgsync_spark.sources.pysource import register_sql_sink
+
+    register_sql_sink(spark)
+    dest = str(tmp_path / "sink_ovw")
+    src = spark.read.parquet(table_path(sf_small, "events")).limit(100)
+    src.write.format("pypgsync_sink").option("path", dest).mode("append").save()
+    src.write.format("pypgsync_sink").option("path", dest).mode("overwrite").save()
+    assert spark.read.parquet(dest).count() == 100
+
+
+def test_sink_abort_leaves_nothing(spark, sf_small, tmp_path):
+    """A failing write job must not publish partial output (the
+    two-phase protocol's whole point)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pypgsync_spark.sources.pysource import register_sql_sink
+
+    register_sql_sink(spark)
+    dest = str(tmp_path / "sink_abort")
+    src = spark.read.parquet(table_path(sf_small, "events")).withColumn(
+        "boom",
+        F.udf(lambda v: (_ for _ in ()).throw(RuntimeError("boom")) if v is None or True else 1)(
+            F.col("event_id")
+        ),
+    )
+    with pytest.raises(Exception):
+        src.write.format("pypgsync_sink").option("path", dest).mode("append").save()
+    assert not os.path.exists(dest) or not [
+        f for f in os.listdir(dest) if f.endswith(".parquet")
+    ]
