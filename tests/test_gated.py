@@ -181,3 +181,31 @@ def test_gated_balance_rocksdb_provider(spark, tmp_path):
         spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
         != ROCKSDB_PROVIDER
     )
+
+
+def test_tws_gate_runs_or_is_cleanly_gated(spark, sf_small):
+    """transformWithState variant of the gate: executes where the
+    protobuf state-client runtime exists; otherwise the module must
+    report unavailability instead of crashing mid-query."""
+    import tempfile
+
+    import pytest as _pytest
+
+    from pypgsync_spark.catalog import table_path
+    from pypgsync_spark.queries.streamq import _events_stream_source
+    from pypgsync_spark.streaming.gated_tws import HAS_TWS_RUNTIME, gated_balance_tws
+
+    if not HAS_TWS_RUNTIME:
+        _pytest.skip("google.protobuf absent: transformWithState runtime unavailable")
+    schema = _events_stream_source(spark, sf_small)
+    ck = tempfile.mkdtemp(prefix="tws_gate_ck_")
+    got = gated_balance_tws(
+        spark, table_path(sf_small, "events"), schema, checkpoint_dir=ck
+    )
+    from pypgsync_spark.streaming.balance import batch_balance, qualifying
+    from pypgsync_spark.catalog import load_table
+
+    want = batch_balance(
+        qualifying(load_table(spark, sf_small, "events"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
