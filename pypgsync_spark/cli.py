@@ -49,6 +49,20 @@ def _build_parser() -> argparse.ArgumentParser:
             help="slice planning target (JDBC-faithful; reference 10M default)",
         )
         c.add_argument("--master", default=None, help="spark master override")
+        c.add_argument(
+            "--source-format",
+            choices=["parquet", "sql"],
+            default="parquet",
+            help="parquet = direct file scan; sql = range-partitioned "
+            "chunked cursors through the Python DataSource "
+            "(sources/pysource.py — the reference's slice machinery "
+            "executed, with DuckDB standing in for the RDBMS)",
+        )
+        c.add_argument(
+            "--partition-column",
+            default="event_id",
+            help="integer column to range-slice (sql source format)",
+        )
         if name == "continuous":
             c.add_argument(
                 "--delay", type=float, default=5.0, help="seconds between runs"
@@ -62,7 +76,16 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _load_source(spark: SparkSession, path: str) -> DataFrame:
+def _load_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    partition_column: str = "event_id",
+) -> DataFrame:
+    if fmt == "sql":
+        from pypgsync_spark.sources.pysource import read_sql_table
+
+        return read_sql_table(spark, path, partition_column)
     return spark.read.parquet(path)
 
 
@@ -71,7 +94,12 @@ def run_single(args, spark: SparkSession) -> dict:
 
     store = ParquetSyncedTable(spark, args.dest)
     stats = sync_table(
-        _load_source(spark, args.source),
+        _load_source(
+            spark,
+            args.source,
+            fmt=getattr(args, "source_format", "parquet"),
+            partition_column=getattr(args, "partition_column", "event_id"),
+        ),
         store,
         keys=args.keys.split(","),
         version_col=args.version_col,

@@ -107,3 +107,30 @@ def test_plan_slices_invariants(low, span, rows, target):
 
     assert len(plan.slices) <= max(1, math.ceil(rows / target)) + 1
     assert len(plan.slices) <= MAX_SLICES_PER_PLAN + 1
+
+
+def test_cli_single_syncs_via_sql_source(spark, sf_small, tmp_path, capsys):
+    """`single --source-format sql` drives the whole sync pipeline
+    through the Python DataSource's range-partitioned cursors."""
+    from pypgsync_spark.cli import main
+    from pypgsync_spark.catalog import load_table, table_path
+
+    dest = str(tmp_path / "dst_sql")
+    rc = main(
+        [
+            "single",
+            "--source", table_path(sf_small, "events"),
+            "--dest", dest,
+            "--keys", "event_id",
+            "--version-col", "event_id",
+            "--source-format", "sql",
+            "--partition-column", "event_id",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "synced:" in capsys.readouterr().out
+    from pypgsync_spark.sync import ParquetSyncedTable
+
+    n = load_table(spark, sf_small, "events").count()
+    assert ParquetSyncedTable(spark, dest).read().count() == n

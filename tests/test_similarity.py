@@ -109,3 +109,54 @@ def test_gemm_pairs_match_expression_pairs(spark, sf_small):
     assert set(fast) == set(exact)
     for k in fast:
         assert abs(fast[k] - exact[k]) < 1e-5
+
+
+def test_knn_join_matches_bruteforce(spark, sf_small):
+    """The local-top-k/global-top-k split is lossless: for every block
+    count (including B=1, a block count that doesn't divide N, and
+    more blocks than needed) the k-NN graph equals the brute-force
+    per-row ranking."""
+    import numpy as np
+
+    from pypgsync_spark.operators.similarity import knn_join
+
+    emb = _emb(spark, sf_small).limit(80)
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, -np.inf)
+    k = 3
+    want = {}
+    for i in range(len(ids)):
+        # sort by (-cos, nbr_id): same deterministic tie-break as the op
+        order = sorted(range(len(ids)), key=lambda j: (-sims[i, j], ids[j]))[:k]
+        want[int(ids[i])] = [(int(ids[j]), round(float(sims[i, j]), 6)) for j in order]
+
+    for n_blocks in (1, 3, 8):
+        got = {}
+        for r in knn_join(emb, k=k, n_blocks=n_blocks).collect():
+            got.setdefault(int(r["vec_id"]), []).append(
+                (int(r["nbr_id"]), r["cos_sim"])
+            )
+        for vid in got:
+            got[vid].sort(key=lambda t: (-t[1], t[0]))
+        assert set(got) == set(want), f"n_blocks={n_blocks}: id set differs"
+        for vid in want:
+            g, w = got[vid], want[vid]
+            assert [x[0] for x in g] == [x[0] for x in w], (
+                f"n_blocks={n_blocks} vec {vid}: {g} != {w}"
+            )
+            for (gn, gc), (wn, wc) in zip(g, w):
+                assert abs(gc - wc) < 1e-5
+
+
+def test_knn_join_k_larger_than_blocks(spark, sf_small):
+    """k bigger than some blocks' populations still returns k global
+    neighbors (candidates from other blocks fill in)."""
+    from pypgsync_spark.operators.similarity import knn_join
+
+    emb = _emb(spark, sf_small).limit(40)
+    out = knn_join(emb, k=10, n_blocks=8).groupBy("vec_id").count().collect()
+    assert all(r["count"] == 10 for r in out)
