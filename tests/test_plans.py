@@ -181,3 +181,53 @@ def test_events_range_pred_branches_on_legacy_nanos(spark):
     assert "ts_nanos" not in str(pred2)
     got2 = {r.event_id for r in micros.filter(pred2).collect()}
     assert got2 == {1000, 1500, 2000}
+
+
+def test_large_orders_aggregates_before_join(spark, sf_small):
+    """j15: the lineitem quantity rollup must appear BELOW the join —
+    aggregate-then-join collapses the fact table before any shuffle
+    join; join-then-aggregate would move the fact x dim product."""
+    p = plan_of(spark, sf_small, "j15_large_orders")
+    agg_pos = p.find("HashAggregate")
+    join_pos = p.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    # executedPlan prints top-down: the join must appear BEFORE (above)
+    # the aggregate that feeds it
+    assert join_pos < agg_pos, "lineitem aggregate is not below the join"
+    assert "BroadcastHashJoin" in p, "customer dim should broadcast"
+
+
+def test_multi_distinct_uses_single_expand(spark, sf_small):
+    """a15: two COUNT(DISTINCT) columns + a plain count must plan ONE
+    Expand (each row fans to one tagged row per distinct spec), not a
+    self-join per distinct column."""
+    p = plan_of(spark, sf_small, "a15_multi_distinct")
+    assert p.count("Expand") == 1, f"expected exactly one Expand:\n{p}"
+    assert "Join" not in p, "multi-distinct must not plan a self-join"
+
+
+def test_range_frame_is_value_bounded_window(spark, sf_small):
+    """w7: the trailing-24h frame must be a RANGE specification on the
+    millis order key (value-based membership), partitioned by user —
+    no single-partition window, no self-join formulation."""
+    p = plan_of(spark, sf_small, "w7_range_frame")
+    assert "specifiedwindowframe(RangeFrame" in p, f"no RANGE frame:\n{p}"
+    assert "Join" not in p
+    assert "partitionspec(user_id" in p.replace(" ", "").lower() or "user_id" in p
+
+
+def test_late_shipments_single_fact_shuffle(spark, sf_small):
+    """j14: lineitem joins orders once on the orderkey; the priority
+    rollup must be map-side combined (partial aggregate), adding no
+    second fact-table shuffle."""
+    p = plan_of(spark, sf_small, "j14_late_shipments")
+    assert "partial_count" in p or "partial" in p, "rollup lacks map-side combine"
+
+
+def test_knn_join_shuffles_candidates_not_scores(spark, sf_small):
+    """v7: after the block-GEMM stage the plan must reduce via a
+    row_number window over the B*k candidates; no cartesian/nested
+    loop (covered registry-wide) and no global sort."""
+    p = plan_of(spark, sf_small, "v7_knn_join")
+    assert "RunningWindowFunction" in p or "Window" in p
+    assert "GlobalLimit" not in p or "TakeOrdered" not in p
