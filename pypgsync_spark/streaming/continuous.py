@@ -57,3 +57,49 @@ def stream_sync(
     )
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     return writer.start()
+
+
+def stream_sync_cdc(
+    spark: SparkSession,
+    table_path: str,
+    partition_column: str,
+    store: ParquetSyncedTable,
+    keys: list[str],
+    version_col: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    num_partitions: int = 4,
+    batch_rows: list[int] | None = None,
+):
+    """The complete reference pipeline on the CDC streaming source:
+    ``pypgsync_cdc`` (sources/pysource.py) polls MAX(partition_column)
+    per micro-batch and reads the (last, max] delta through
+    range-partitioned SQL cursors; each batch LWW-merges into
+    ``store`` via foreachBatch. Offsets ride the checkpoint, the merge
+    is idempotent on the keys — restartable, effectively-once, and a
+    restarted run re-reads NOTHING already committed (unlike the
+    reference, whose watermark update and destination write are not
+    atomic: a crash between them re-applies rows).
+
+    ``batch_rows``: optional list collecting per-epoch input row
+    counts (test/observability hook).
+    """
+    from pypgsync_spark.sources.pysource import read_cdc_stream
+
+    src = read_cdc_stream(
+        spark, table_path, partition_column, num_partitions=num_partitions
+    )
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch_rows is not None:
+            batch_rows.append(batch.count())
+        delta = latest_per_key(batch, keys, version_col)
+        dst = store.read()
+        merged = delta if dst is None else upsert_merge(dst, delta, keys, version_col)
+        store.write(merged)
+
+    writer = src.writeStream.foreachBatch(merge_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()

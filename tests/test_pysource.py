@@ -267,3 +267,59 @@ def test_sink_abort_leaves_nothing(spark, sf_small, tmp_path):
     assert not os.path.exists(dest) or not [
         f for f in os.listdir(dest) if f.endswith(".parquet")
     ]
+
+
+def test_cdc_foreachbatch_sync_restart_reads_only_delta(spark, tmp_path):
+    """The complete pipeline on the CDC source, across a RESTART: run 1
+    syncs the initial table; new rows (including updated versions of
+    existing keys) land; run 2 with the SAME checkpoint must read ONLY
+    the delta and the destination must show last-writer-wins."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pypgsync_spark.streaming.continuous import stream_sync_cdc
+    from pypgsync_spark.sync import ParquetSyncedTable
+
+    tbl = tmp_path / "cdc_tbl"
+    tbl.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "row_id": list(range(10)),
+                "key": [i % 5 for i in range(10)],
+                "val": [float(i) for i in range(10)],
+            }
+        ),
+        tbl / "p0.parquet",
+    )
+    store = ParquetSyncedTable(spark, str(tmp_path / "cdc_dst"))
+    ck = str(tmp_path / "cdc_ck")
+    counts1: list[int] = []
+    q = stream_sync_cdc(
+        spark, f"{tbl}/*.parquet", "row_id", store,
+        keys=["key"], version_col="row_id", checkpoint_dir=ck,
+        batch_rows=counts1,
+    )
+    q.awaitTermination()
+    assert sum(counts1) == 10
+    d1 = {r["key"]: r["val"] for r in store.read().collect()}
+    # LWW within run 1: key k's latest row_id wins (row_id 5..9)
+    assert d1 == {k: float(k + 5) for k in range(5)}
+
+    # delta arrives: keys 0-1 updated, key 97 new
+    pq.write_table(
+        pa.table(
+            {"row_id": [10, 11, 12], "key": [0, 1, 97], "val": [100.0, 101.0, 97.0]}
+        ),
+        tbl / "p1.parquet",
+    )
+    counts2: list[int] = []
+    q2 = stream_sync_cdc(
+        spark, f"{tbl}/*.parquet", "row_id", store,
+        keys=["key"], version_col="row_id", checkpoint_dir=ck,
+        batch_rows=counts2,
+    )
+    q2.awaitTermination()
+    assert sum(counts2) == 3, f"restart re-read more than the delta: {counts2}"
+    d2 = {r["key"]: r["val"] for r in store.read().collect()}
+    assert d2 == {0: 100.0, 1: 101.0, 2: 7.0, 3: 8.0, 4: 9.0, 97: 97.0}
