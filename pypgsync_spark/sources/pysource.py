@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -464,9 +465,91 @@ class SqlBatchSinkDataSource(DataSource):
     def writer(self, schema, overwrite: bool):
         return SqlBatchArrowWriter(self.options, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool):  # noqa: N802
+        return SqlBatchStreamArrowWriter(self.options)
+
 
 def register_sql_sink(spark) -> None:
     try:
         spark.dataSource.register(SqlBatchSinkDataSource)
     except Exception:
         pass
+
+
+class SqlBatchStreamArrowWriter(DataSourceStreamArrowWriter):
+    """Streaming side of the batched sink: per-micro-batch two-phase
+    commit with batch-id idempotency.
+
+    Tasks stage their Arrow batches exactly like the batch writer; the
+    driver's ``commit(messages, batchId)`` publishes them under
+    ``batch=<id>-`` prefixed names and drops a ``_committed_<id>``
+    marker FIRST — a replayed micro-batch (crash between sink commit
+    and checkpoint advance) sees its marker and publishes nothing, so
+    the destination holds each batch's rows exactly once. This is the
+    effectively-once contract the reference's non-atomic
+    watermark-then-write loop cannot give (a crash between its two
+    steps re-applies rows)."""
+
+    def __init__(self, options):
+        import uuid
+
+        self.dest = options["path"]
+        self.staging = f"{self.dest}/_staging_stream_{uuid.uuid4().hex}"
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.staging, exist_ok=True)
+        path = f"{self.staging}/task-{uuid.uuid4().hex}.parquet"
+        writer = None
+        rows = 0
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(path, batch.schema)
+            writer.write_batch(batch)
+            rows += batch.num_rows
+        if writer is None:
+            return _StagedFile(path="", rows=0)
+        writer.close()
+        return _StagedFile(path=path, rows=rows)
+
+    def _marker(self, batch_id: int) -> str:
+        return f"{self.dest}/_committed_{batch_id}"
+
+    def commit(self, messages, batchId):  # noqa: N803 (Spark API name)
+        import os
+        import shutil
+
+        os.makedirs(self.dest, exist_ok=True)
+        if os.path.exists(self._marker(batchId)):
+            # replayed micro-batch: already published — drop the stage
+            self._clean_staging()
+            return
+        for m in messages:
+            if m and m.path:
+                shutil.move(
+                    m.path,
+                    f"{self.dest}/batch={batchId}-{os.path.basename(m.path)}",
+                )
+        with open(self._marker(batchId), "w") as f:
+            f.write("")
+        self._clean_staging()
+
+    def _clean_staging(self) -> None:
+        # the driver-side instance and the pickled task-side copies may
+        # not share one staging uuid (Spark can construct the committer
+        # separately from the writer) — staged files are MOVED before
+        # cleanup, so sweeping every stream-staging dir of this
+        # destination is safe under the one-writer-per-destination
+        # contract streaming queries already have
+        import glob
+        import shutil
+
+        for d in glob.glob(f"{self.dest}/_staging_stream_*"):
+            shutil.rmtree(d, ignore_errors=True)
+
+    def abort(self, messages, batchId):  # noqa: N803
+        self._clean_staging()

@@ -323,3 +323,54 @@ def test_cdc_foreachbatch_sync_restart_reads_only_delta(spark, tmp_path):
     assert sum(counts2) == 3, f"restart re-read more than the delta: {counts2}"
     d2 = {r["key"]: r["val"] for r in store.read().collect()}
     assert d2 == {0: 100.0, 1: 101.0, 2: 7.0, 3: 8.0, 4: 9.0, 97: 97.0}
+
+
+def test_stream_sink_end_to_end_and_batch_markers(spark, sf_small, tmp_path):
+    """writeStream.format('pypgsync_sink'): a CDC-source stream lands
+    in the destination through per-micro-batch two-phase commits."""
+    import os
+
+    from pypgsync_spark.sources.pysource import read_cdc_stream, register_sql_sink
+
+    register_sql_sink(spark)
+    dest = str(tmp_path / "stream_sink_out")
+    src = read_cdc_stream(spark, table_path(sf_small, "events"), "event_id")
+    q = (
+        src.writeStream.format("pypgsync_sink")
+        .option("path", dest)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(f"{dest}/batch=*")
+    want = spark.read.parquet(table_path(sf_small, "events"))
+    assert got.count() == want.count()
+    markers = [f for f in os.listdir(dest) if f.startswith("_committed_")]
+    assert markers, "commit must leave a batch marker"
+    assert not [d for d in os.listdir(dest) if d.startswith("_staging_")]
+
+
+def test_stream_sink_replayed_batch_publishes_once(tmp_path):
+    """Driver-side idempotency: commit(messages, batchId) called twice
+    for the same batch id (the crash-replay shape) must publish the
+    rows exactly once."""
+    import os
+
+    import pyarrow as pa
+
+    from pypgsync_spark.sources.pysource import SqlBatchStreamArrowWriter
+
+    dest = str(tmp_path / "replay_dst")
+    w1 = SqlBatchStreamArrowWriter({"path": dest})
+    batch = pa.record_batch({"x": pa.array([1, 2, 3], type=pa.int64())})
+    msg = w1.write(iter([batch]))
+    w1.commit([msg], batchId=7)
+    n1 = len([f for f in os.listdir(dest) if f.endswith(".parquet")])
+
+    # replay: a fresh writer instance (new epoch attempt), same batchId
+    w2 = SqlBatchStreamArrowWriter({"path": dest})
+    msg2 = w2.write(iter([batch]))
+    w2.commit([msg2], batchId=7)
+    n2 = len([f for f in os.listdir(dest) if f.endswith(".parquet")])
+    assert n1 == n2 == 1, "replayed batch must not re-publish"
