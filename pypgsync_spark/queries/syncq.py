@@ -491,3 +491,58 @@ def s4c_pysink_batched_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
     )
+
+
+@register(
+    "s7b_zorder_roundtrip",
+    bench=36,
+    survey="S7,ext:layout",
+    doc="Z-order clustered destination round-trip: events written "
+    "range-partitioned + sorted on the interleaved (user_id, "
+    "updated_ms) key (sources/layout.py — parquet min/max goes tight "
+    "in BOTH dimensions; skipping measured in tests/test_layout.py), "
+    "then read back through a two-dimensional predicate and "
+    "aggregated. The oracle states the same predicate over the "
+    "original table, so the driver hash-checks that the re-layout "
+    "preserved content exactly.",
+    oracle="""
+    SELECT user_id, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    WHERE user_id <= 5 AND epoch_ms(ts) < 1705708800000
+    GROUP BY user_id
+    """,
+)
+def s7b_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from pypgsync_spark.sources.layout import write_zordered
+
+    df = _events_ms(spark, sf_dir).select("event_id", "user_id", "updated_ms", "value")
+    row = df.agg(
+        F.min("updated_ms").alias("lo"),
+        F.max("updated_ms").alias("hi"),
+        F.max("user_id").alias("nu"),
+    ).first()
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"pypgsync_zorder_{tag}")
+    write_zordered(
+        df,
+        dest,
+        cols=[
+            ("user_id", 0.0, float(row["nu"])),
+            ("updated_ms", float(row["lo"]), float(row["hi"])),
+        ],
+        n_files=16,
+    )
+    back = spark.read.parquet(dest)
+    return (
+        back.filter((F.col("user_id") <= 5) & (F.col("updated_ms") < MS_JAN20))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
