@@ -54,6 +54,7 @@ from pyspark.sql.datasource import (
 SOURCE_NAME = "pypgsync_sql"
 CDC_SOURCE_NAME = "pypgsync_cdc"
 SINK_NAME = "pypgsync_sink"
+UPSERT_SINK_NAME = "pypgsync_upsert"
 
 # DuckDB → Spark DDL (the fixture tables' surface; extend as needed).
 _TYPE_MAP = {
@@ -553,3 +554,142 @@ class SqlBatchStreamArrowWriter(DataSourceStreamArrowWriter):
 
     def abort(self, messages, batchId):  # noqa: N803
         self._clean_staging()
+
+
+class SqlUpsertArrowWriter(DataSourceArrowWriter):
+    """S3 — the reference's ``INSERT ... ON CONFLICT`` upsert sink,
+    EXECUTED against the stand-in SQL engine.
+
+    Tasks stage their partitions as Arrow-written parquet (parallel,
+    batched — S4); the driver's ``commit()`` then runs ONE
+    ``INSERT ... SELECT ... ON CONFLICT (keys) DO UPDATE`` over all
+    staged files inside the destination engine: batch-internal
+    duplicates collapse to the highest version first (QUALIFY
+    row_number), and the conflict clause applies last-writer-wins —
+    ``WHERE excluded.version > current.version`` — so replaying a
+    stale delta cannot regress a row (the reference applies deltas in
+    ``ORDER BY updated`` and has no such guard; its semantics are
+    reproduced, its order-sensitivity is not). Staging + driver-side
+    merge is exactly the "staging table + INSERT..SELECT" shape the
+    two-phase sink documents for real warehouses — here the merge SQL
+    actually runs.
+    """
+
+    def __init__(self, options):
+        import uuid
+
+        self.db_path = options["db_path"]
+        self.table = options["table"]
+        self.keys = [k.strip() for k in options["keys"].split(",") if k.strip()]
+        self.version_col = options.get("version_col")
+        staging_root = options.get(
+            "staging_dir", self.db_path + "_staging"
+        )
+        self.staging = f"{staging_root}_{uuid.uuid4().hex}"
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.staging, exist_ok=True)
+        path = f"{self.staging}/task-{uuid.uuid4().hex}.parquet"
+        writer = None
+        rows = 0
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(path, batch.schema)
+            writer.write_batch(batch)
+            rows += batch.num_rows
+        if writer is None:
+            return _StagedFile(path="", rows=0)
+        writer.close()
+        return _StagedFile(path=path, rows=rows)
+
+    def _q(self, name: str) -> str:
+        return '"' + name.replace('"', '""') + '"'
+
+    def commit(self, messages):
+        import glob
+        import shutil
+
+        import duckdb
+
+        files = [m.path for m in messages if m and m.path]
+        if not files:
+            shutil.rmtree(self.staging, ignore_errors=True)
+            return
+        file_list = ", ".join(f"'{p}'" for p in files)
+        src = f"read_parquet([{file_list}])"
+        con = duckdb.connect(self.db_path)
+        try:
+            cols = [
+                (name, dtype)
+                for name, dtype, *_ in con.execute(
+                    f"DESCRIBE SELECT * FROM {src}"
+                ).fetchall()
+            ]
+            exists = con.execute(
+                "SELECT count(*) FROM duckdb_tables() WHERE table_name = ?",
+                [self.table],
+            ).fetchone()[0]
+            if not exists:
+                ddl_cols = ", ".join(f"{self._q(n)} {t}" for n, t in cols)
+                pk = ", ".join(self._q(k) for k in self.keys)
+                con.execute(
+                    f"CREATE TABLE {self._q(self.table)} "
+                    f"({ddl_cols}, PRIMARY KEY ({pk}))"
+                )
+            non_keys = [n for n, _ in cols if n not in self.keys]
+            set_clause = ", ".join(
+                f"{self._q(c)} = excluded.{self._q(c)}" for c in non_keys
+            )
+            pk_list = ", ".join(self._q(k) for k in self.keys)
+            if self.version_col:
+                order = f"{self._q(self.version_col)} DESC"
+                guard = (
+                    f" WHERE excluded.{self._q(self.version_col)} > "
+                    f"{self._q(self.table)}.{self._q(self.version_col)}"
+                )
+            else:
+                order = ", ".join(f"{self._q(n)}" for n, _ in cols)
+                guard = ""
+            con.execute(
+                f"INSERT INTO {self._q(self.table)} "
+                f"SELECT * FROM {src} "
+                f"QUALIFY row_number() OVER "
+                f"(PARTITION BY {pk_list} ORDER BY {order}) = 1 "
+                f"ON CONFLICT ({pk_list}) DO UPDATE SET {set_clause}{guard}"
+            )
+        finally:
+            con.close()
+        shutil.rmtree(self.staging, ignore_errors=True)
+        for d in glob.glob(f"{self.db_path}_staging_*"):
+            shutil.rmtree(d, ignore_errors=True)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class SqlUpsertSinkDataSource(DataSource):
+    """``df.write.format("pypgsync_upsert")`` — options: ``db_path``
+    (DuckDB database file, the stand-in destination engine), ``table``,
+    ``keys`` (comma-separated PK), optional ``version_col`` for the
+    last-writer-wins guard."""
+
+    @classmethod
+    def name(cls):
+        return UPSERT_SINK_NAME
+
+    def writer(self, schema, overwrite: bool):
+        return SqlUpsertArrowWriter(self.options)
+
+
+def register_upsert_sink(spark) -> None:
+    try:
+        spark.dataSource.register(SqlUpsertSinkDataSource)
+    except Exception:
+        pass

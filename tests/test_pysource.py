@@ -374,3 +374,75 @@ def test_stream_sink_replayed_batch_publishes_once(tmp_path):
     w2.commit([msg2], batchId=7)
     n2 = len([f for f in os.listdir(dest) if f.endswith(".parquet")])
     assert n1 == n2 == 1, "replayed batch must not re-publish"
+
+
+# ---------------- SQL upsert sink (INSERT .. ON CONFLICT) ----------------
+
+
+def test_upsert_sink_lww_merge(spark, tmp_path):
+    """The reference's INSERT..ON CONFLICT executed: initial load,
+    then a delta with a newer version, a STALE version, an
+    intra-batch duplicate, and a new key."""
+    import duckdb
+
+    from pypgsync_spark.sources.pysource import register_upsert_sink
+
+    register_upsert_sink(spark)
+    db = str(tmp_path / "dest.duckdb")
+
+    def upsert(rows):
+        df = spark.createDataFrame(rows, "k long, v double, ver long")
+        (
+            df.write.format("pypgsync_upsert")
+            .option("db_path", db)
+            .option("table", "dst")
+            .option("keys", "k")
+            .option("version_col", "ver")
+            .mode("append")
+            .save()
+        )
+
+    upsert([(1, 1.0, 10), (2, 2.0, 10), (3, 3.0, 10)])
+    upsert(
+        [
+            (1, 99.0, 20),   # newer version wins
+            (2, 0.5, 5),     # STALE: must not regress row 2
+            (4, 4.0, 1),     # new key
+            (4, 44.0, 7),    # intra-batch dup: highest ver wins
+        ]
+    )
+    got = dict(
+        (k, (v, ver))
+        for k, v, ver in duckdb.connect(db).execute(
+            "SELECT k, v, ver FROM dst ORDER BY k"
+        ).fetchall()
+    )
+    assert got == {
+        1: (99.0, 20),
+        2: (2.0, 10),
+        3: (3.0, 10),
+        4: (44.0, 7),
+    }
+    import glob
+
+    assert not glob.glob(f"{db}_staging_*"), "staging must be cleaned"
+
+
+def test_upsert_sink_idempotent_replay(spark, tmp_path):
+    """Re-applying the same delta is a no-op (version guard)."""
+    import duckdb
+
+    from pypgsync_spark.sources.pysource import register_upsert_sink
+
+    register_upsert_sink(spark)
+    db = str(tmp_path / "replay.duckdb")
+    df = spark.createDataFrame([(1, 1.0, 5), (2, 2.0, 5)], "k long, v double, ver long")
+    for _ in range(2):
+        (
+            df.write.format("pypgsync_upsert")
+            .option("db_path", db).option("table", "dst")
+            .option("keys", "k").option("version_col", "ver")
+            .mode("append").save()
+        )
+    rows = duckdb.connect(db).execute("SELECT count(*), sum(v) FROM dst").fetchone()
+    assert rows == (2, 3.0)
