@@ -687,9 +687,33 @@ class SqlUpsertSinkDataSource(DataSource):
     def writer(self, schema, overwrite: bool):
         return SqlUpsertArrowWriter(self.options)
 
+    def streamWriter(self, schema, overwrite: bool):  # noqa: N802
+        return SqlUpsertStreamArrowWriter(self.options)
+
 
 def register_upsert_sink(spark) -> None:
     try:
         spark.dataSource.register(SqlUpsertSinkDataSource)
     except Exception:
         pass
+
+
+class SqlUpsertStreamArrowWriter(DataSourceStreamArrowWriter):
+    """Streaming upsert: each micro-batch merges through the same
+    ``INSERT .. ON CONFLICT`` as the batch writer. No batch-id marker
+    is needed — the version guard makes a replayed epoch a semantic
+    no-op (every row it carries already lost or tied the version
+    comparison), which is idempotency enforced by the MERGE ITSELF
+    rather than by sink bookkeeping."""
+
+    def __init__(self, options):
+        self._delegate = SqlUpsertArrowWriter(options)
+
+    def write(self, iterator):
+        return self._delegate.write(iterator)
+
+    def commit(self, messages, batchId):  # noqa: N803
+        self._delegate.commit(messages)
+
+    def abort(self, messages, batchId):  # noqa: N803
+        self._delegate.abort(messages)

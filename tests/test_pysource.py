@@ -446,3 +446,68 @@ def test_upsert_sink_idempotent_replay(spark, tmp_path):
         )
     rows = duckdb.connect(db).execute("SELECT count(*), sum(v) FROM dst").fetchone()
     assert rows == (2, 3.0)
+
+
+def test_full_sql_to_sql_streaming_sync(spark, tmp_path):
+    """The complete reference pipeline, SQL to SQL: the CDC source
+    polls the source table's delta, Spark streams it, and the upsert
+    sink merges each micro-batch into the destination engine with
+    INSERT..ON CONFLICT. Restart with the same checkpoint processes
+    only the delta; LWW holds across runs."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pypgsync_spark.sources.pysource import (
+        read_cdc_stream,
+        register_upsert_sink,
+    )
+
+    register_upsert_sink(spark)
+    src_tbl = tmp_path / "src_tbl"
+    src_tbl.mkdir()
+    pq.write_table(
+        pa.table(
+            {"row_id": [0, 1, 2], "k": [10, 11, 10], "v": [1.0, 2.0, 1.5]}
+        ),
+        src_tbl / "p0.parquet",
+    )
+    db = str(tmp_path / "sql_dst.duckdb")
+    ck = str(tmp_path / "sql_ck")
+
+    def run():
+        q = (
+            read_cdc_stream(spark, f"{src_tbl}/*.parquet", "row_id")
+            .writeStream.format("pypgsync_upsert")
+            .option("db_path", db)
+            .option("table", "dst")
+            .option("keys", "k")
+            .option("version_col", "row_id")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    got = dict(
+        (k, (v, r))
+        for k, v, r in duckdb.connect(db).execute(
+            "SELECT k, v, row_id FROM dst ORDER BY k"
+        ).fetchall()
+    )
+    assert got == {10: (1.5, 2), 11: (2.0, 1)}
+
+    # source grows: an update for k=11 and a new key
+    pq.write_table(
+        pa.table({"row_id": [3, 4], "k": [11, 12], "v": [20.0, 12.0]}),
+        src_tbl / "p1.parquet",
+    )
+    run()
+    got2 = dict(
+        (k, (v, r))
+        for k, v, r in duckdb.connect(db).execute(
+            "SELECT k, v, row_id FROM dst ORDER BY k"
+        ).fetchall()
+    )
+    assert got2 == {10: (1.5, 2), 11: (20.0, 3), 12: (12.0, 4)}
