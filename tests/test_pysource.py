@@ -511,3 +511,70 @@ def test_full_sql_to_sql_streaming_sync(spark, tmp_path):
         ).fetchall()
     )
     assert got2 == {10: (1.5, 2), 11: (20.0, 3), 12: (12.0, 4)}
+
+
+# ---------------- edge cases ----------------
+
+
+def test_schema_rejects_unmapped_type(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from pypgsync_spark.sources.pysource import SqlSliceDataSource
+
+    p = tmp_path / "weird.parquet"
+    # map type has no entry in the DDL map — must fail LOUDLY at plan
+    # time, not produce a corrupt schema
+    pq.write_table(
+        pa.table({"m": pa.array([{"a": 1}], type=pa.map_(pa.string(), pa.int64()))}),
+        p,
+    )
+    ds = SqlSliceDataSource(options={"table_path": str(p)})
+    with _pytest.raises(ValueError, match="unmapped source type"):
+        ds.schema()
+
+
+def test_cdc_empty_source_table(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pypgsync_spark.sources.pysource import SqlCdcStreamReader
+
+    d = tmp_path / "empty_tbl"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"event_id": pa.array([], type=pa.int64())}), d / "p.parquet"
+    )
+    r = SqlCdcStreamReader(
+        schema=None,
+        options={"table_path": f"{d}/*.parquet", "partition_column": "event_id"},
+    )
+    end = r.latestOffset()
+    assert end == {"last": -1}  # nothing to emit, offset unchanged
+    parts = r.partitions(r.initialOffset(), end)
+    assert sum(b.num_rows for p in parts for b in r.read(p)) == 0
+
+
+def test_upsert_sink_without_version_col(spark, tmp_path):
+    """No version_col: conflict resolution is plain DO UPDATE with a
+    deterministic intra-batch collapse — re-upserting replaces."""
+    import duckdb
+
+    from pypgsync_spark.sources.pysource import register_upsert_sink
+
+    register_upsert_sink(spark)
+    db = str(tmp_path / "nover.duckdb")
+
+    def upsert(rows):
+        (
+            spark.createDataFrame(rows, "k long, v double")
+            .write.format("pypgsync_upsert")
+            .option("db_path", db).option("table", "dst").option("keys", "k")
+            .mode("append").save()
+        )
+
+    upsert([(1, 1.0), (2, 2.0)])
+    upsert([(1, 9.0), (3, 3.0)])
+    got = dict(duckdb.connect(db).execute("SELECT k, v FROM dst").fetchall())
+    assert got == {1: 9.0, 2: 2.0, 3: 3.0}
