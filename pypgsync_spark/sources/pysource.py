@@ -647,13 +647,26 @@ class SqlUpsertArrowWriter(DataSourceArrowWriter):
             )
             pk_list = ", ".join(self._q(k) for k in self.keys)
             if self.version_col:
-                order = f"{self._q(self.version_col)} DESC"
+                # deterministic intra-batch collapse: version first,
+                # then every remaining column — two rows carrying the
+                # SAME (key, version) must not pick a winner by input
+                # order (task scheduling would decide the table's
+                # content)
+                others = [
+                    n
+                    for n, _ in cols
+                    if n not in self.keys and n != self.version_col
+                ]
+                order = ", ".join(
+                    [f"{self._q(self.version_col)} DESC"]
+                    + [f"{self._q(c)} DESC" for c in others]
+                )
                 guard = (
                     f" WHERE excluded.{self._q(self.version_col)} > "
                     f"{self._q(self.table)}.{self._q(self.version_col)}"
                 )
             else:
-                order = ", ".join(f"{self._q(n)}" for n, _ in cols)
+                order = ", ".join(f"{self._q(n)} DESC" for n, _ in cols)
                 guard = ""
             con.execute(
                 f"INSERT INTO {self._q(self.table)} "

@@ -578,3 +578,53 @@ def test_upsert_sink_without_version_col(spark, tmp_path):
     upsert([(1, 9.0), (3, 3.0)])
     got = dict(duckdb.connect(db).execute("SELECT k, v FROM dst").fetchall())
     assert got == {1: 9.0, 2: 2.0, 3: 3.0}
+
+
+def test_upsert_sink_random_sequences_equal_model(spark, tmp_path):
+    """Model-based: seeded random batch sequences (dup keys, dup
+    versions, stale rows) upserted through the sink equal a dict
+    model applying the same deterministic rules — intra-batch winner
+    is max (version, value), cross-batch only strictly newer versions
+    replace."""
+    import random
+
+    import duckdb
+
+    from pypgsync_spark.sources.pysource import register_upsert_sink
+
+    register_upsert_sink(spark)
+    for seed in (7, 42):
+        rng = random.Random(seed)
+        db = str(tmp_path / f"model_{seed}.duckdb")
+        model: dict[int, tuple[float, int]] = {}
+        for _batch in range(3):
+            rows = [
+                (
+                    rng.randrange(6),                 # key: collisions likely
+                    float(rng.randrange(100)),        # value
+                    rng.randrange(4),                 # version: dups likely
+                )
+                for _ in range(rng.randrange(1, 12))
+            ]
+            (
+                spark.createDataFrame(rows, "k long, v double, ver long")
+                .write.format("pypgsync_upsert")
+                .option("db_path", db).option("table", "dst")
+                .option("keys", "k").option("version_col", "ver")
+                .mode("append").save()
+            )
+            batch_best: dict[int, tuple[int, float]] = {}
+            for k, v, ver in rows:
+                cand = (ver, v)
+                if k not in batch_best or cand > batch_best[k]:
+                    batch_best[k] = cand
+            for k, (ver, v) in batch_best.items():
+                if k not in model or ver > model[k][1]:
+                    model[k] = (v, ver)
+        got = {
+            k: (v, ver)
+            for k, v, ver in duckdb.connect(db).execute(
+                "SELECT k, v, ver FROM dst"
+            ).fetchall()
+        }
+        assert got == model, f"seed {seed}: sink diverged from model"
