@@ -21,6 +21,21 @@ driver-testable in this sandbox*, with DuckDB standing in for the RDBMS:
   analogue of predicate pushdown reaching the scan; unsupported filters
   are handed back for Spark to evaluate post-scan.
 
+The module carries the full source/sink matrix on this contract:
+
+- ``pypgsync_sql`` — batch reader (S1/S2, above);
+- ``pypgsync_cdc`` — the continuous polling loop as a streaming
+  source: MAX-probe per micro-batch, delta sliced by the same interval
+  planner, offsets in the checkpoint (:class:`SqlCdcStreamReader`);
+- ``pypgsync_sink`` — batched file destination with a real two-phase
+  commit, batch and streaming (staged per-task Arrow cursors, driver
+  publish, abort leaves nothing; streaming epochs are replay-guarded
+  by a batch-id marker);
+- ``pypgsync_upsert`` — the reference's ``INSERT .. ON CONFLICT``
+  EXECUTED in the destination engine at commit, batch and streaming
+  (version-guarded last-writer-wins: stale or replayed deltas are
+  semantic no-ops, so the streaming form needs no marker bookkeeping).
+
 At 100 TB the same class points at a real warehouse (any DB-API/ADBC
 engine that emits Arrow); the slice planner, chunked fetch, and filter
 compilation are engine-agnostic. Sandbox caveat: DuckDB runs in-process
