@@ -156,18 +156,24 @@ def _load_all() -> None:
     # d2/d5 broken at HEAD yet absent from an all-green sweep, because
     # the old rotation keyed on last-green-round alone; the round-5
     # verdict then found the module-mtime successor re-staled 51
-    # untouched queries whenever a sibling was edited). Within equal
-    # staleness, bench-tagged queries go first (they run every round
-    # regardless, so a broken one fails the bench too), then ascending
-    # last-green round, then registration order. With the driver's
-    # 50-row cap this still ROTATES: re-checked queries move back,
-    # stale ones come around.
+    # untouched queries whenever a sibling was edited). Within the
+    # stale set, REGRESSION RISK outranks novelty: a previously-green
+    # query whose closure changed sorts before a never-verified one —
+    # the former is working code that an edit may have broken (exactly
+    # the r3 d2/d5 failure mode), the latter ships with fresh pytest +
+    # local-oracle coverage and can wait a round for its driver row
+    # without leaving changed code unvouched. Then bench-tagged
+    # queries (they run every round regardless, so a broken one fails
+    # the bench too), then ascending last-green round, then
+    # registration order. With the driver's 50-row cap this still
+    # ROTATES: re-checked queries move back, stale ones come around.
     last = _last_green_round()
     recorded = _recorded_fingerprints()
     ordered = sorted(
         enumerate(REGISTRY.items()),
         key=lambda t: (
             0 if _is_stale(t[1][0], t[1][1], last.get(t[1][0], 0), recorded) else 1,
+            0 if last.get(t[1][0], 0) > 0 else 1,
             0 if t[1][1].bench is not None else 1,
             last.get(t[1][0], 0),
             t[0],
