@@ -546,3 +546,95 @@ def s7b_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
         )
     )
+
+
+_S5_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "documents",
+    "embeddings",
+)
+
+
+@register(
+    "s5_ddl_clone",
+    survey="S5",
+    doc="DDL clone of the source schema (ddl.py, reference "
+    "session.py:194-197): reflect every fixture table's Spark schema "
+    "and emit the (table, ordinal, column, pg_type) manifest the "
+    "CREATE TABLE clone renders. The oracle derives the SAME manifest "
+    "from DuckDB's independent reflection of the same parquet "
+    "(information_schema.columns), so the driver hash-checks the "
+    "engine's schema reflection and its Spark→Postgres type mapping "
+    "against a second engine's read of identical storage. Events is "
+    "excluded: its physical timestamp type is fixture-generation-"
+    "dependent (TIMESTAMP(NANOS) generations surface as bigint via "
+    "catalog.ensure_events_ts), so the two engines legitimately "
+    "disagree there.",
+    oracle="""
+    SELECT table_name,
+           CAST(ordinal_position AS INT) AS ordinal,
+           column_name,
+           CASE data_type
+             WHEN 'TINYINT'   THEN 'smallint'
+             WHEN 'SMALLINT'  THEN 'smallint'
+             WHEN 'INTEGER'   THEN 'integer'
+             WHEN 'BIGINT'    THEN 'bigint'
+             WHEN 'FLOAT'     THEN 'real'
+             WHEN 'DOUBLE'    THEN 'double precision'
+             WHEN 'VARCHAR'   THEN 'text'
+             WHEN 'BOOLEAN'   THEN 'boolean'
+             WHEN 'BLOB'      THEN 'bytea'
+             WHEN 'DATE'      THEN 'date'
+             WHEN 'TIMESTAMP' THEN 'timestamp'
+             WHEN 'FLOAT[]'   THEN 'real[]'
+             WHEN 'DOUBLE[]'  THEN 'double precision[]'
+             WHEN 'BIGINT[]'  THEN 'bigint[]'
+             ELSE lower(data_type)
+           END AS pg_type
+    FROM information_schema.columns
+    WHERE table_name IN ('region','nation','customer','supplier','part',
+                         'orders','lineitem','documents','embeddings')
+    ORDER BY table_name, ordinal
+    """,
+)
+def s5_ddl_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.ddl import schema_manifest
+
+    tables = {n: load_table(spark, sf_dir, n) for n in _S5_TABLES}
+    return schema_manifest(spark, tables).orderBy("table_name", "ordinal")
+
+
+@register(
+    "s6_catalog_checks",
+    survey="S6",
+    doc="Catalog existence checks (ddl.py:check_tables, reference "
+    "session.py:170-192): probe the session catalog for every fixture "
+    "table plus a deliberately-missing name and return "
+    "(table_name, table_exists). The oracle runs the same probe "
+    "against DuckDB's information_schema.tables via a VALUES "
+    "anti-join, so the driver verifies the engine's catalog resolution "
+    "— including the negative case the reference raises on — not just "
+    "a hardcoded list.",
+    oracle="""
+    SELECT v.name AS table_name,
+           t.table_name IS NOT NULL AS table_exists
+    FROM (VALUES ('region'),('nation'),('customer'),('supplier'),
+                 ('part'),('orders'),('lineitem'),('events'),
+                 ('documents'),('embeddings'),('no_such_table')) v(name)
+    LEFT JOIN information_schema.tables t ON t.table_name = v.name
+    ORDER BY table_name
+    """,
+)
+def s6_catalog_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.catalog import TABLES, register_views
+    from pypgsync_spark.ddl import check_tables
+
+    register_views(spark, sf_dir)
+    probes = [*TABLES, "no_such_table"]
+    return check_tables(spark, probes).orderBy("table_name")
