@@ -1,0 +1,112 @@
+"""Token-budget sequence packing — the concatenate-and-chunk step of a
+pretraining data pipeline, as a distributed prefix sum.
+
+Packing assigns every document a byte/token OFFSET in the concatenated
+per-stream corpus (documents in a deterministic order), then slices the
+stream into fixed-budget training sequences: a document belongs to the
+chunk where it starts (``offset div budget``). The core primitive is an
+EXCLUSIVE running sum of token counts per stream — which a naive
+``Window.partitionBy(stream)`` computes through ONE task per stream:
+with a handful of streams, a 100 TB corpus funnels through a handful of
+sorters. Spark's window operator cannot split a partition, so the naive
+formulation is wrong at scale even though it is correct on a fixture.
+
+This module computes the same prefix sum in the classic two-level
+(scan-then-offset) shape, all declarative:
+
+1. bucket rows by contiguous ranges of the order column
+   (``order div bucket_size`` — deterministic, no sampling, unlike
+   ``repartitionByRange`` whose boundaries vary run to run);
+2. per-(stream, bucket) token totals — one map-side-combined
+   aggregation, output is metadata-scale (#buckets rows);
+3. exclusive cumsum of bucket totals per stream — a window over the
+   TOTALS, thousands of rows regardless of corpus size;
+4. broadcast the bucket offsets back and add the within-bucket
+   exclusive cumsum — a window partitioned by (stream, bucket), whose
+   partitions are bounded by ``bucket_size`` rows by construction.
+
+Two shuffles (the per-bucket agg, the within-bucket window — both on
+fine-grained keys) plus one broadcast of #buckets rows; no stream-wide
+sort anywhere. The result is bit-identical to the one-partition window
+(the oracle states that form), which is the whole point: same
+semantics, scalable plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_BKT = "__pack_bucket"
+_BOFF = "__pack_bucket_off"
+
+
+def packed_offsets(
+    df: DataFrame,
+    stream_col: str,
+    order_col: str,
+    tokens_col: str,
+    bucket_size: int = 1000,
+    offset_col: str = "offset",
+) -> DataFrame:
+    """``df`` plus ``offset_col``: the exclusive prefix sum of
+    ``tokens_col`` per ``stream_col`` in ascending ``order_col`` order.
+
+    ``order_col`` must be numeric and unique within a stream (a doc id,
+    an ingest sequence number); ``bucket_size`` bounds the rows any
+    single window partition holds — size it so a bucket's rows fit one
+    task comfortably (10⁴–10⁶ at real scale).
+    """
+    b = df.withColumn(_BKT, F.expr(f"{order_col} div {int(bucket_size)}"))
+    totals = b.groupBy(stream_col, _BKT).agg(
+        F.sum(tokens_col).alias("__btok")
+    )
+    across = (
+        Window.partitionBy(stream_col)
+        .orderBy(_BKT)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_offsets = totals.withColumn(
+        _BOFF, F.coalesce(F.sum("__btok").over(across), F.lit(0))
+    ).drop("__btok")
+    within = (
+        Window.partitionBy(stream_col, _BKT)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        b.join(F.broadcast(bucket_offsets), on=[stream_col, _BKT])
+        .withColumn(
+            offset_col,
+            (
+                F.coalesce(F.sum(tokens_col).over(within), F.lit(0))
+                + F.col(_BOFF)
+            ).cast("long"),
+        )
+        .drop(_BKT, _BOFF)
+    )
+
+
+def pack_chunks(
+    df: DataFrame,
+    stream_col: str,
+    order_col: str,
+    tokens_col: str,
+    budget: int,
+    bucket_size: int = 1000,
+) -> DataFrame:
+    """Chunk summary of the packed stream: one row per (stream,
+    chunk_id) with ``n_docs`` and ``chunk_tokens``. ``chunk_id`` is the
+    training sequence the document STARTS in — ``offset div budget`` —
+    matching the standard concatenate-then-slice packing loop."""
+    packed = packed_offsets(
+        df, stream_col, order_col, tokens_col, bucket_size=bucket_size
+    )
+    return (
+        packed.withColumn("chunk_id", F.expr(f"offset div {int(budget)}"))
+        .groupBy(stream_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tokens_col).cast("long").alias("chunk_tokens"),
+        )
+    )

@@ -720,3 +720,92 @@ def tx5_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((top_frac <= 0.0625) & (dup_frac <= 0.12)).alias("keep"),
         )
     )
+
+
+@register(
+    "pack1_token_budget_chunks",
+    survey="ext:sampling,ext:text,W1",
+    doc="Token-budget sequence packing (operators/packing.py): "
+    "concatenate each source stream in doc_id order and slice it into "
+    "2048-token training sequences; a doc belongs to the chunk where "
+    "it starts (offset div budget). The offset is a DISTRIBUTED "
+    "two-level prefix sum — per-(stream, id-range-bucket) totals, a "
+    "metadata-scale cumsum across buckets, broadcast offsets back, "
+    "within-bucket window — never a one-task-per-stream global window, "
+    "which is what the oracle's naive formulation would plan as and "
+    "what a 100 TB corpus cannot run. Bit-identical output, scalable "
+    "plan; returns per-chunk doc and token counts.",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             len({_DUCK_TOKENS}) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM t
+    )
+    SELECT source, CAST(off // 2048 AS BIGINT) AS chunk_id,
+           count(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
+    FROM c GROUP BY source, chunk_id
+    """,
+)
+def pack1_token_budget_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.operators.packing import pack_chunks
+
+    d = _docs(spark, sf_dir).select(
+        "source", "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_chunks(
+        d, "source", "doc_id", "n_tokens", budget=2048, bucket_size=1000
+    )
+
+
+@register(
+    "d7_incremental_dedup",
+    survey="ext:dedup,§2.3",
+    doc="Incremental exact dedup (operators/incremental.py): the "
+    "ingest-batch contract. The standing corpus is docs with "
+    "doc_id % 10 != 0; the incoming batch is the fresh docs "
+    "(doc_id % 10 == 0) UNIONed with RE-CRAWLS — every doc_id % 7 == 3 "
+    "document re-arriving under a new id (+1000000), same content. "
+    "The delta first collapses internally (min doc_id per content "
+    "fingerprint — the fresh original beats its own re-crawl), then a "
+    "LEFT ANTI join on the fingerprint drops everything the corpus "
+    "already holds (the re-crawls of corpus content). Work is "
+    "delta-proportional: the corpus side ships only its pruned "
+    "fingerprint column, no corpus×corpus pass.",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, n_chars,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+      FROM documents
+    ),
+    delta AS (
+      SELECT * FROM (
+        SELECT doc_id, n_chars, f FROM fp WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, n_chars, f
+        FROM fp WHERE doc_id % 7 = 3
+      )
+      QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
+    )
+    SELECT d.doc_id, d.n_chars FROM delta d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM fp c WHERE c.doc_id % 10 <> 0 AND c.f = d.f
+    )
+    """,
+)
+def d7_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.operators.incremental import incremental_dedup_exact
+
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    recrawl = d.filter(F.col("doc_id") % 7 == 3).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    delta = d.filter(F.col("doc_id") % 10 == 0).unionByName(recrawl)
+    return incremental_dedup_exact(corpus, delta).select("doc_id", "n_chars")

@@ -1,0 +1,107 @@
+"""Distributed prefix-sum packing (operators/packing.py) and
+incremental dedup (operators/incremental.py).
+
+The packing property that matters: the two-level formulation must be
+BIT-IDENTICAL to the naive one-partition window (same semantics,
+scalable plan) — including across bucket sizes that split streams at
+awkward places. Incremental dedup must match the set-algebra spec:
+intra-delta min-id collapse, then corpus screen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pypgsync_spark.operators.incremental import incremental_dedup_exact
+from pypgsync_spark.operators.packing import pack_chunks, packed_offsets
+
+
+def _fixture(spark):
+    rows = [
+        # (stream, id, tokens) — ids deliberately sparse / unordered
+        ("a", 3, 5),
+        ("a", 1, 7),
+        ("a", 12, 2),
+        ("a", 1005, 11),
+        ("b", 2, 1),
+        ("b", 2000, 3),
+        ("b", 2001, 0),
+        ("c", 7, 4),
+    ]
+    return spark.createDataFrame(rows, "stream string, id long, n_tokens int")
+
+
+def _naive_offsets(spark, df):
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return df.withColumn(
+        "offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+
+
+def test_packed_offsets_match_naive_window(spark):
+    df = _fixture(spark)
+    expected = {
+        (r["stream"], r["id"]): r["offset"]
+        for r in _naive_offsets(spark, df).collect()
+    }
+    for bucket_size in (1, 2, 1000, 10**9):
+        got = {
+            (r["stream"], r["id"]): r["offset"]
+            for r in packed_offsets(
+                df, "stream", "id", "n_tokens", bucket_size=bucket_size
+            ).collect()
+        }
+        assert got == expected, f"bucket_size={bucket_size}"
+
+
+def test_pack_chunks_slices_by_start_offset(spark):
+    df = _fixture(spark)
+    out = {
+        (r["stream"], r["chunk_id"]): (r["n_docs"], r["chunk_tokens"])
+        for r in pack_chunks(
+            df, "stream", "id", "n_tokens", budget=10, bucket_size=2
+        ).collect()
+    }
+    # stream a in id order: (1,7) off 0 -> chunk 0; (3,5) off 7 -> chunk 0;
+    # (12,2) off 12 -> chunk 1; (1005,11) off 14 -> chunk 1
+    assert out[("a", 0)] == (2, 12)
+    assert out[("a", 1)] == (2, 13)
+    # stream b: (2,1) off 0; (2000,3) off 1; (2001,0) off 4 -> all chunk 0
+    assert out[("b", 0)] == (3, 4)
+    assert out[("c", 0)] == (1, 4)
+    assert len(out) == 4
+
+
+def test_incremental_dedup_contract(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the corpus doc"), (2, "shared   TEXT")], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [
+            (10, "Shared text"),        # normalized-equal to corpus doc 2 -> dropped
+            (20, "fresh one"),
+            (30, "fresh  ONE"),         # intra-delta dup of 20 -> min id keeps
+            (40, "another fresh"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in incremental_dedup_exact(corpus, delta).collect()
+    )
+    assert kept == [20, 40]
+
+
+def test_incremental_dedup_empty_corpus(spark):
+    corpus = spark.createDataFrame([], "doc_id long, text string")
+    delta = spark.createDataFrame(
+        [(5, "x"), (6, "x")], "doc_id long, text string"
+    )
+    kept = sorted(
+        r["doc_id"] for r in incremental_dedup_exact(corpus, delta).collect()
+    )
+    assert kept == [5]
