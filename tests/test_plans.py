@@ -231,3 +231,31 @@ def test_knn_join_shuffles_candidates_not_scores(spark, sf_small):
     p = plan_of(spark, sf_small, "v7_knn_join")
     assert "RunningWindowFunction" in p or "Window" in p
     assert "GlobalLimit" not in p or "TakeOrdered" not in p
+
+
+def test_packing_no_stream_wide_window(spark, sf_small):
+    """Token packing must never funnel a stream through one task: the
+    corpus-sized windows are partitioned by (stream, bucket), the only
+    stream-wide window runs over bucket TOTALS (metadata-scale), and
+    the offsets come back via broadcast. A naive
+    Window.partitionBy(source) over the corpus would be correct and
+    unusable at 100 TB."""
+    plan = plan_of(spark, sf_small, "pack1_token_budget_chunks")
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan  # bucket offsets come back broadcast
+    assert "partial_sum" in plan  # bucket totals are map-side combined
+    # every corpus-sized window is keyed by (stream, bucket), never by
+    # stream alone: the stream-alone spec may only appear over totals,
+    # whose input is the aggregated (post-Exchange) side
+    assert "windowspecdefinition(source" in plan  # totals cumsum exists
+
+
+def test_incremental_dedup_plan_shape(spark, sf_small):
+    """d7's two steps must plan as: WindowGroupLimit (per-partition
+    top-1 before the fingerprint shuffle) for the intra-delta collapse,
+    and a LeftAnti equi-join for the corpus screen whose corpus side
+    reads ONLY (doc_id, text) — the screen never ships corpus payload."""
+    plan = plan_of(spark, sf_small, "d7_incremental_dedup")
+    assert "WindowGroupLimit" in plan
+    assert "LeftAnti" in plan
+    assert "struct<doc_id:bigint,text:string>" in plan  # pruned corpus read
