@@ -117,6 +117,18 @@ def main() -> None:
         "n_events": n_events,
         "d5_cc_stats": dict(D5_CC_STATS),
         "t8_rocksdb": t8_rocksdb,
+        "notes": {
+            "d5": "r5 +25% root cause: the pair-finding pipeline re-ran its "
+            "interpreted shingling once per CC consumer after the hybrid "
+            "rewrite (CC stats showed 2 Pregel rounds / 0 star rounds — the "
+            "algorithm was never the cost). Fixed by materializing the "
+            "shingle table once (ngram_jaccard_pairs materialize_shingles); "
+            "d5 now ~4-5 s vs 6.84 s in r4.",
+            "d3": "code untouched since r2; the r2->r5 creep tracks fixture "
+            "regeneration (row layout/content reseeded per round) — isolated "
+            "min-of-3 at r6 HEAD is back at r2's ~3 s. See SCALE.md "
+            "variance note.",
+        },
     }
     print(json.dumps(out))
     spark.stop()
