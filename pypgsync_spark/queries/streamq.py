@@ -279,3 +279,56 @@ def t11_cdc_stream_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table("t11_cdc_mem")
+
+
+@register(
+    "t12_stream_corpus_screen",
+    survey="§2.10 ext,ext:dedup",
+    doc="Stream-static anti join (streaming/dedupe.py "
+    "stream_corpus_screen): incoming documents (fresh doc_id % 10 == 0 "
+    "plus re-crawls of every doc_id % 7 == 3 doc under id+1000000) "
+    "stream against the STATIC corpus fingerprint set; only content "
+    "the corpus lacks is emitted. Zero streaming state — the screen "
+    "is a per-micro-batch join against the batch side; intra-stream "
+    "collapse is deliberately left to the watermarked dedup (t9) "
+    "downstream, so fresh docs and their own re-crawls both pass "
+    "(which the oracle states).",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, n_chars,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+      FROM documents
+    ),
+    incoming AS (
+      SELECT doc_id, n_chars, f FROM fp WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, n_chars, f
+      FROM fp WHERE doc_id % 7 = 3
+    )
+    SELECT i.doc_id, i.n_chars FROM incoming i
+    WHERE NOT EXISTS (
+      SELECT 1 FROM fp c WHERE c.doc_id % 10 <> 0 AND c.f = i.f
+    )
+    """,
+)
+def t12_stream_corpus_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from pypgsync_spark.streaming.balance import _file_stream
+    from pypgsync_spark.streaming.dedupe import stream_corpus_screen
+
+    path = table_path(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    docs = _file_stream(spark, schema, path)
+    fresh = docs.filter(F.col("doc_id") % 10 == 0)
+    recrawl = docs.filter(F.col("doc_id") % 7 == 3).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    corpus = spark.read.parquet(path).filter(F.col("doc_id") % 10 != 0)
+    out = stream_corpus_screen(
+        spark,
+        fresh.unionByName(recrawl),
+        corpus,
+        query_name="t12_screen_mem",
+    )
+    return out.select("doc_id", "n_chars")

@@ -809,3 +809,49 @@ def d7_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     delta = d.filter(F.col("doc_id") % 10 == 0).unionByName(recrawl)
     return incremental_dedup_exact(corpus, delta).select("doc_id", "n_chars")
+
+
+@register(
+    "pack2_sliding_windows",
+    survey="ext:text,ext:sampling",
+    doc="Sliding context-window chunking: each document yields windows "
+    "of 32 tokens at stride 16 (the overlap-chunking step of RAG / "
+    "long-doc training prep) — window i covers tokens [16i, 16i+32), "
+    "short docs get one window. Pure JVM sequence+explode projection: "
+    "no shuffle at all until a consumer aggregates, output rows "
+    "∝ corpus tokens / stride. Returns (doc_id, window_id, "
+    "n_window_tokens).",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({_DUCK_TOKENS}) AS n FROM documents
+    ),
+    w AS (
+      SELECT doc_id, n,
+             unnest(range(0, CASE WHEN n <= 32 THEN 1
+                                  ELSE 1 + CAST(ceil((n - 32) / 16.0) AS INT)
+                             END)) AS wid
+      FROM t
+    )
+    SELECT doc_id, CAST(wid AS INT) AS window_id,
+           CAST(least(32, n - wid * 16) AS BIGINT) AS n_window_tokens
+    FROM w
+    """,
+)
+def pack2_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n")
+    )
+    k = F.when(F.col("n") <= 32, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((F.col("n") - 32) / F.lit(16.0)).cast("int")
+    )
+    return d.select(
+        "doc_id",
+        F.col("n"),
+        F.explode(F.sequence(F.lit(0), k - 1)).alias("window_id"),
+    ).select(
+        "doc_id",
+        F.col("window_id").cast("int").alias("window_id"),
+        F.least(F.lit(32), F.col("n") - F.col("window_id") * 16)
+        .cast("long")
+        .alias("n_window_tokens"),
+    )

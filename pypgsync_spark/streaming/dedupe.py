@@ -61,3 +61,44 @@ def dedup_within_watermark(
         )
         q.awaitTermination()
     return spark.table(query_name)
+
+
+def stream_corpus_screen(
+    spark: SparkSession,
+    stream: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    query_name: str = "stream_corpus_screen",
+    state_partitions: int | str | None = "auto",
+) -> DataFrame:
+    """Stream-STATIC anti join: emit only stream rows whose content
+    fingerprint is absent from the standing ``corpus`` (a batch
+    DataFrame). The streaming face of
+    operators/incremental.incremental_dedup_exact's corpus screen —
+    each micro-batch joins against the static side with zero state
+    (Spark re-plans the static side per batch; at deploy scale the
+    corpus fingerprints are a bucketed table, so the per-batch join is
+    a no-shuffle bucket probe). Intra-stream duplicates are NOT
+    collapsed here — that is ``dedup_within_watermark``'s job
+    downstream, with its bounded state; composing screen → watermarked
+    dedup gives the full streaming ingest-dedup contract.
+
+    Drains via availableNow into a memory sink and returns the result.
+    """
+    from pypgsync_spark.functions.text import content_fingerprint
+    from pypgsync_spark.streaming.balance import stream_shuffle_partitions
+
+    fp = content_fingerprint(text_col)
+    screened = stream.withColumn("__fp", fp).join(
+        corpus.select(fp.alias("__fp")), on="__fp", how="left_anti"
+    ).drop("__fp")
+    with stream_shuffle_partitions(spark, state_partitions):
+        q = (
+            screened.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(query_name)
