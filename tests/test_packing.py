@@ -105,3 +105,51 @@ def test_incremental_dedup_empty_corpus(spark):
         r["doc_id"] for r in incremental_dedup_exact(corpus, delta).collect()
     )
     assert kept == [5]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _corpora(draw):
+    n = draw(st.integers(1, 40))
+    streams = ["s0", "s1", "s2"]
+    rows = []
+    ids = draw(
+        st.lists(
+            st.integers(0, 5000), min_size=n, max_size=n, unique=True
+        )
+    )
+    for i in ids:
+        rows.append(
+            (draw(st.sampled_from(streams)), i, draw(st.integers(0, 300)))
+        )
+    bucket = draw(st.sampled_from([1, 3, 7, 100, 10**6]))
+    return rows, bucket
+
+
+@given(data=_corpora())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_packed_offsets_model(spark, data):
+    """Model check: on any corpus and any bucketing, the distributed
+    prefix sum equals the sequential per-stream exclusive cumsum."""
+    rows, bucket = data
+    df = spark.createDataFrame(rows, "stream string, id long, n_tokens int")
+    got = {
+        (r["stream"], r["id"]): r["offset"]
+        for r in packed_offsets(
+            df, "stream", "id", "n_tokens", bucket_size=bucket
+        ).collect()
+    }
+    model = {}
+    for s in {r[0] for r in rows}:
+        acc = 0
+        for _, i, t in sorted((r for r in rows if r[0] == s), key=lambda r: r[1]):
+            model[(s, i)] = acc
+            acc += t
+    assert got == model
