@@ -855,3 +855,48 @@ def pack2_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_window_tokens"),
     )
+
+
+@register(
+    "samp3_temperature_mixture",
+    survey="ext:sampling,A4",
+    doc="Temperature-resampled language mixture (the multilingual "
+    "rebalancing step): per-language token shares are raised to "
+    "alpha=0.5 and renormalized into sampling probabilities — "
+    "up-weighting tail languages exactly as multilingual pretraining "
+    "mixtures do. ONE corpus scan and one map-side-combined groupBy; "
+    "the share/renormalize math runs as windows over the per-language "
+    "STATS table (a handful of rows — metadata-scale by construction, "
+    "the deliberate place for an unpartitioned window).",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang, count(*) AS n_docs,
+             SUM(len({_DUCK_TOKENS})) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    w AS (
+      SELECT lang, n_docs, n_tokens,
+             POWER(n_tokens * 1.0 / SUM(n_tokens) OVER (), 0.5) AS wt
+      FROM s
+    )
+    SELECT lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(wt / SUM(wt) OVER (), 6) AS p_sample
+    FROM w
+    """,
+)
+def samp3_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    s = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w0 = Window.partitionBy()
+    wt = F.pow(F.col("n_tokens") / F.sum("n_tokens").over(w0), 0.5)
+    return s.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(wt / F.sum(wt).over(w0), 6).alias("p_sample"),
+    )
