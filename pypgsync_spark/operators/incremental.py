@@ -54,3 +54,101 @@ def incremental_dedup_exact(
     )
     corpus_fps = corpus.select(fp.alias("__fp"))
     return keepers.join(corpus_fps, on="__fp", how="left_anti").drop("__fp")
+
+
+def cross_jaccard_pairs(
+    corpus: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.3,
+    materialize_shingles: bool = True,
+) -> DataFrame:
+    """Exact cross-collection near-dup pairs: every (delta doc, corpus
+    doc) pair with n-gram Jaccard > ``threshold`` — the NEAR-dup
+    counterpart of :func:`incremental_dedup_exact`'s corpus screen,
+    complete (no candidate loss) and delta-proportional.
+
+    Same AllPairs/PPJoin prefix filter as the self-join form
+    (operators/dedup.ngram_jaccard_pairs): both collections' shingles
+    sort by ONE shared canonical order (ascending frequency over the
+    UNION corpus, ties by value — the lemma needs a single total
+    order), each doc keeps its (size − ⌈θ·size⌉ + 1)-prefix, and the
+    candidate join is delta-prefix ⋈ corpus-prefix on the shingle —
+    never delta × corpus. The PPJoin length filter prunes cross-size
+    collisions inside the join; the exact Jaccard verify finishes.
+
+    Output: (delta_id, corpus_id, jaccard).
+    """
+    from pypgsync_spark.operators.dedup import jaccard, with_shingles
+
+    sd = with_shingles(delta.select(id_col, text_col), text_col, n).filter(
+        F.size("shingles") > 0
+    )
+    sc = with_shingles(corpus.select(id_col, text_col), text_col, n).filter(
+        F.size("shingles") > 0
+    )
+    if materialize_shingles:
+        sd = sd.localCheckpoint(eager=True)
+        sc = sc.localCheckpoint(eager=True)
+
+    def exploded(s: DataFrame, side: str) -> DataFrame:
+        return s.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.size("shingles").alias(f"sz_{side}"),
+            F.explode("shingles").alias("sh"),
+        )
+
+    ed, ec = exploded(sd, "d"), exploded(sc, "c")
+    # one shared canonical order: frequency over BOTH collections
+    freq = (
+        ed.select("sh")
+        .unionByName(ec.select("sh"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("__freq"))
+    )
+
+    def prefixes(ex: DataFrame, side: str) -> DataFrame:
+        w = Window.partitionBy(f"id_{side}").orderBy(
+            F.col("__freq").asc(), F.col("sh").asc()
+        )
+        return (
+            ex.join(freq, on="sh")
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(
+                F.col("__rk")
+                <= F.col(f"sz_{side}")
+                - F.ceil(F.lit(threshold) * F.col(f"sz_{side}"))
+                + 1
+            )
+            .select(f"id_{side}", f"sz_{side}", "sh")
+        )
+
+    cand = (
+        prefixes(ed, "d")
+        .join(prefixes(ec, "c"), on="sh")
+        .filter(
+            (F.col("sz_d") * threshold < F.col("sz_c"))
+            & (F.col("sz_c") * threshold < F.col("sz_d"))
+        )
+        .select("id_d", "id_c")
+        .dropDuplicates(["id_d", "id_c"])
+    )
+    return (
+        cand.join(
+            sd.select(F.col(id_col).alias("id_d"), F.col("shingles").alias("sh_d")),
+            on="id_d",
+        )
+        .join(
+            sc.select(F.col(id_col).alias("id_c"), F.col("shingles").alias("sh_c")),
+            on="id_c",
+        )
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_d"), F.col("sh_c")), 6))
+        .filter(F.col("jaccard") > threshold)
+        .select(
+            F.col("id_d").alias("delta_id"),
+            F.col("id_c").alias("corpus_id"),
+            "jaccard",
+        )
+    )

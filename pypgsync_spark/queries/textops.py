@@ -900,3 +900,34 @@ def samp3_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(wt / F.sum(wt).over(w0), 6).alias("p_sample"),
     )
+
+
+@register(
+    "d8_delta_jaccard_pairs",
+    survey="ext:dedup,§2.3",
+    doc="Cross-collection near-dup screen "
+    "(operators/incremental.cross_jaccard_pairs): every (delta doc, "
+    "corpus doc) pair with exact 3-gram Jaccard > 0.3, delta = "
+    "doc_id % 10 == 0 vs the standing corpus — complete via the "
+    "shared-canonical-order PPJoin prefix filter, so the oracle is "
+    "the plain cross join. The near-dup face of the d7 ingest screen: "
+    "candidate work scales with shared rare shingles, never "
+    "delta × corpus.",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents)
+    SELECT d.doc_id AS delta_id, c.doc_id AS corpus_id,
+           round(len(list_intersect(d.sh, c.sh)) * 1.0
+                 / greatest(len(list_distinct(list_concat(d.sh, c.sh))), 1), 6) AS jaccard
+    FROM s d JOIN s c
+      ON d.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+    WHERE len(list_intersect(d.sh, c.sh)) * 1.0
+          / greatest(len(list_distinct(list_concat(d.sh, c.sh))), 1) > 0.3
+    """,
+)
+def d8_delta_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.operators.incremental import cross_jaccard_pairs
+
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    delta = d.filter(F.col("doc_id") % 10 == 0)
+    return cross_jaccard_pairs(corpus, delta, threshold=0.3)

@@ -153,3 +153,48 @@ def test_packed_offsets_model(spark, data):
             model[(s, i)] = acc
             acc += t
     assert got == model
+
+
+def test_cross_jaccard_pairs_complete(spark):
+    """Prefix-filtered cross-collection pairs must equal brute force on
+    a corpus engineered with shared rare/common shingles and size
+    spread (the candidate-pruning edge cases)."""
+    from pypgsync_spark.operators.incremental import cross_jaccard_pairs
+
+    def doc(i, words):
+        return (i, " ".join(words))
+
+    base = ["w%d" % k for k in range(12)]
+    corpus_rows = [
+        doc(1, base),                     # long doc
+        doc(2, base[:6]),                 # same prefix half
+        doc(3, ["x1", "x2", "x3", "x4", "x5"]),
+        doc(4, ["y1", "y2", "y3"]),
+    ]
+    delta_rows = [
+        doc(10, base),                    # exact dup of corpus 1
+        doc(11, base[:7] + ["z9"]),       # near dup of 1/2
+        doc(12, ["x1", "x2", "x3", "x4", "x6"]),  # near dup of 3
+        doc(13, ["q1", "q2", "q3"]),      # no match
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    delta = spark.createDataFrame(delta_rows, "doc_id long, text string")
+
+    got = {
+        (r["delta_id"], r["corpus_id"])
+        for r in cross_jaccard_pairs(corpus, delta, threshold=0.2).collect()
+    }
+
+    def shingles(words):
+        toks = words.lower().split()
+        if len(toks) < 3:
+            return {" ".join(toks)} if toks else set()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    expected = set()
+    for di, dt in delta_rows:
+        for ci, ct in corpus_rows:
+            a, b = shingles(dt), shingles(ct)
+            if a and b and len(a & b) / max(len(a | b), 1) > 0.2:
+                expected.add((di, ci))
+    assert got == expected and expected  # non-vacuous
