@@ -638,3 +638,126 @@ def s6_catalog_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     probes = [*TABLES, "no_such_table"]
     return check_tables(spark, probes).orderBy("table_name")
+
+
+@register(
+    "check1_referential_integrity",
+    survey="S6,§2.3,A3",
+    doc="Referential-integrity audit — the data-quality gate a sync "
+    "engine runs before trusting a destination: FK orphan counts "
+    "(orders→customer, lineitem→orders) and PK duplicate count, "
+    "against a deliberately perturbed snapshot (customers with "
+    "c_custkey % 97 == 0 'not yet synced', orders with "
+    "o_orderkey % 101 == 0 missing, customers % 89 == 0 doubled) so "
+    "every check is non-zero and a broken anti-join cannot pass "
+    "vacuously. Each check is one aggregate over an anti/semi join — "
+    "dims broadcast, facts never move twice.",
+    oracle="""
+    SELECT 'customer_pk_dups' AS check_name,
+           CAST(count(*) AS BIGINT) AS n_bad FROM (
+      SELECT c_custkey FROM (
+        SELECT c_custkey FROM customer
+        UNION ALL
+        SELECT c_custkey FROM customer WHERE c_custkey % 89 = 0
+      ) GROUP BY c_custkey HAVING count(*) > 1
+    )
+    UNION ALL
+    SELECT 'lineitem_orders_orphans', CAST(count(*) AS BIGINT) FROM lineitem l
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_orderkey % 101 <> 0 AND o.o_orderkey = l.l_orderkey
+    )
+    UNION ALL
+    SELECT 'orders_customer_orphans', CAST(count(*) AS BIGINT) FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_custkey % 97 <> 0 AND c.c_custkey = o.o_custkey
+    )
+    """,
+)
+def check1_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    cust_synced = customer.filter(F.col("c_custkey") % 97 != 0)
+    orders_synced = orders.filter(F.col("o_orderkey") % 101 != 0)
+    cust_doubled = customer.select("c_custkey").unionByName(
+        customer.filter(F.col("c_custkey") % 89 == 0).select("c_custkey")
+    )
+
+    pk_dups = (
+        cust_doubled.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bad"))
+        .select(F.lit("customer_pk_dups").alias("check_name"), "n_bad")
+    )
+    li_orphans = (
+        lineitem.join(
+            F.broadcast(orders_synced.select("o_orderkey")),
+            lineitem["l_orderkey"] == orders_synced["o_orderkey"],
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bad"))
+        .select(F.lit("lineitem_orders_orphans").alias("check_name"), "n_bad")
+    )
+    ord_orphans = (
+        orders.join(
+            F.broadcast(cust_synced.select("c_custkey")),
+            orders["o_custkey"] == cust_synced["c_custkey"],
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bad"))
+        .select(F.lit("orders_customer_orphans").alias("check_name"), "n_bad")
+    )
+    return pk_dups.unionByName(li_orphans).unionByName(ord_orphans)
+
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@register(
+    "profile1_column_stats",
+    survey="S5,A7,A3",
+    doc="Table profiler — per-column null and exact distinct counts "
+    "over orders in ONE scan (the pre-sync data-profiling step that "
+    "feeds slice planning and schema checks). Spark computes all six "
+    "distinct aggregates in a single pass via the Expand-based "
+    "multi-distinct rewrite (same machinery as a15), then unpivots "
+    "with stack(); the oracle spells the per-column UNION ALL.",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, "
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+        f"CAST(count(*) AS BIGINT) AS n_rows FROM orders"
+        for c in _PROFILE_COLS
+    ),
+)
+def profile1_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("__nr"),
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__n_{c}")
+            for c in _PROFILE_COLS
+        ],
+        *[F.countDistinct(c).alias(f"__d_{c}") for c in _PROFILE_COLS],
+    )
+    stack = ", ".join(
+        f"'{c}', __n_{c}, __d_{c}" for c in _PROFILE_COLS
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) "
+            "AS (column_name, n_nulls, n_distinct)"
+        ),
+        F.col("__nr").alias("n_rows"),
+    )
