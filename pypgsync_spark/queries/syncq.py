@@ -650,8 +650,11 @@ def s6_catalog_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c_custkey % 97 == 0 'not yet synced', orders with "
     "o_orderkey % 101 == 0 missing, customers % 89 == 0 doubled) so "
     "every check is non-zero and a broken anti-join cannot pass "
-    "vacuously. Each check is one aggregate over an anti/semi join — "
-    "dims broadcast, facts never move twice.",
+    "vacuously. Each check is one aggregate over an anti join on the "
+    "pruned KEY column — no broadcast hint: a key projection often "
+    "fits the broadcast threshold and AQE will pick that, but forcing "
+    "it would break the moment the referenced table is fact-scale; "
+    "the fallback is a plain key-shuffle anti join.",
     oracle="""
     SELECT 'customer_pk_dups' AS check_name,
            CAST(count(*) AS BIGINT) AS n_bad FROM (
@@ -695,7 +698,7 @@ def check1_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li_orphans = (
         lineitem.join(
-            F.broadcast(orders_synced.select("o_orderkey")),
+            orders_synced.select("o_orderkey"),
             lineitem["l_orderkey"] == orders_synced["o_orderkey"],
             "left_anti",
         )
@@ -704,7 +707,7 @@ def check1_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ord_orphans = (
         orders.join(
-            F.broadcast(cust_synced.select("c_custkey")),
+            cust_synced.select("c_custkey"),
             orders["o_custkey"] == cust_synced["c_custkey"],
             "left_anti",
         )
