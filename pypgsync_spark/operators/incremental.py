@@ -101,13 +101,23 @@ def cross_jaccard_pairs(
         )
 
     ed, ec = exploded(sd, "d"), exploded(sc, "c")
-    # one shared canonical order: frequency over BOTH collections
+    # one shared canonical order: frequency over BOTH collections.
+    # Checkpointed because BOTH prefix branches join it — without it
+    # each branch re-runs the union+explode+aggregate over both
+    # collections (at fixture scale the saving is within noise; at
+    # corpus scale it is one full token-stream pass). Vocabulary-scale
+    # (distinct shingles), the cheapest table in the pipeline to hold.
     freq = (
         ed.select("sh")
         .unionByName(ec.select("sh"))
         .groupBy("sh")
         .agg(F.count(F.lit(1)).alias("__freq"))
     )
+    if materialize_shingles:
+        # lazy: materializes inside the first branch's job rather than
+        # as its own barrier; the second branch then reads the stored
+        # partitions
+        freq = freq.localCheckpoint(eager=False)
 
     def prefixes(ex: DataFrame, side: str) -> DataFrame:
         w = Window.partitionBy(f"id_{side}").orderBy(
