@@ -764,3 +764,83 @@ def profile1_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("__nr").alias("n_rows"),
     )
+
+
+_C7_FRACS = "0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875"
+
+
+@register(
+    "c7_quantile_slices",
+    survey="C2,C1,A6,X2",
+    doc="Equal-ROWS slice planning (plans/intervals.quantile_bounds): "
+    "boundaries at the eighth percentiles of updated_ms instead of a "
+    "uniform value grid — the scale-correct slicing for skewed "
+    "version columns (a bursty day makes one fat uniform slice; "
+    "quantile slices stay ~rows/8 each). Eighth fractions are exact "
+    "binary, and interpolation over integer millis stays exactly "
+    "representable in doubles, so Spark's percentile and DuckDB's "
+    "quantile_cont agree bit-for-bit; at 100 TB swap in "
+    "approx_percentile (boundary precision only skews slice sizes). "
+    "Returns each slice's closed bounds and its actual row count.",
+    oracle=f"""
+    WITH e AS (SELECT epoch_ms(ts) AS updated_ms FROM events),
+    b AS (
+      SELECT list_transform(quantile_cont(updated_ms, [{_C7_FRACS}]),
+                            x -> CAST(floor(x) AS BIGINT)) AS bs,
+             min(updated_ms) AS mn, max(updated_ms) AS mx
+      FROM e
+    ),
+    assigned AS (
+      SELECT CAST(len(list_filter(b.bs, x -> e.updated_ms > x)) + 1 AS INT)
+               AS slice_id
+      FROM e, b
+    )
+    SELECT a.slice_id,
+           CAST(CASE WHEN a.slice_id = 1 THEN b.mn
+                     ELSE b.bs[a.slice_id - 1] + 1 END AS BIGINT) AS slice_lo,
+           CAST(CASE WHEN a.slice_id = 8 THEN b.mx
+                     ELSE b.bs[a.slice_id] END AS BIGINT) AS slice_hi,
+           count(*) AS n_rows
+    FROM assigned a, b
+    GROUP BY 1, 2, 3
+    """,
+)
+def c7_quantile_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_ms(spark, sf_dir).select("updated_ms")
+    # boundaries ride along as scalar subqueries (Catalyst runs each as
+    # its own metadata-scale stage and folds the result in — no cross
+    # join node, no driver barrier at plan-construction time; same
+    # pattern as tx1's corpus count)
+    ev.createOrReplaceTempView("pypgsync_c7_events")
+    b = (
+        "(SELECT transform(percentile(updated_ms, "
+        f"array({_C7_FRACS})), x -> CAST(floor(x) AS BIGINT)) "
+        "FROM pypgsync_c7_events)"
+    )
+    mn = "(SELECT min(updated_ms) FROM pypgsync_c7_events)"
+    mx = "(SELECT max(updated_ms) FROM pypgsync_c7_events)"
+    # subquery expressions may not sit inside a higher-order lambda, so
+    # the boundary array lands in a column first (one subquery stage,
+    # its result folded into every row as a literal array)
+    assigned = ev.select("updated_ms", F.expr(b).alias("__bs")).select(
+        F.expr(
+            "CAST(size(filter(__bs, x -> updated_ms > x)) + 1 AS INT)"
+        ).alias("slice_id")
+    )
+    return (
+        assigned.groupBy("slice_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select("slice_id", F.expr(b).alias("__bs"), "n_rows")
+        .select(
+            "slice_id",
+            F.expr(
+                f"CAST(CASE WHEN slice_id = 1 THEN {mn} "
+                "ELSE element_at(__bs, slice_id - 1) + 1 END AS BIGINT)"
+            ).alias("slice_lo"),
+            F.expr(
+                f"CAST(CASE WHEN slice_id = 8 THEN {mx} "
+                "ELSE element_at(__bs, slice_id) END AS BIGINT)"
+            ).alias("slice_hi"),
+            "n_rows",
+        )
+    )
