@@ -74,8 +74,20 @@ def packed_offsets(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # Null-SAFE join keys: Window.partitionBy and groupBy both treat
+    # NULL stream values as one group, so the offsets join must match
+    # them too — a plain equi-join would silently drop NULL-stream rows
+    # and diverge from the naive-window semantics the operator promises
+    # to reproduce bit-for-bit.
+    off = bucket_offsets.alias("__pack_off")
+    rows = b.alias("__pack_rows")
+    cond = rows[stream_col].eqNullSafe(off[stream_col]) & rows[_BKT].eqNullSafe(
+        off[_BKT]
+    )
     return (
-        b.join(F.broadcast(bucket_offsets), on=[stream_col, _BKT])
+        rows.join(F.broadcast(off), cond)
+        .drop(off[stream_col])
+        .drop(off[_BKT])
         .withColumn(
             offset_col,
             (

@@ -198,3 +198,23 @@ def test_cross_jaccard_pairs_complete(spark):
             if a and b and len(a & b) / max(len(a | b), 1) > 0.2:
                 expected.add((di, ci))
     assert got == expected and expected  # non-vacuous
+
+
+def test_packed_offsets_null_stream_matches_window(spark):
+    """NULL stream values form one group under Window.partitionBy; the
+    distributed formulation must reproduce that, not drop the rows in
+    its offsets join."""
+    rows = [(None, 1, 5), (None, 10, 7), ("a", 2, 3), (None, 2000, 2)]
+    df = spark.createDataFrame(rows, "stream string, id long, n_tokens int")
+    got = {
+        (r["stream"], r["id"]): r["offset"]
+        for r in packed_offsets(
+            df, "stream", "id", "n_tokens", bucket_size=100
+        ).collect()
+    }
+    expected = {
+        (r["stream"], r["id"]): r["offset"]
+        for r in _naive_offsets(spark, df).collect()
+    }
+    assert got == expected
+    assert (None, 2000) in got and got[(None, 2000)] == 12
