@@ -184,3 +184,21 @@ def write_upsert(
             conn.close()
 
     df.foreachPartition(write_partition)
+
+
+def attrs_to_jdbc_url(
+    user: str, passwd: str, host: str, port: str | int, db: str
+) -> tuple[str, dict[str, str]]:
+    """Connection attributes → (JDBC url, properties) — the Spark form
+    of the reference's ``attrs_to_uri`` (reference utils.py:5-13,
+    including its all-arguments-present ValueError). Credentials ride
+    in the properties dict, not the URL: ``spark.read.jdbc(url,
+    properties=...)`` is the API shape, and URLs end up in logs/plans
+    where passwords must not.
+    """
+    vals = {"user": user, "passwd": passwd, "host": host, "port": port, "db": db}
+    if any(str(v) == "" for v in vals.values()):
+        raise ValueError("All arguments must be present.")
+    url = f"jdbc:postgresql://{host}:{port}/{db}"
+    props = {"user": user, "password": passwd, "driver": "org.postgresql.Driver"}
+    return url, props

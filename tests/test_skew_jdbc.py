@@ -99,3 +99,19 @@ def test_jdbc_predicates_cover_range_disjointly():
     assert len(preds) == 4
     assert preds[0] == "updated >= 0 AND updated <= 24"
     assert preds[-1].endswith("<= 99")
+
+
+def test_attrs_to_jdbc_url():
+    """Parity with reference utils.attrs_to_uri (utils.py:5-13 and
+    tests/test_utils.py): builds the engine URL, raises when any
+    attribute is empty; credentials stay out of the URL."""
+    import pytest as _pytest
+
+    from pypgsync_spark.sources.jdbc import attrs_to_jdbc_url
+
+    url, props = attrs_to_jdbc_url("u", "s3cr3t", "h", 5432, "d")
+    assert url == "jdbc:postgresql://h:5432/d"
+    assert props["user"] == "u" and props["password"] == "s3cr3t"
+    assert "s3cr3t" not in url
+    with _pytest.raises(ValueError):
+        attrs_to_jdbc_url("", "s3cr3t", "h", 5432, "d")
