@@ -844,3 +844,51 @@ def c7_quantile_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+@register(
+    "s8_schema_evolution",
+    survey="S5,S7,S4",
+    doc="Schema evolution across sync generations: generation 1 files "
+    "carry (event_id, user_id, updated_ms), generation 2 adds the "
+    "value column — exactly what a mid-sync source ALTER TABLE ADD "
+    "COLUMN produces. The unified read uses mergeSchema; generation-1 "
+    "rows surface NULL values (never defaults, never errors), and the "
+    "DDL clone of the merged schema would carry the new column. "
+    "Returns per-generation counts and the value sum (NULL for the "
+    "legacy generation — the oracle states the whole contract in "
+    "closed form).",
+    oracle="""
+    SELECT (event_id % 2 = 0) AS legacy_gen,
+           count(*) AS n_rows,
+           CAST(SUM(CASE WHEN event_id % 2 = 0 THEN NULL
+                         ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS value_total
+    FROM events GROUP BY 1
+    """,
+)
+def s8_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    df = _events_ms(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"pypgsync_evolve_{tag}")
+    g1, g2 = f"{base}/gen1", f"{base}/gen2"
+    df.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "updated_ms"
+    ).write.mode("overwrite").parquet(g1)
+    df.filter(F.col("event_id") % 2 != 0).select(
+        "event_id", "user_id", "updated_ms", "value"
+    ).write.mode("overwrite").parquet(g2)
+    back = spark.read.option("mergeSchema", "true").parquet(g1, g2)
+    return (
+        back.groupBy((F.col("event_id") % 2 == 0).alias("legacy_gen"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_total"),
+        )
+    )
