@@ -1092,3 +1092,37 @@ def w7_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_24h"),
         F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("sum_24h"),
     )
+
+
+@register(
+    "skew1_heavy_hitters",
+    survey="A4,O2,ext:skew",
+    doc="Join-key skew profiler: the 10 heaviest user_id keys in "
+    "events with their frequency share — the diagnostic that decides "
+    "whether a join needs salting (j8) or AQE skew splitting. One "
+    "map-side-combined groupBy; the top-10 plans as "
+    "TakeOrderedAndProject (heap, no global sort) and the corpus "
+    "total rides along as a scalar subquery, so the share needs no "
+    "window over the full key table.",
+    oracle="""
+    SELECT user_id, count(*) AS n,
+           round(count(*) * 1.0 / (SELECT count(*) FROM events), 6) AS share
+    FROM events GROUP BY user_id
+    ORDER BY n DESC, user_id LIMIT 10
+    """,
+)
+def skew1_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    ev.createOrReplaceTempView("pypgsync_skew1_events")
+    total = F.expr("(SELECT count(*) FROM pypgsync_skew1_events)")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("n") / total, 6).alias("share"),
+        )
+        .orderBy(F.col("n").desc(), F.col("user_id"))
+        .limit(10)
+    )
