@@ -162,10 +162,13 @@ def _load_all() -> None:
     # the former is working code that an edit may have broken (exactly
     # the r3 d2/d5 failure mode), the latter ships with fresh pytest +
     # local-oracle coverage and can wait a round for its driver row
-    # without leaving changed code unvouched. Then bench-tagged
-    # queries (they run every round regardless, so a broken one fails
-    # the bench too), then ascending last-green round, then
-    # registration order. With the driver's 50-row cap this still
+    # without leaving changed code unvouched. Then ascending bench
+    # RANK (bench-tagged queries run every round regardless, so a
+    # broken one fails the bench too; the rank makes the order
+    # deterministic and age-respecting — a query tagged in an earlier
+    # round has a lower rank and claims its first driver row before a
+    # newer sibling), untagged last; then ascending last-green round,
+    # then registration order. With the driver's 50-row cap this still
     # ROTATES: re-checked queries move back, stale ones come around.
     last = _last_green_round()
     recorded = _recorded_fingerprints()
@@ -174,7 +177,7 @@ def _load_all() -> None:
         key=lambda t: (
             0 if _is_stale(t[1][0], t[1][1], last.get(t[1][0], 0), recorded) else 1,
             0 if last.get(t[1][0], 0) > 0 else 1,
-            0 if t[1][1].bench is not None else 1,
+            t[1][1].bench if t[1][1].bench is not None else 10**9,
             last.get(t[1][0], 0),
             t[0],
         ),

@@ -1096,6 +1096,7 @@ def w7_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "skew1_heavy_hitters",
+    bench=49,
     survey="A4,O2,ext:skew",
     doc="Join-key skew profiler: the 10 heaviest user_id keys in "
     "events with their frequency share — the diagnostic that decides "

@@ -283,6 +283,7 @@ def t11_cdc_stream_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t12_stream_corpus_screen",
+    bench=43,
     survey="§2.10 ext,ext:dedup",
     doc="Stream-static anti join (streaming/dedupe.py "
     "stream_corpus_screen): incoming documents (fresh doc_id % 10 == 0 "

@@ -563,6 +563,7 @@ _S5_TABLES = (
 
 @register(
     "s5_ddl_clone",
+    bench=37,
     survey="S5",
     doc="DDL clone of the source schema (ddl.py, reference "
     "session.py:194-197): reflect every fixture table's Spark schema "
@@ -612,6 +613,7 @@ def s5_ddl_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s6_catalog_checks",
+    bench=38,
     survey="S6",
     doc="Catalog existence checks (ddl.py:check_tables, reference "
     "session.py:170-192): probe the session catalog for every fixture "
@@ -642,6 +644,7 @@ def s6_catalog_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "check1_referential_integrity",
+    bench=45,
     survey="S6,§2.3,A3",
     doc="Referential-integrity audit — the data-quality gate a sync "
     "engine runs before trusting a destination: FK orphan counts "
@@ -729,6 +732,7 @@ _PROFILE_COLS = (
 
 @register(
     "profile1_column_stats",
+    bench=46,
     survey="S5,A7,A3",
     doc="Table profiler — per-column null and exact distinct counts "
     "over orders in ONE scan (the pre-sync data-profiling step that "
@@ -771,6 +775,7 @@ _C7_FRACS = "0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875"
 
 @register(
     "c7_quantile_slices",
+    bench=47,
     survey="C2,C1,A6,X2",
     doc="Equal-ROWS slice planning (plans/intervals.quantile_bounds): "
     "boundaries at the eighth percentiles of updated_ms instead of a "
@@ -848,6 +853,7 @@ def c7_quantile_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s8_schema_evolution",
+    bench=48,
     survey="S5,S7,S4",
     doc="Schema evolution across sync generations: generation 1 files "
     "carry (event_id, user_id, updated_ms), generation 2 adds the "

@@ -724,6 +724,7 @@ def tx5_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pack1_token_budget_chunks",
+    bench=39,
     survey="ext:sampling,ext:text,W1",
     doc="Token-budget sequence packing (operators/packing.py): "
     "concatenate each source stream in doc_id order and slice it into "
@@ -766,6 +767,7 @@ def pack1_token_budget_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d7_incremental_dedup",
+    bench=40,
     survey="ext:dedup,§2.3",
     doc="Incremental exact dedup (operators/incremental.py): the "
     "ingest-batch contract. The standing corpus is docs with "
@@ -813,6 +815,7 @@ def d7_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pack2_sliding_windows",
+    bench=41,
     survey="ext:text,ext:sampling",
     doc="Sliding context-window chunking: each document yields windows "
     "of 32 tokens at stride 16 (the overlap-chunking step of RAG / "
@@ -859,6 +862,7 @@ def pack2_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "samp3_temperature_mixture",
+    bench=44,
     survey="ext:sampling,A4",
     doc="Temperature-resampled language mixture (the multilingual "
     "rebalancing step): per-language token shares are raised to "
@@ -904,6 +908,7 @@ def samp3_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d8_delta_jaccard_pairs",
+    bench=42,
     survey="ext:dedup,§2.3",
     doc="Cross-collection near-dup screen "
     "(operators/incremental.cross_jaccard_pairs): every (delta doc, "
