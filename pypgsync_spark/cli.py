@@ -73,7 +73,44 @@ def _build_parser() -> argparse.ArgumentParser:
                 default=0,
                 help="0 = loop until interrupted (reference while-True)",
             )
+    q = sub.add_parser(
+        "query",
+        help="run a named catalog query (the engine's query surface; "
+        "`--list` enumerates every registered name)",
+    )
+    q.add_argument("name", nargs="?", help="registry query name (omit with --list)")
+    q.add_argument("--list", action="store_true", help="list registered queries")
+    q.add_argument(
+        "--sf-dir",
+        default=None,
+        help="fixture/table directory (default: catalog.DEFAULT_SF_DIR)",
+    )
+    q.add_argument("--limit", type=int, default=20, help="rows to print (JSON lines)")
+    q.add_argument("--master", default=None, help="spark master override")
     return p
+
+
+def run_query(args, spark: SparkSession) -> int:
+    import json
+
+    from pypgsync_spark.catalog import DEFAULT_SF_DIR
+    from pypgsync_spark.queries import REGISTRY
+
+    if args.list:
+        for n, spec in sorted(REGISTRY.items()):
+            print(f"{n}\t{spec.survey}")
+        return 0
+    if not args.name or args.name not in REGISTRY:
+        known = ", ".join(sorted(REGISTRY)[:8])
+        print(
+            f"unknown query {args.name!r}; try --list (e.g. {known}, ...)",
+            file=sys.stderr,
+        )
+        return 2
+    df = REGISTRY[args.name].fn(spark, args.sf_dir or DEFAULT_SF_DIR)
+    for row in df.limit(args.limit).collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
 
 
 def _load_source(
@@ -135,6 +172,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         from pypgsync_spark.session import get_spark
 
         spark = get_spark(app_name="pypgsync_spark_cli", master=args.master)
+    if args.command == "query":
+        return run_query(args, spark)
     if args.command == "single":
         stats = run_single(args, spark)
         print(f"synced: {stats}")

@@ -134,3 +134,23 @@ def test_cli_single_syncs_via_sql_source(spark, sf_small, tmp_path, capsys):
 
     n = load_table(spark, sf_small, "events").count()
     assert ParquetSyncedTable(spark, dest).read().count() == n
+
+
+def test_cli_query_command(spark, sf_small, capsys):
+    import json
+
+    from pypgsync_spark.cli import main
+
+    rc = main(["query", "a6_count_star", "--sf-dir", sf_small], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1 and list(json.loads(out[0])) == ["cnt"]
+
+    rc = main(["query", "--list"], spark=spark)
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert any(line.startswith("a6_count_star") for line in lines)
+    assert len(lines) >= 128
+
+    rc = main(["query", "no_such_query"], spark=spark)
+    assert rc == 2
