@@ -936,3 +936,76 @@ def d8_delta_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") % 10 != 0)
     delta = d.filter(F.col("doc_id") % 10 == 0)
     return cross_jaccard_pairs(corpus, delta, threshold=0.3)
+
+
+@register(
+    "d9_cluster_canonical",
+    bench=50,
+    survey="ext:dedup,W1",
+    doc="Canonical-document selection per near-dup cluster: for every "
+    "cluster of ≥2 mutual near-dups (3-gram Jaccard > 0.3, connected "
+    "components over the pair graph), keep the LONGEST member "
+    "(max n_chars, tie → min doc_id) — the curation rule that "
+    "preserves the most content instead of an arbitrary survivor. "
+    "One window over the component-keyed join; the oracle rebuilds "
+    "the identical closure with a recursive CTE and the same "
+    "deterministic argmax.",
+    oracle=f"""
+    WITH RECURSIVE s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) > 0.3
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+    sel AS (
+      SELECT c.component, d.doc_id, d.n_chars,
+             row_number() OVER (
+               PARTITION BY c.component ORDER BY d.n_chars DESC, d.doc_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY c.component) AS n_docs
+      FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           doc_id AS canonical_doc_id,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           n_chars AS canonical_chars
+    FROM sel WHERE rn = 1 AND n_docs > 1
+    """,
+)
+def d9_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pypgsync_spark.operators.dedup import connected_components_hybrid
+
+    docs = _docs(spark, sf_dir)
+    edges = ngram_jaccard_pairs(docs, threshold=0.3, materialize_shingles=True)
+    comp = connected_components_hybrid(edges).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    members = comp.join(docs.select("doc_id", "n_chars"), on="doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("component")
+    return (
+        members.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count(F.lit(1)).over(wc))
+        .filter((F.col("__rn") == 1) & (F.col("n_docs") > 1))
+        .select(
+            F.col("component").cast("long").alias("component"),
+            F.col("doc_id").alias("canonical_doc_id"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_chars").alias("canonical_chars"),
+        )
+    )
