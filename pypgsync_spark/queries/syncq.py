@@ -898,3 +898,64 @@ def s8_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_total"),
         )
     )
+
+
+@register(
+    "sync1_bucket_checksums",
+    bench=51,
+    survey="S3,C3,A4,§2.3",
+    doc="Anti-entropy validation (operators/merge.bucket_checksums): "
+    "Merkle-style per-bucket digests of (event_id, updated_ms) on the "
+    "source and a destination that silently diverged (every "
+    "event_id % 997 == 0 row carries a stale version, every "
+    "event_id % 1009 == 0 row is missing) — the digest join flags "
+    "exactly the buckets a repair scan must re-read. Both digest "
+    "passes are map-side-combined aggregates whose shuffle carries "
+    "num_buckets rows, never data: how a 100 TB destination gets "
+    "validated without a row-by-row re-read.",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, epoch_ms(ts) AS updated_ms FROM events
+    ),
+    dst AS (
+      SELECT event_id,
+             CASE WHEN event_id % 997 = 0 THEN updated_ms - 1000
+                  ELSE updated_ms END AS updated_ms
+      FROM src WHERE event_id % 1009 <> 0
+    ),
+    sd AS (
+      SELECT event_id % 64 AS bucket, count(*) AS n,
+             SUM(CAST(concat('0x',
+                   substr(md5(concat(CAST(event_id AS VARCHAR), ':',
+                                     CAST(updated_ms AS VARCHAR))), 1, 12))
+                 AS BIGINT)) AS checksum
+      FROM src GROUP BY 1
+    ),
+    dd AS (
+      SELECT event_id % 64 AS bucket, count(*) AS n,
+             SUM(CAST(concat('0x',
+                   substr(md5(concat(CAST(event_id AS VARCHAR), ':',
+                                     CAST(updated_ms AS VARCHAR))), 1, 12))
+                 AS BIGINT)) AS checksum
+      FROM dst GROUP BY 1
+    )
+    SELECT CAST(COALESCE(sd.bucket, dd.bucket) AS BIGINT) AS bucket,
+           CAST(COALESCE(sd.n, 0) AS BIGINT) AS src_n,
+           CAST(COALESCE(dd.n, 0) AS BIGINT) AS dst_n,
+           (COALESCE(sd.n, 0) = COALESCE(dd.n, 0)
+            AND COALESCE(sd.checksum, 0) = COALESCE(dd.checksum, 0))
+             AS in_sync
+    FROM sd FULL OUTER JOIN dd ON sd.bucket = dd.bucket
+    """,
+)
+def sync1_bucket_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.operators.merge import diff_buckets
+
+    src = _events_ms(spark, sf_dir).select("event_id", "updated_ms")
+    dst = src.filter(F.col("event_id") % 1009 != 0).withColumn(
+        "updated_ms",
+        F.when(
+            F.col("event_id") % 997 == 0, F.col("updated_ms") - 1000
+        ).otherwise(F.col("updated_ms")),
+    )
+    return diff_buckets(src, dst, "event_id", "updated_ms", num_buckets=64)

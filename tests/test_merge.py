@@ -149,3 +149,36 @@ def test_join_merge_idempotent_and_tie_source_wins(spark):
     assert rows_set(once) == {(1, 10, "src"), (2, 20, "b"), (3, 30, "c")}
     twice = join_merge(once, delta, ["id"], "updated")
     assert rows_set(once) == rows_set(twice)
+
+
+def test_bucket_checksums_flag_exactly_divergent_buckets(spark):
+    """A bucket is flagged out-of-sync IFF its rows actually differ —
+    the property that makes the digest join a safe repair targeter."""
+    from pyspark.sql import functions as F
+
+    from pypgsync_spark.operators.merge import diff_buckets
+
+    src = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    # corrupt versions for k % 97 == 0, drop k % 101 == 0
+    dst = src.filter(F.col("k") % 101 != 0).withColumn(
+        "v", F.when(F.col("k") % 97 == 0, F.col("v") + 1).otherwise(F.col("v"))
+    )
+    out = {r["bucket"]: r["in_sync"] for r in
+           diff_buckets(src, dst, "k", "v", num_buckets=16).collect()}
+    bad = {k % 16 for k in range(0, 500) if k % 97 == 0 or k % 101 == 0}
+    assert out == {b: b not in bad for b in range(16)}
+
+
+def test_bucket_checksums_identical_sides_all_in_sync(spark):
+    from pyspark.sql import functions as F
+
+    from pypgsync_spark.operators.merge import diff_buckets
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    out = diff_buckets(df, df, "k", "v", num_buckets=8)
+    assert out.filter("NOT in_sync").count() == 0
+    assert out.count() == 8
