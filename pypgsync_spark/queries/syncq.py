@@ -959,3 +959,75 @@ def sync1_bucket_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("updated_ms")),
     )
     return diff_buckets(src, dst, "event_id", "updated_ms", num_buckets=64)
+
+
+@register(
+    "sync2_targeted_repair",
+    bench=52,
+    survey="S3,C2,§2.3",
+    doc="The repair half of anti-entropy: join the digest verdicts "
+    "(sync1's divergence scenario) back to the SOURCE and count the "
+    "rows each out-of-sync bucket must re-ship — the re-sync scan "
+    "touches ~19/64 of the table instead of all of it, and the "
+    "flagged-bucket list is metadata-scale, so it broadcasts into a "
+    "semi-join against the source scan. Returns one row per divergent "
+    "bucket with its repair volume.",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, epoch_ms(ts) AS updated_ms FROM events
+    ),
+    dst AS (
+      SELECT event_id,
+             CASE WHEN event_id % 997 = 0 THEN updated_ms - 1000
+                  ELSE updated_ms END AS updated_ms
+      FROM src WHERE event_id % 1009 <> 0
+    ),
+    sd AS (
+      SELECT event_id % 64 AS bucket, count(*) AS n,
+             SUM(CAST(concat('0x',
+                   substr(md5(concat(CAST(event_id AS VARCHAR), ':',
+                                     CAST(updated_ms AS VARCHAR))), 1, 12))
+                 AS BIGINT)) AS checksum
+      FROM src GROUP BY 1
+    ),
+    dd AS (
+      SELECT event_id % 64 AS bucket, count(*) AS n,
+             SUM(CAST(concat('0x',
+                   substr(md5(concat(CAST(event_id AS VARCHAR), ':',
+                                     CAST(updated_ms AS VARCHAR))), 1, 12))
+                 AS BIGINT)) AS checksum
+      FROM dst GROUP BY 1
+    ),
+    flagged AS (
+      SELECT COALESCE(sd.bucket, dd.bucket) AS bucket
+      FROM sd FULL OUTER JOIN dd ON sd.bucket = dd.bucket
+      WHERE NOT (COALESCE(sd.n, 0) = COALESCE(dd.n, 0)
+                 AND COALESCE(sd.checksum, 0) = COALESCE(dd.checksum, 0))
+    )
+    SELECT CAST(f.bucket AS BIGINT) AS bucket,
+           count(*) AS rows_to_copy
+    FROM flagged f JOIN src s ON s.event_id % 64 = f.bucket
+    GROUP BY 1
+    """,
+)
+def sync2_targeted_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.operators.merge import diff_buckets
+
+    src = _events_ms(spark, sf_dir).select("event_id", "updated_ms")
+    dst = src.filter(F.col("event_id") % 1009 != 0).withColumn(
+        "updated_ms",
+        F.when(
+            F.col("event_id") % 997 == 0, F.col("updated_ms") - 1000
+        ).otherwise(F.col("updated_ms")),
+    )
+    flagged = (
+        diff_buckets(src, dst, "event_id", "updated_ms", num_buckets=64)
+        .filter(~F.col("in_sync"))
+        .select("bucket")
+    )
+    return (
+        src.withColumn("bucket", F.col("event_id") % 64)
+        .join(F.broadcast(flagged), on="bucket", how="left_semi")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("rows_to_copy"))
+    )
