@@ -1031,3 +1031,57 @@ def sync2_targeted_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("rows_to_copy"))
     )
+
+
+_P2_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "profile2_numeric_stats",
+    bench=53,
+    survey="A4,A12,S5",
+    doc="Numeric column profiler over lineitem: n/mean/population-"
+    "stddev/min/max for every numeric column in ONE pass. Mean and "
+    "variance derive from DECIMAL-exact sums (value and value² both "
+    "summed as decimals, cast to double only for the final identical "
+    "IEEE expression on both engines, rounded to 6) — the "
+    "float-determinism discipline that keeps a distributed profiler "
+    "hash-comparable with a single-node engine.",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, count(*) AS n, "
+        f"round(CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS mean, "
+        f"round(sqrt((CAST(SUM(CAST({c} AS DECIMAL(18,2)) * CAST({c} AS DECIMAL(18,2))) AS DOUBLE) / count(*)) "
+        f"- (CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) / count(*)) "
+        f"* (CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) / count(*))), 6) AS std_pop, "
+        f"min({c}) AS vmin, max({c}) AS vmax FROM lineitem"
+        for c in _P2_COLS
+    ),
+)
+def profile2_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in _P2_COLS:
+        dec = F.col(c).cast("decimal(18,2)")
+        aggs += [
+            F.sum(dec).alias(f"__s_{c}"),
+            F.sum(dec * dec).alias(f"__q_{c}"),
+            F.min(c).alias(f"__mn_{c}"),
+            F.max(c).alias(f"__mx_{c}"),
+        ]
+    agg = li.agg(*aggs)
+    for c in _P2_COLS:
+        mean = F.col(f"__s_{c}").cast("double") / F.col("__n")
+        var = F.col(f"__q_{c}").cast("double") / F.col("__n") - mean * mean
+        agg = agg.withColumn(f"__mean_{c}", F.round(mean, 6)).withColumn(
+            f"__std_{c}", F.round(F.sqrt(var), 6)
+        )
+    stack = ", ".join(
+        f"'{c}', __mean_{c}, __std_{c}, __mn_{c}, __mx_{c}" for c in _P2_COLS
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(_P2_COLS)}, {stack}) "
+            "AS (column_name, mean, std_pop, vmin, vmax)"
+        ),
+        F.col("__n").alias("n"),
+    )
