@@ -1009,3 +1009,89 @@ def d9_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").alias("canonical_chars"),
         )
     )
+
+
+@register(
+    "pipe2_dedup_pack_pipeline",
+    bench=54,
+    survey="ext:pipeline,ext:dedup,ext:sampling",
+    doc="Flagship curation-to-packing pipeline: near-dup clusters "
+    "(exact 3-gram Jaccard > 0.3 → connected components) → canonical "
+    "member per cluster (longest, tie min doc_id; singletons keep "
+    "themselves) → minimum-length gate (≥ 20 tokens) → token-budget "
+    "packing of the survivors into 2048-token training sequences per "
+    "source via the distributed prefix sum. Every stage is an "
+    "individually-verified operator (d5/d9 clustering, pack1 "
+    "packing); the oracle restates the whole composition in one "
+    "closed form (recursive CTE + windows).",
+    oracle=f"""
+    WITH RECURSIVE s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) > 0.3
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+    members AS (
+      SELECT d.doc_id, d.source, c.component, d.n_chars,
+             len({_DUCK_TOKENS}) AS n_tokens
+      FROM documents d JOIN comp c USING (doc_id)
+    ),
+    winners AS (
+      SELECT * FROM members
+      QUALIFY row_number() OVER (
+        PARTITION BY component ORDER BY n_chars DESC, doc_id) = 1
+    ),
+    kept AS (SELECT * FROM winners WHERE n_tokens >= 20),
+    packed AS (
+      SELECT source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM kept
+    )
+    SELECT source, CAST(off // 2048 AS BIGINT) AS chunk_id,
+           count(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
+    FROM packed GROUP BY source, chunk_id
+    """,
+)
+def pipe2_dedup_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pypgsync_spark.operators.dedup import connected_components_hybrid
+    from pypgsync_spark.operators.packing import pack_chunks
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", "n_chars", token_count(F.col("text")).alias("n_tokens")
+    )
+    edges = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.3, materialize_shingles=True
+    )
+    comp = connected_components_hybrid(edges).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    members = docs.join(comp, on="doc_id", how="left").withColumn(
+        "component", F.coalesce("component", "doc_id")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    kept = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("n_tokens") >= 20))
+        .select("doc_id", "source", "n_tokens")
+    )
+    return pack_chunks(
+        kept, "source", "doc_id", "n_tokens", budget=2048, bucket_size=1000
+    )
