@@ -1127,3 +1127,40 @@ def skew1_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("user_id"))
         .limit(10)
     )
+
+
+@register(
+    "a16_cohort_retention",
+    bench=55,
+    survey="A4,A7,F5",
+    doc="Cohort retention matrix: users bucketed by first-seen day, "
+    "then distinct active users per (cohort_day, day offset) — the "
+    "classic product-analytics rollup. Two map-side-combined shuffles "
+    "(per-user min day; distinct users per cell), no window over the "
+    "fact table.",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+    SELECT f.cohort_day,
+           CAST(datediff('day', f.cohort_day, a.d) AS INT) AS offset_days,
+           count(DISTINCT a.user_id) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def a16_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    day = F.to_date("ts")
+    first = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    act = ev.select("user_id", day.alias("d")).distinct()
+    return (
+        act.join(first, on="user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("d", "cohort_day").cast("int").alias("offset_days"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
