@@ -1164,3 +1164,52 @@ def a16_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "w8_cumulative_users",
+    bench=56,
+    survey="W1,A7,A4",
+    doc="Daily activity rollup with RUNNING totals, windowed-distinct-"
+    "free: cumulative distinct users = count of users whose FIRST-seen "
+    "day is <= d, so one per-user min + per-day counts + cumsums over "
+    "day-level rows (metadata-scale) replace the O(days x users) "
+    "running-set a naive windowed distinct would maintain.",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS fd FROM events GROUP BY user_id
+    ),
+    nd AS (SELECT fd, count(*) AS new_users FROM f GROUP BY fd),
+    ad AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
+           FROM events GROUP BY 1)
+    SELECT ad.d, ad.n_events,
+           SUM(ad.n_events) OVER (ORDER BY ad.d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_events,
+           SUM(COALESCE(nd.new_users, 0)) OVER (ORDER BY ad.d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+    FROM ad LEFT JOIN nd ON nd.fd = ad.d
+    """,
+)
+def w8_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("fd"))
+    new_users = first.groupBy("fd").agg(F.count(F.lit(1)).alias("new_users"))
+    per_day = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_day.join(new_users, per_day["d"] == new_users["fd"], "left")
+        .select(
+            "d",
+            "n_events",
+            F.sum("n_events").over(w).alias("cum_events"),
+            F.sum(F.coalesce("new_users", F.lit(0))).over(w).alias("cum_users"),
+        )
+    )
