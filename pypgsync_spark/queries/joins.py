@@ -596,11 +596,20 @@ def j13_asof_prior_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and revenue-summed per order priority. The interval predicate "
     "lives in the JOIN's post-filter — both sides shuffle once on "
     "orderkey (sort-merge at scale) and the priority rollup is a "
-    "map-side-combined agg over five groups.",
+    "map-side-combined agg over five groups. Revenue is computed in "
+    "EXACT decimal arithmetic — each double input is cast to "
+    "decimal(18,2) BEFORE the multiply, so the product (scale 4) and "
+    "its sum are exact on both engines. The r6 hash mismatch was the "
+    "double→decimal rounding-tie class: Spark casts via the shortest "
+    "string repr with HALF_UP while DuckDB rounds the raw binary "
+    "value, so a product like 123.45499999999999 splits the engines; "
+    "casting 2-dp inputs first removes the tie class entirely "
+    "(2-dp fixture values scale to near-integers, never near-halves).",
     oracle="""
     SELECT o_orderpriority, count(*) AS n_late,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                         AS DECIMAL(18,2))) AS DOUBLE) AS late_revenue
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS late_revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
     GROUP BY o_orderpriority
@@ -613,15 +622,17 @@ def j14_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_dec = F.col("l_discount").cast("decimal(18,2)")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_late"),
-            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "late_revenue"
-            ),
+            F.sum(price_dec * (F.lit(1).cast("decimal(18,2)") - disc_dec))
+            .cast("double")
+            .alias("late_revenue"),
         )
     )
 
