@@ -153,8 +153,12 @@ def bucket_checksums(
     ``bucket = id % num_buckets``, ``n`` the bucket's row count and
     ``checksum`` the SUM of a 48-bit md5-derived integer of each row's
     ``(id, version)`` pair. Engine-portable (md5 over decimal strings;
-    no xxhash), order-free (sum), and overflow-safe (10⁵ buckets of
-    2⁴⁸-bounded terms stay far inside BIGINT).
+    no xxhash), order-free (sum), and overflow-safe at ANY bucket
+    sizing: the 2⁴⁸-bounded terms accumulate as ``decimal(38,0)``
+    (matching DuckDB's SUM(BIGINT)→HUGEINT promotion), which holds
+    ~10²³ rows per bucket before overflow — a BIGINT accumulator would
+    wrap past ~2¹⁵ rows/bucket, trivially reached at scale with the
+    default 64 buckets.
 
     The anti-entropy primitive: computing digests on BOTH sides of a
     sync costs one map-side-combined aggregate each — the shuffle
@@ -182,7 +186,8 @@ def bucket_checksums(
         .cast("long")
     )
     return df.groupBy((F.col(id_col) % num_buckets).alias("bucket")).agg(
-        F.count(F.lit(1)).alias("n"), F.sum(h).alias("checksum")
+        F.count(F.lit(1)).alias("n"),
+        F.sum(h.cast("decimal(38,0)")).alias("checksum"),
     )
 
 

@@ -55,7 +55,12 @@ def packed_offsets(
     ``order_col`` must be numeric and unique within a stream (a doc id,
     an ingest sequence number); ``bucket_size`` bounds the rows any
     single window partition holds — size it so a bucket's rows fit one
-    task comfortably (10⁴–10⁶ at real scale).
+    task comfortably (10⁴–10⁶ at real scale). The bucket-offsets side
+    of the join has rows/bucket_size rows, so it shrinks as
+    bucket_size grows; no broadcast hint is forced — AQE broadcasts it
+    when it measures small and falls back to a shuffle join when the
+    corpus/bucket_size ratio makes it big (a forced broadcast would
+    blow the driver past ~10⁸ buckets).
     """
     b = df.withColumn(_BKT, F.expr(f"{order_col} div {int(bucket_size)}"))
     totals = b.groupBy(stream_col, _BKT).agg(
@@ -85,7 +90,7 @@ def packed_offsets(
         off[_BKT]
     )
     return (
-        rows.join(F.broadcast(off), cond)
+        rows.join(off, cond)
         .drop(off[stream_col])
         .drop(off[_BKT])
         .withColumn(

@@ -127,6 +127,15 @@ def quantile_bounds(df, column: str, n_slices: int) -> list[int]:
     """
     from pyspark.sql import functions as F
 
+    if n_slices < 1:
+        raise ValueError(f"n_slices must be >= 1, got {n_slices}")
     fracs = [i / n_slices for i in range(1, n_slices)]
+    if not fracs:
+        return []
     row = df.agg(F.percentile(column, fracs).alias("bs")).first()
+    if row is None or row["bs"] is None:
+        # percentile over zero rows (or an all-NULL column) is NULL —
+        # an empty delta plans as zero boundaries, matching
+        # plan_slices' empty handling, instead of an opaque TypeError.
+        return []
     return [int(x // 1) for x in row["bs"]]

@@ -237,12 +237,17 @@ def test_packing_no_stream_wide_window(spark, sf_small):
     """Token packing must never funnel a stream through one task: the
     corpus-sized windows are partitioned by (stream, bucket), the only
     stream-wide window runs over bucket TOTALS (metadata-scale), and
-    the offsets come back via broadcast. A naive
+    the offsets come back via a size-estimated join — Catalyst/AQE
+    broadcasts when the offsets table measures small (as here) and
+    falls back to a shuffle join when rows/bucket_size is huge; no
+    forced broadcast hint (a corpus/1000-row table force-broadcast
+    would blow the driver at scale). A naive
     Window.partitionBy(source) over the corpus would be correct and
     unusable at 100 TB."""
     plan = plan_of(spark, sf_small, "pack1_token_budget_chunks")
     assert "SinglePartition" not in plan
-    assert "BroadcastHashJoin" in plan  # bucket offsets come back broadcast
+    # at fixture scale the estimator picks broadcast on its own (no hint)
+    assert "BroadcastHashJoin" in plan
     assert "partial_sum" in plan  # bucket totals are map-side combined
     # every corpus-sized window is keyed by (stream, bucket), never by
     # stream alone: the stream-alone spec may only appear over totals,
