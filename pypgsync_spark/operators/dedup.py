@@ -70,15 +70,28 @@ def with_shingles(
 ) -> DataFrame:
     """Attach the distinct-shingle array column.
 
-    Repartitions to the session's default parallelism first: shingle
-    construction is interpreted higher-order-function work (the
-    expensive part of every downstream dedup), and a small parquet
-    input is a single split — without the shuffle it runs on one core.
-    At scale the input has many splits and AQE may coalesce this to a
-    no-op-ish exchange; the correctness is unaffected.
+    Spreads the input across the session's default parallelism first
+    IF it arrives under-split: shingle construction is interpreted
+    higher-order-function work (the expensive part of every downstream
+    dedup), and a small parquet input is a single split — without the
+    shuffle it runs on one core. A many-split input (any real corpus)
+    skips the repartition entirely: an explicit repartition() is a
+    full round-robin shuffle of the raw text that AQE does NOT elide,
+    and at 100 TB that is an avoidable extra pass over the corpus.
     """
+    return _spread_if_underpartitioned(df).withColumn(
+        out, word_shingles(tokens(F.col(text_col)), n)
+    )
+
+
+def _spread_if_underpartitioned(df: DataFrame) -> DataFrame:
+    """``df.repartition(defaultParallelism)`` only when the input has
+    fewer splits than cores — the single-file fixture case. Checking
+    costs one plan→RDD conversion (no job)."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(par).withColumn(out, word_shingles(tokens(F.col(text_col)), n))
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -651,9 +664,8 @@ def simhash_signatures(
     :func:`minhash_signatures` (array-lambda aggregates run
     interpreted and are ~10× slower).
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
     toks = (
-        df.repartition(par)  # single-file inputs otherwise run one-core
+        _spread_if_underpartitioned(df)  # single-file inputs otherwise run one-core
         .select(
             F.col(id_col).alias("id"),
             F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t"),

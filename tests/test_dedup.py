@@ -255,3 +255,26 @@ def test_connected_components_hybrid_shallow_skips_star(spark):
     }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
     assert stats["star_rounds"] == 0
+
+
+def test_shingle_repartition_is_conditional(spark):
+    """r6 verdict #4: with_shingles must NOT round-robin-shuffle a
+    corpus that already arrives with >= defaultParallelism splits (at
+    100 TB that is an avoidable full pass over the raw text — and AQE
+    does not elide an explicit repartition()); an under-split input
+    (the single-file fixture case) still gets spread across cores."""
+    from pypgsync_spark.operators.dedup import with_shingles
+
+    par = spark.sparkContext.defaultParallelism
+    base = spark.range(200).selectExpr(
+        "id AS doc_id", "concat('alpha beta gamma delta ', id) AS text"
+    )
+
+    many = base.repartition(par + 4)
+    plan_many = with_shingles(many)._jdf.queryExecution().optimizedPlan().toString()
+    # exactly the one pre-existing repartition; with_shingles adds none
+    assert plan_many.count("Repartition") == 1
+
+    one = base.coalesce(1)
+    plan_one = with_shingles(one)._jdf.queryExecution().optimizedPlan().toString()
+    assert "RoundRobinPartitioning" in plan_one or "Repartition" in plan_one
