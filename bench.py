@@ -131,6 +131,31 @@ def main() -> None:
         },
     }
     print(json.dumps(out))
+
+    # The driver's BENCH_r{N}.json capture keeps only the last 2000
+    # chars of stdout, which truncates the per-query dicts once the
+    # catalog is large (r6 verdict: only 45/56 bench-tagged queries
+    # visible, no complete round-over-round diff possible). Persist the
+    # FULL output to a committed file named for the round being
+    # benched: the driver writes BENCH_r{N}.json after this run, so
+    # max(existing)+1 is the current round both for local runs and the
+    # driver's end-of-round run.
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    n = max(rounds, default=0) + 1
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"bench_local_r{n:02d}.json"
+    )
+    with open(local_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+
     spark.stop()
 
 
