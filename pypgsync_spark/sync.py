@@ -26,7 +26,6 @@ deploy time.
 
 from __future__ import annotations
 
-import os
 import time
 from dataclasses import dataclass
 
@@ -142,35 +141,72 @@ class ParquetSyncedTable:
     never corrupts the readable copy (poor man's table-format commit;
     production would use Delta/Iceberg, or the JDBC upsert sink where
     Postgres itself is the store).
+
+    All ``_CURRENT`` pointer I/O goes through the Hadoop FileSystem
+    resolved for the destination URI's scheme (r6 verdict #6 — the last
+    local-FS-only writer in the sync path): the alternating-directory
+    commit survives an hdfs:// or s3a:// destination, matching
+    sources/partitioned.py's pattern. The pointer flip is a
+    FileContext rename with Options.Rename.OVERWRITE — atomic on
+    HDFS/local; on object stores the tmp+rename degrades to
+    copy-then-delete of a 1-byte file, which readers still observe as
+    old-or-new pointer content, never a torn directory.
     """
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
-        self.path = path
-        self._ptr = os.path.join(path, "_CURRENT")
+        self.path = path.rstrip("/")
+        self._ptr = f"{self.path}/_CURRENT"
+
+    def _jpath(self, uri: str):
+        return self.spark._jvm.org.apache.hadoop.fs.Path(uri)
+
+    def _fs(self, jpath):
+        return jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
 
     def _current(self) -> str | None:
-        if not os.path.exists(self._ptr):
+        p = self._jpath(self._ptr)
+        fs = self._fs(p)
+        if not fs.exists(p):
             return None
-        with open(self._ptr) as f:
-            return os.path.join(self.path, f.read().strip())
+        jvm = self.spark._jvm
+        reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(fs.open(p)))
+        try:
+            name = reader.readLine()
+        finally:
+            reader.close()
+        if not name:
+            return None
+        return f"{self.path}/{name.strip()}"
 
     def read(self) -> DataFrame | None:
         cur = self._current()
-        if cur is None or not os.path.exists(cur):
+        if cur is None:
+            return None
+        p = self._jpath(cur)
+        if not self._fs(p).exists(p):
             return None
         return self.spark.read.parquet(cur)
 
     def write(self, df: DataFrame) -> None:
         cur = self._current()
         nxt = "a" if cur is None or cur.endswith("b") else "b"
-        out = os.path.join(self.path, nxt)
-        df.write.mode("overwrite").parquet(out)
-        os.makedirs(self.path, exist_ok=True)
-        tmp = self._ptr + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(nxt)
-        os.replace(tmp, self._ptr)
+        df.write.mode("overwrite").parquet(f"{self.path}/{nxt}")
+        jvm = self.spark._jvm
+        tmp = self._jpath(self._ptr + ".tmp")
+        fs = self._fs(tmp)
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(nxt.encode("ascii")))
+        finally:
+            out.close()
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            self.spark._jsc.hadoopConfiguration()
+        )
+        gw = self.spark.sparkContext._gateway
+        overwrite = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        overwrite[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(tmp, self._jpath(self._ptr), overwrite)
 
 
 def sync_table(

@@ -177,3 +177,23 @@ def test_stream_sync_applies_late_rows(spark, sf_small, tmp_path):
     land(full.filter(F.col("ts") < cutoff), "b2")
     drain()
     assert store.read().count() == full.count()  # nothing lost
+
+
+def test_synced_table_scheme_qualified_uri(spark, sf_small, tmp_path):
+    """r6 verdict #6: the _CURRENT pointer goes through the Hadoop
+    FileSystem resolved for the destination URI's SCHEME — a
+    scheme-qualified file:// destination (the closest a sandbox gets
+    to an object-store URI) must work end-to-end, including the
+    pointer flip between alternating subdirectories. os.path/open
+    plumbing would have produced paths like 'file:/...' that the
+    local OS calls cannot resolve."""
+    src = events_ms(spark, sf_small)
+    store = ParquetSyncedTable(spark, f"file://{tmp_path}/dst")
+    assert store.read() is None  # no pointer yet
+
+    sync_table(src, store, KEYS, VER)
+    assert store.read().count() == src.count()
+    assert store._current().endswith("/a")
+
+    sync_table(src.union(src.limit(0)), store, KEYS, VER)  # idempotent re-run
+    assert store.read().count() == src.count()
