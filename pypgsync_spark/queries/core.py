@@ -513,12 +513,22 @@ def a12_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a12b_approx_percentiles",
     survey="§2.4 ext,X2",
-    doc="The at-scale percentile path: percentile_approx (KLL-style "
-    "sketch, mergeable map-side — the shuffle carries one sketch per "
-    "(group × task) instead of every value; the exact form sorts the "
-    "full group). Rows-only: sketches are engine-specific; rank error "
-    "vs the exact percentiles is pytest-bounded (tests/test_oracle.py).",
-    oracle=None,
+    doc="The at-scale percentile path: percentile_approx (Greenwald-"
+    "Khanna sketch, mergeable map-side — the shuffle carries one "
+    "sketch per (group × task) instead of every value; the exact form "
+    "sorts the full group). Oracle-checked (r6 verdict #7): at "
+    "accuracy=10000 the sketch is EXACT for the fixture's ≤10k-row "
+    "groups and returns an element of the input set (no arithmetic, "
+    "no float divergence), so DuckDB's discrete quantile matches "
+    "value-for-value; the sketch's rank error at real scale stays "
+    "pytest-bounded vs exact percentiles (tests/test_oracle.py).",
+    oracle="""
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.9) AS p90,
+           quantile_disc(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
 )
 def a12b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
