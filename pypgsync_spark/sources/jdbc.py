@@ -89,6 +89,7 @@ def upsert_sql(
     columns: Sequence[str],
     keys: Sequence[str],
     dialect: str = "postgresql",
+    conflict_constraint: str | None = None,
 ) -> str:
     """Render the reference's upsert statement (session.py:135-144) for
     a target dialect:
@@ -107,6 +108,12 @@ def upsert_sql(
     When every column is a key the update clause degrades to the
     dialect's no-op form (``DO NOTHING`` / ``col = col``), keeping the
     statement idempotent.
+
+    ``conflict_constraint`` (postgresql only) switches the conflict
+    target from the column list to ``ON CONFLICT ON CONSTRAINT <name>``
+    — the exact rendering the reference's
+    ``on_conflict_do_update(constraint=table.primary_key)`` produces
+    for a reflected (named) PK constraint (reference session.py:140-144).
     """
     if dialect not in UPSERT_DIALECTS:
         raise ValueError(f"unknown dialect {dialect!r}; one of {UPSERT_DIALECTS}")
@@ -121,9 +128,14 @@ def upsert_sql(
             if nonkey
             else "DO NOTHING"
         )
+        target = (
+            f"ON CONSTRAINT {conflict_constraint}"
+            if conflict_constraint and dialect == "postgresql"
+            else f"({keylist})"
+        )
         return (
             f"INSERT INTO {table} ({collist}) VALUES ({placeholders}) "
-            f"ON CONFLICT ({keylist}) {action}"
+            f"ON CONFLICT {target} {action}"
         )
     if dialect == "mysql":
         updates = ", ".join(
@@ -184,6 +196,53 @@ def write_upsert(
             conn.close()
 
     df.foreachPartition(write_partition)
+
+
+def slice_select_sql(
+    table: str, columns: Sequence[str], column: str, dialect: str = "postgresql"
+) -> str:
+    """The reference's slice read, statement-for-statement (reference
+    session.py:126-133): every column, an inclusive BETWEEN pair on the
+    version column, ascending ORDER BY — in the psycopg2 pyformat
+    paramstyle its SQLAlchemy compile would bind (``%(updated_1)s`` /
+    ``%(updated_2)s``). One of these executes per slice, each on its
+    own executor cursor under ``spark.read.jdbc(predicates=...)``.
+    """
+    ph = _PLACEHOLDER.get(dialect, "?")
+    lo = f"%({column}_1)s" if ph == "%s" else ph
+    hi = f"%({column}_2)s" if ph == "%s" else ph
+    collist = ", ".join(f"{table}.{c}" for c in columns)
+    return (
+        f"SELECT {collist} FROM {table} "
+        f"WHERE {table}.{column} >= {lo} AND {table}.{column} <= {hi} "
+        f"ORDER BY {table}.{column} ASC"
+    )
+
+
+def window_boundaries_sql(
+    table: str, column: str, windowsize: int, dialect: str = "postgresql"
+) -> str:
+    """The reference's chunk-boundary probe (reference
+    session.py:243-292, its ``windowed_query``): global ROW_NUMBER over
+    the version column, keep every ``windowsize``-th row — the servers'
+    keyset boundaries that let the client fetch chunks without the
+    server materializing the whole resultset. The Spark-native
+    equivalent is :func:`pypgsync_spark.operators.windowed.
+    row_number_boundaries`; this emitter exists for JDBC parity tests.
+    """
+    ph = _PLACEHOLDER.get(dialect, "?")
+    lo = f"%({column}_1)s" if ph == "%s" else ph
+    hi = f"%({column}_2)s" if ph == "%s" else ph
+    q = (
+        f"SELECT anon_1.{column} FROM "
+        f"(SELECT {table}.{column} AS {column}, "
+        f"row_number() OVER (ORDER BY {table}.{column}) AS rownum "
+        f"FROM {table} "
+        f"WHERE {table}.{column} >= {lo} AND {table}.{column} <= {hi}) AS anon_1"
+    )
+    if windowsize > 1:
+        q += f" WHERE rownum % {int(windowsize)}=1"
+    return q
 
 
 def attrs_to_jdbc_url(
