@@ -121,3 +121,40 @@ def content_fingerprint(text: Column | str) -> Column:
     across formatting differences."""
     c = F.col(text) if isinstance(text, str) else text
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def winnow_fingerprints(text: Column | str, k: int = 5, w: int = 4) -> Column:
+    """MOSS-style winnowing fingerprint set (Schleimer, Wilkerson &
+    Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003): hash every k-token gram with a portable 48-bit
+    md5-derived integer, then keep the MINIMUM hash of every w-window
+    of consecutive k-gram hashes, deduplicated.
+
+    Guarantee (the paper's): any shared run of >= w+k-1 consecutive
+    tokens between two documents shares at least one fingerprint,
+    while only ~2/(w+1) of the k-gram hashes are kept — the rolling-
+    hash fingerprinting primitive for plagiarism/copy detection and
+    substring-level dedup, as a pure Column expression (array HOFs,
+    no UDF; the md5-derived hash keeps it engine-portable for the
+    DuckDB oracle, unlike xxhash64).
+
+    This takes-minimum-per-window formulation (rather than the
+    paper's pointer-walking loop) is order-free and relational: the
+    fingerprint SET is identical, only per-position provenance is
+    dropped.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n = F.size(toks)
+    kidx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    kgram_hashes = F.transform(
+        kidx,
+        lambda i: F.conv(
+            F.substring(F.md5(F.array_join(F.slice(toks, i, k), " ")), 1, 12), 16, 10
+        ).cast("long"),
+    )
+    # one extra HOF pass beats recomputing the hash array per window
+    h = kgram_hashes
+    m = F.size(h)
+    widx = F.sequence(F.lit(1), F.greatest(m - (w - 1), F.lit(1)))
+    return F.array_distinct(F.transform(widx, lambda j: F.array_min(F.slice(h, j, w))))

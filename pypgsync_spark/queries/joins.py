@@ -718,3 +718,46 @@ def j16_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (_dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly")
         )
     )
+
+
+@register(
+    "j17_top_supplier",
+    bench=59,
+    survey="§2.3,A1,A4",
+    doc="Top supplier by revenue (TPC-H Q15 flavor): per-supplier "
+    "revenue rollup, keep the supplier(s) hitting the global max — "
+    "the max-of-aggregates decorrelation. The scalar max is a 1-row "
+    "broadcast joined back onto the per-supplier rollup (never a "
+    "global sort or a second fact pass), then the supplier dim "
+    "attaches by equi-join. Revenue uses the exact-decimal discipline "
+    "(inputs cast to decimal BEFORE the multiply — see j14): ties for "
+    "the max compare exactly, so 'WHERE rev = max(rev)' is "
+    "deterministic on both engines.",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE r = (SELECT max(r) FROM rev)
+    """,
+)
+def j17_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    rev = li.groupBy("l_suppkey").agg(F.sum(price * disc).alias("__rev"))
+    mx = rev.agg(F.max("__rev").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("__rev") == F.col("__mx"))
+        .join(sup, rev.l_suppkey == sup.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("__rev").cast("double").alias("total_rev")
+        )
+    )

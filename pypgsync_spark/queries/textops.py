@@ -1095,3 +1095,101 @@ def pipe2_dedup_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(
         kept, "source", "doc_id", "n_tokens", budget=2048, bucket_size=1000
     )
+
+
+# ------------------------------------------------------ tx6/tx7: fingerprint + entropy
+
+_WINNOW_K, _WINNOW_W = 5, 4
+
+
+@register(
+    "tx6_winnow_fingerprints",
+    bench=57,
+    survey="ext:text",
+    doc="MOSS-style winnowing document fingerprints (Schleimer et al., "
+    "SIGMOD 2003) — the rolling-hash fingerprinting primitive: hash "
+    "every 5-token gram (portable 48-bit md5-derived int), keep the "
+    "min of every 4-hash window, dedup. Any shared run of >= 8 tokens "
+    "between two docs shares a fingerprint while only ~2/(w+1) of "
+    "hashes are stored. Pure array HOFs per row (no UDF, no explode "
+    "shuffle) — embarrassingly parallel, scales as a map-only pass; "
+    "downstream pair-finding joins on exploded fingerprints exactly "
+    "like the MinHash band join. Output is per-doc fingerprint-set "
+    "aggregates (the set itself is order-unstable across engines).",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+    k AS (
+      SELECT doc_id, list_transform(
+        range(1, greatest(len(toks) - {_WINNOW_K - 1}, 1) + 1),
+        i -> ('0x' || substr(md5(array_to_string(toks[i:i+{_WINNOW_K - 1}], ' ')),
+                             1, 12))::BIGINT
+      ) AS h FROM t
+    ),
+    f AS (
+      SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(h) - {_WINNOW_W - 1}, 1) + 1),
+        j -> list_min(h[j:j+{_WINNOW_W - 1}])
+      )) AS fps FROM k
+    )
+    SELECT doc_id, len(fps) AS n_fps, list_min(fps) AS fp_min,
+           list_max(fps) AS fp_max, CAST(list_sum(fps) AS BIGINT) AS fp_sum
+    FROM f
+    """,
+)
+def tx6_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.functions.text import winnow_fingerprints
+
+    d = _docs(spark, sf_dir)
+    fps = winnow_fingerprints(F.col("text"), k=_WINNOW_K, w=_WINNOW_W)
+    return d.select(
+        "doc_id",
+        F.size(fps).alias("n_fps"),
+        F.array_min(fps).alias("fp_min"),
+        F.array_max(fps).alias("fp_max"),
+        F.aggregate(fps, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "fp_sum"
+        ),
+    )
+
+
+@register(
+    "tx7_token_entropy",
+    bench=58,
+    survey="ext:text",
+    doc="Shannon token entropy per document — the information-density "
+    "quality signal (low entropy = boilerplate/repetition, used "
+    "alongside tx5's repetition filter in web-corpus curation). "
+    "H = log2(n) - sum(c*log2 c)/n over per-doc token counts: one "
+    "explode + two map-side-combined aggregations; the shuffle "
+    "carries (doc, token) counts, never text. Final value rounded to "
+    "6 (float-determinism discipline, CLAUDE.md).",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents),
+    c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2)
+    SELECT doc_id, count(*) AS n_distinct_tokens,
+           round(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6) AS entropy
+    FROM c GROUP BY doc_id
+    """,
+)
+def tx7_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    cnt = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.sum("c").alias("__n"),
+            F.sum(F.col("c") * F.log2("c")).alias("__clc"),
+        )
+        .select(
+            "doc_id",
+            "n_distinct_tokens",
+            F.round(F.log2("__n") - F.col("__clc") / F.col("__n"), 6).alias(
+                "entropy"
+            ),
+        )
+    )

@@ -40,7 +40,14 @@ def test_bench_citations_match_recorded_numbers(doc):
         with open(path) as f:
             bench = json.load(f)
         recorded = (bench.get("parsed") or {}).get("sync_rows_per_sec")
-        assert recorded is not None, f"{path} has no parsed sync_rows_per_sec"
+        if recorded is None:
+            # the driver's 2000-char tail capture can truncate the JSON
+            # line head, leaving parsed=None (r6 did) — fall back to
+            # grepping the figure out of the raw tail (and going
+            # forward, bench_local_r{N}.json carries the full output)
+            m = re.search(r'"sync_rows_per_sec": (\d+)', bench.get("tail") or "")
+            recorded = int(m.group(1)) if m else None
+        assert recorded is not None, f"{path} has no recorded sync_rows_per_sec"
         assert int(figure.replace(",", "")) == recorded, (
             f"{doc} quotes {figure} for round {rnd}, but {path} recorded "
             f"{recorded}"
