@@ -123,6 +123,25 @@ def content_fingerprint(text: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
 
 
+def let_bound(value: Column, body) -> Column:
+    """Evaluate ``value`` ONCE and pass it to ``body`` as a bound
+    lambda variable — a let-expression for Column trees.
+
+    Spark's higher-order functions run interpreted (never whole-stage
+    codegen) and the interpreted evaluator re-evaluates a lambda's
+    captured subexpressions on EVERY invocation: referencing an
+    O(n)-cost array expression inside a transform over n positions
+    silently costs O(n²). ``transform`` over a one-element array
+    evaluates its input exactly once and binds it, so the body sees a
+    cheap NamedLambdaVariable instead of the whole upstream tree.
+    (Diagnosed live: the fused formulation of winnow_fingerprints put
+    a full re-tokenization inside every k-gram lambda — jstack showed
+    StringSplit per position — and turned a seconds-scale map pass
+    into half an hour at sf0.1.)
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def winnow_fingerprints(text: Column | str, k: int = 5, w: int = 4) -> Column:
     """MOSS-style winnowing fingerprint set (Schleimer, Wilkerson &
     Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
@@ -141,20 +160,30 @@ def winnow_fingerprints(text: Column | str, k: int = 5, w: int = 4) -> Column:
     This takes-minimum-per-window formulation (rather than the
     paper's pointer-walking loop) is order-free and relational: the
     fingerprint SET is identical, only per-position provenance is
-    dropped.
+    dropped. The token array and the k-gram hash array are
+    :func:`let_bound` so each phase evaluates once per row — O(n·k)
+    work per document, not the O(n²) the naive fused expression costs
+    under the interpreted HOF evaluator.
     """
     c = F.col(text) if isinstance(text, str) else text
-    toks = tokens(c)
-    n = F.size(toks)
-    kidx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    kgram_hashes = F.transform(
-        kidx,
-        lambda i: F.conv(
-            F.substring(F.md5(F.array_join(F.slice(toks, i, k), " ")), 1, 12), 16, 10
-        ).cast("long"),
+
+    def window_mins(h: Column) -> Column:
+        widx = F.sequence(F.lit(1), F.greatest(F.size(h) - (w - 1), F.lit(1)))
+        return F.array_distinct(
+            F.transform(widx, lambda j: F.array_min(F.slice(h, j, w)))
+        )
+
+    def kgram_hashes(toks: Column) -> Column:
+        kidx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+        return F.transform(
+            kidx,
+            lambda i: F.conv(
+                F.substring(F.md5(F.array_join(F.slice(toks, i, k), " ")), 1, 12),
+                16,
+                10,
+            ).cast("long"),
+        )
+
+    return let_bound(
+        tokens(c), lambda toks: let_bound(kgram_hashes(toks), window_mins)
     )
-    # one extra HOF pass beats recomputing the hash array per window
-    h = kgram_hashes
-    m = F.size(h)
-    widx = F.sequence(F.lit(1), F.greatest(m - (w - 1), F.lit(1)))
-    return F.array_distinct(F.transform(widx, lambda j: F.array_min(F.slice(h, j, w))))

@@ -79,12 +79,12 @@ def with_shingles(
     full round-robin shuffle of the raw text that AQE does NOT elide,
     and at 100 TB that is an avoidable extra pass over the corpus.
     """
-    return _spread_if_underpartitioned(df).withColumn(
+    return spread_if_underpartitioned(df).withColumn(
         out, word_shingles(tokens(F.col(text_col)), n)
     )
 
 
-def _spread_if_underpartitioned(df: DataFrame) -> DataFrame:
+def spread_if_underpartitioned(df: DataFrame) -> DataFrame:
     """``df.repartition(defaultParallelism)`` only when the input has
     fewer splits than cores — the single-file fixture case. Checking
     costs one plan→RDD conversion (no job)."""
@@ -665,7 +665,7 @@ def simhash_signatures(
     interpreted and are ~10× slower).
     """
     toks = (
-        _spread_if_underpartitioned(df)  # single-file inputs otherwise run one-core
+        spread_if_underpartitioned(df)  # single-file inputs otherwise run one-core
         .select(
             F.col(id_col).alias("id"),
             F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t"),

@@ -1138,8 +1138,9 @@ _WINNOW_K, _WINNOW_W = 5, 4
 )
 def tx6_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pypgsync_spark.functions.text import winnow_fingerprints
+    from pypgsync_spark.operators.dedup import spread_if_underpartitioned
 
-    d = _docs(spark, sf_dir)
+    d = spread_if_underpartitioned(_docs(spark, sf_dir))
     fps = winnow_fingerprints(F.col("text"), k=_WINNOW_K, w=_WINNOW_W)
     return d.select(
         "doc_id",
@@ -1191,5 +1192,99 @@ def tx7_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log2("__n") - F.col("__clc") / F.col("__n"), 6).alias(
                 "entropy"
             ),
+        )
+    )
+
+
+_WINNOW_MAXDF = 10  # drop fingerprints appearing in more docs (stopword runs)
+
+
+@register(
+    "d10_winnow_substring_pairs",
+    bench=60,
+    survey="ext:text,§2.3",
+    doc="Substring-level near-dup pairs via winnowing fingerprints "
+    "(tx6's scale path, the MOSS pair-finding stage): explode each "
+    "doc's fingerprint set, drop ubiquitous fingerprints (df > "
+    f"{_WINNOW_MAXDF} docs — boilerplate runs, the inverted-index "
+    "stopword rule), inverted-index self-join on the fingerprint, "
+    "count shared per pair, Jaccard over the df-filtered sets. Each "
+    "shared fingerprint witnesses a >= w+k-1 = 8-token verbatim "
+    "overlap, so pairs here are copy/quote relationships that "
+    "whole-document Jaccard (d2) dilutes away. All-integer Jaccard "
+    "(exact on both engines, round 6); the join is equi on the "
+    "fingerprint — shuffle carries (doc, fp) pairs, ~2/(w+1) of "
+    "token count, never text.",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+    k AS (
+      SELECT doc_id, list_transform(
+        range(1, greatest(len(toks) - {_WINNOW_K - 1}, 1) + 1),
+        i -> ('0x' || substr(md5(array_to_string(toks[i:i+{_WINNOW_K - 1}], ' ')),
+                             1, 12))::BIGINT
+      ) AS h FROM t
+    ),
+    f AS (
+      SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(h) - {_WINNOW_W - 1}, 1) + 1),
+        j -> list_min(h[j:j+{_WINNOW_W - 1}])
+      )) AS fps FROM k
+    ),
+    e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+    rare AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= {_WINNOW_MAXDF}),
+    ee AS (SELECT e.doc_id, e.fp FROM e JOIN rare USING (fp)),
+    sz AS (SELECT doc_id, count(*) AS n FROM ee GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM ee a JOIN ee b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, shared,
+           round(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
+    FROM p
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE shared >= 2
+    """,
+)
+def d10_winnow_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.functions.text import winnow_fingerprints
+    from pypgsync_spark.operators.dedup import spread_if_underpartitioned
+
+    d = spread_if_underpartitioned(_docs(spark, sf_dir))
+    f = d.select(
+        "doc_id",
+        winnow_fingerprints(F.col("text"), k=_WINNOW_K, w=_WINNOW_W).alias("fps"),
+    )
+    e = f.select("doc_id", F.explode("fps").alias("fp"))
+    rare = (
+        e.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= _WINNOW_MAXDF)
+        .select("fp")
+    )
+    ee = e.join(rare, on="fp")
+    sz = ee.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ee.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = ee.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, on="fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 2)
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("__na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("__nb"))
+    return (
+        pairs.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.round(
+                F.col("shared") / (F.col("__na") + F.col("__nb") - F.col("shared")), 6
+            ).alias("jaccard"),
         )
     )
