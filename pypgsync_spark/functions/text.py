@@ -60,10 +60,20 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     shorter than ``n`` tokens the slice is simply short, matching the
     oracle's ``concat_ws``-skips-missing semantics (verified
     element-for-element against the DuckDB formulation on the fixture).
+
+    ``toks`` is :func:`let_bound` before the per-position transform:
+    callers pass the ``tokens(text)`` EXPRESSION, and the interpreted
+    HOF evaluator would otherwise re-run that split once per shingle
+    position — O(doc²) tokenization that every dedup query downstream
+    of ``with_shingles`` was silently paying.
     """
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return let_bound(toks, lambda t: _shingles_of(t, n))
+
+
+def _shingles_of(t: Column, n: int) -> Column:
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+        F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
     )
 
 

@@ -1141,13 +1141,19 @@ def tx6_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pypgsync_spark.operators.dedup import spread_if_underpartitioned
 
     d = spread_if_underpartitioned(_docs(spark, sf_dir))
-    fps = winnow_fingerprints(F.col("text"), k=_WINNOW_K, w=_WINNOW_W)
-    return d.select(
+    # alias the fingerprint set in its own projection: four consumers
+    # below reference it, and CollapseProject's cost guard then keeps
+    # the winnowing evaluated once per row instead of four times
+    f = d.select(
         "doc_id",
-        F.size(fps).alias("n_fps"),
-        F.array_min(fps).alias("fp_min"),
-        F.array_max(fps).alias("fp_max"),
-        F.aggregate(fps, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+        winnow_fingerprints(F.col("text"), k=_WINNOW_K, w=_WINNOW_W).alias("fps"),
+    )
+    return f.select(
+        "doc_id",
+        F.size("fps").alias("n_fps"),
+        F.array_min("fps").alias("fp_min"),
+        F.array_max("fps").alias("fp_max"),
+        F.aggregate("fps", F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
             "fp_sum"
         ),
     )
