@@ -118,16 +118,18 @@ def main() -> None:
         "d5_cc_stats": dict(D5_CC_STATS),
         "t8_rocksdb": t8_rocksdb,
         "notes": {
-            "d5": "r5 +25% root cause: the pair-finding pipeline re-ran its "
-            "interpreted shingling once per CC consumer after the hybrid "
-            "rewrite (CC stats showed 2 Pregel rounds / 0 star rounds — the "
-            "algorithm was never the cost). Fixed by materializing the "
-            "shingle table once (ngram_jaccard_pairs materialize_shingles); "
-            "d5 now ~4-5 s vs 6.84 s in r4.",
-            "d3": "code untouched since r2; the r2->r5 creep tracks fixture "
-            "regeneration (row layout/content reseeded per round) — isolated "
-            "min-of-3 at r6 HEAD is back at r2's ~3 s. See SCALE.md "
-            "variance note.",
+            "r7_hof": "word_shingles/winnowing let-bind their token arrays "
+            "(r7): the interpreted HOF evaluator was re-tokenizing per "
+            "shingle position — O(doc^2). d8 5.95->~3.4 s, d9 5.12->~3.5 s "
+            "at sf0.1; the win grows with document length.",
+            "r7_small_query_variance": "sub-second queries swing +-0.2 s "
+            "between runs (min-of-2 on a shared box); the conditional "
+            "spread check also adds one plan->RDD partition probe per "
+            "with_shingles call — driver-side, constant, scale-free. "
+            "Compare trends on the multi-second queries.",
+            "d3": "code untouched since r2 except the shingle let-binding; "
+            "historical r2->r5 creep tracked fixture regeneration (see "
+            "SCALE.md variance note).",
         },
     }
     print(json.dumps(out))
