@@ -122,3 +122,57 @@ def extract_binary_features(
             )
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(extract, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_idx", T.IntegerType()),
+        T.StructField("byte_val", T.IntegerType()),
+    ]
+)
+
+
+def resize_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    target: int = 16,
+) -> DataFrame:
+    """The 'resize' stage of the media pipeline as Arrow-batched
+    ``mapInPandas``: downsample each payload to <= ``target`` strided
+    byte samples (stride = ceil(n/target); sample j reads byte
+    1 + j*stride, 1-based). A real image/audio resize replaces the
+    sampling kernel with an interpolating one — the batch shape,
+    schema contract, and row-expansion plumbing (one input row ->
+    <= target output rows) are exactly what that deployment keeps.
+    Deterministic integer sampling, so the DuckDB oracle verifies the
+    full path byte-for-byte.
+    """
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, vals = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = len(payload)
+                if n == 0:
+                    continue
+                stride = -(-n // target)  # ceil
+                for j in range(target):
+                    pos = j * stride  # 0-based byte index
+                    if pos >= n:
+                        break
+                    ids.append(doc_id)
+                    idxs.append(j)
+                    vals.append(payload[pos])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "sample_idx": pd.Series(idxs, dtype="int32"),
+                    "byte_val": pd.Series(vals, dtype="int32"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        resample, RESIZE_SCHEMA
+    )

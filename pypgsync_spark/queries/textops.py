@@ -1294,3 +1294,36 @@ def d10_winnow_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "mm3_resize_signature",
+    bench=61,
+    survey="ext:multimodal",
+    doc="The media pipeline's RESIZE stage (decode -> resize -> "
+    "featurize): downsample each binary payload to <= 16 strided byte "
+    "samples through a row-expanding Arrow-batched mapInPandas — the "
+    "batch shape, schema contract and one-row-to-k-rows plumbing a "
+    "real interpolating image/audio resize keeps; only the sampling "
+    "kernel is the deploy seam. ASCII fixture ==> byte positions == "
+    "char positions, so the oracle states every sample in SQL.",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(ceil(octet_length(text::BLOB) / 16.0) AS BIGINT) AS stride
+      FROM documents WHERE octet_length(text::BLOB) > 0
+    )
+    SELECT doc_id, CAST(j AS INT) AS sample_idx,
+           ascii(substr(text, CAST(j * stride + 1 AS INT), 1)) AS byte_val
+    FROM d, (SELECT unnest(range(0, 16)) AS j) g
+    WHERE j * stride < octet_length(text::BLOB)
+    """,
+)
+def mm3_resize_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.operators.multimodal import (
+        resize_signature,
+        with_binary_payload,
+    )
+
+    d = with_binary_payload(_docs(spark, sf_dir))
+    return resize_signature(d, target=16)
