@@ -278,3 +278,40 @@ def test_shingle_repartition_is_conditional(spark):
     one = base.coalesce(1)
     plan_one = with_shingles(one)._jdf.queryExecution().optimizedPlan().toString()
     assert "RoundRobinPartitioning" in plan_one or "Repartition" in plan_one
+
+
+def test_let_bound_phases_appear_once_in_plan(spark):
+    """Regression guard for the r7 O(doc^2) HOF fix: the interpreted
+    HOF evaluator re-evaluates captured subexpressions per lambda
+    call, so the tokenization (and winnowing's k-gram hash pass) must
+    appear exactly ONCE in the optimized expression tree — let_bound
+    keeps them as bound lambda variables. If a 'simplification' inlines
+    them back, these counts jump to one-per-consumer and shingling
+    goes quadratic in document length again."""
+    from pyspark.sql import functions as F
+
+    from pypgsync_spark.functions.text import (
+        tokens,
+        winnow_fingerprints,
+        word_shingles,
+    )
+
+    df = spark.range(3).selectExpr(
+        "id AS doc_id", "concat('a b c d e f g h ', id) AS text"
+    )
+    shingle_plan = (
+        df.select(word_shingles(tokens(F.col("text"))).alias("sh"))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert shingle_plan.count("split(") == 1
+
+    winnow_plan = (
+        df.select(winnow_fingerprints(F.col("text")).alias("fps"))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert winnow_plan.count("split(") == 1  # tokenize once
+    assert winnow_plan.count("md5(") == 1  # k-gram hash pass once
