@@ -1223,3 +1223,37 @@ def w8_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("new_users", F.lit(0))).over(w).alias("cum_users"),
         )
     )
+
+
+@register(
+    "a17_sliding_window_counts",
+    bench=62,
+    survey="A4,T3 ext",
+    doc="Hopping (sliding) window rollup: per-type event counts over "
+    "2-hour windows sliding every hour — F.window(ts, '2 hours', "
+    "'1 hour'), the batch twin of the streaming tumbling rollup (t6). "
+    "Spark expands each event into width/slide = 2 window membership "
+    "rows BEFORE the aggregation (the oracle states that expansion "
+    "explicitly: k in {0,1} hour offsets off the epoch-aligned floor), "
+    "then map-side combines — the shuffle carries (window × type) "
+    "partials, 2× a tumbling rollup's, never 2× the events.",
+    oracle="""
+    WITH e AS (SELECT epoch_ms(ts) AS ms, event_type FROM events),
+    x AS (
+      SELECT (ms // 3600000) * 3600000 - k * 3600000 AS win_start_ms, event_type
+      FROM e, (SELECT unnest(range(0, 2)) AS k) g
+    )
+    SELECT win_start_ms, event_type, count(*) AS n
+    FROM x GROUP BY win_start_ms, event_type
+    """,
+)
+def a17_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = F.window("ts", "2 hours", "1 hour")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            to_millis(F.col("w.start")).alias("win_start_ms"), "event_type", "n"
+        )
+    )
