@@ -315,3 +315,47 @@ def test_let_bound_phases_appear_once_in_plan(spark):
     )
     assert winnow_plan.count("split(") == 1  # tokenize once
     assert winnow_plan.count("md5(") == 1  # k-gram hash pass once
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing paper's guarantee (Schleimer et al., SIGMOD 2003
+    §4): two documents sharing a run of >= w+k-1 consecutive tokens
+    share at least one fingerprint. Build doc pairs where B embeds an
+    exact 8-token run of A (k=5, w=4 defaults) inside unrelated text
+    and assert fingerprint intersection; also assert the negative -
+    token-disjoint docs share nothing."""
+    from pypgsync_spark.functions.text import winnow_fingerprints
+
+    base = [f"w{i}" for i in range(40)]
+    run = base[10:18]  # 8 consecutive tokens = w + k - 1
+    noise = [f"z{i}" for i in range(30)]
+    rows = [
+        (1, " ".join(base)),
+        (2, " ".join(noise[:15] + run + noise[15:])),  # embeds the run
+        (3, " ".join(f"q{i}" for i in range(40))),  # disjoint
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.select(
+            "doc_id", winnow_fingerprints(F.col("text")).alias("fps")
+        ).collect()
+    }
+    assert got[1] & got[2], "shared 8-token run must share a fingerprint"
+    assert not got[1] & got[3], "token-disjoint docs share no fingerprint"
+    assert not got[2] & got[3]
+
+
+def test_winnowing_density(spark):
+    """Winnowing stores ~2/(w+1) of the k-gram hashes (the paper's
+    expected density). On a long random-ish doc the distinct
+    fingerprint count must sit well under the k-gram count and at or
+    above the 1/w lower bound every window-min scheme obeys."""
+    from pypgsync_spark.functions.text import winnow_fingerprints
+
+    n_tok, k, w = 2000, 5, 4
+    text = " ".join(f"t{(i * 2654435761) % 100000}" for i in range(n_tok))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    fps = df.select(winnow_fingerprints(F.col("text"), k=k, w=w).alias("f")).first()["f"]
+    n_kgrams = n_tok - k + 1
+    assert n_kgrams / w <= len(fps) <= 2 * n_kgrams / (w + 1) * 1.2
