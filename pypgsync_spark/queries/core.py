@@ -1257,3 +1257,34 @@ def a17_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             to_millis(F.col("w.start")).alias("win_start_ms"), "event_type", "n"
         )
     )
+
+
+@register(
+    "a18_event_type_sets",
+    bench=63,
+    survey="A4,§2.7 ext",
+    doc="Array aggregation: per-user DISTINCT event-type set as a "
+    "SORTED array (collect_set + sort_array == DuckDB "
+    "list_sort(list_distinct(list(...)))) plus the event count — the "
+    "profile-building shape (one row per entity, nested set column) "
+    "that feeds feature stores. collect_set is an algebraic aggregate: "
+    "map-side partial sets merge in the shuffle, which carries "
+    "per-(user × task) DISTINCT types (bounded by the type "
+    "cardinality), never the event stream; the sort pins array order "
+    "so the result is engine-comparable.",
+    oracle="""
+    SELECT user_id,
+           list_sort(list_distinct(list(event_type))) AS types,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def a18_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(F.collect_set("event_type")).alias("types"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
