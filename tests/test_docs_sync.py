@@ -33,7 +33,10 @@ def _read(name: str) -> str:
 @pytest.mark.parametrize("doc", ["README.md", "SCALE.md"])
 def test_bench_citations_match_recorded_numbers(doc):
     text = _read(doc)
-    cites = re.findall(r"BENCH_r(\d+):?\s*([\d,]+)", text)
+    # \b stops backtracking from splitting the round number when the
+    # citation is followed by ')' etc. ("BENCH_r06)" must not parse as
+    # round 0, figure 6)
+    cites = re.findall(r"BENCH_r(\d+)\b:?\s*([\d,]+)", text)
     assert cites, f"{doc} must cite its throughput source as BENCH_rNN: <rows/s>"
     for rnd, figure in cites:
         path = os.path.join(ROOT, f"BENCH_r{int(rnd):02d}.json")
