@@ -1269,7 +1269,12 @@ def d10_winnow_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__df") <= _WINNOW_MAXDF)
         .select("fp")
     )
-    ee = e.join(rare, on="fp")
+    # the df-filtered index feeds the size aggregate AND both self-join
+    # sides; localCheckpoint materializes the winnowing + df-join ONCE
+    # (same rationale as ngram_jaccard_pairs' materialize_shingles —
+    # the branches otherwise each re-run the interpreted fingerprinting
+    # over the full corpus; plan showed no ReusedExchange)
+    ee = e.join(rare, on="fp").localCheckpoint(eager=False)
     sz = ee.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = ee.select(F.col("doc_id").alias("doc_a"), "fp")
     b = ee.select(F.col("doc_id").alias("doc_b"), "fp")
