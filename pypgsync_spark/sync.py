@@ -200,13 +200,29 @@ class ParquetSyncedTable:
             out.write(bytearray(nxt.encode("ascii")))
         finally:
             out.close()
-        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-            self.spark._jsc.hadoopConfiguration()
-        )
-        gw = self.spark.sparkContext._gateway
-        overwrite = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
-        overwrite[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
-        fc.rename(tmp, self._jpath(self._ptr), overwrite)
+        try:
+            # HDFS/local: FileContext rename(OVERWRITE) flips the
+            # pointer atomically.
+            fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                self.spark._jsc.hadoopConfiguration()
+            )
+            gw = self.spark.sparkContext._gateway
+            overwrite = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+            overwrite[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+            fc.rename(tmp, self._jpath(self._ptr), overwrite)
+        except Exception:
+            # Object stores usually ship a FileSystem but no
+            # AbstractFileSystem binding, so FileContext is unavailable
+            # — there, overwrite-create IS the atomic primitive (a PUT:
+            # readers observe old or new pointer bytes, never a tear),
+            # and rename would only degrade to copy+delete anyway.
+            dst = self._jpath(self._ptr)
+            out = fs.create(dst, True)
+            try:
+                out.write(bytearray(nxt.encode("ascii")))
+            finally:
+                out.close()
+            fs.delete(tmp, False)
 
 
 def sync_table(
