@@ -71,10 +71,15 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
 
 
 def _shingles_of(t: Column, n: int) -> Column:
+    # NULL token array -> NULL shingles (plain null propagation).
+    # Without the guard, greatest(NULL - k, 1) resolves to 1 (greatest
+    # skips NULLs) and a NULL document yields the junk 1-element
+    # [NULL] set, which would then participate in dedup grouping.
     idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
-    return F.array_distinct(
+    shingles = F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
     )
+    return F.when(t.isNotNull(), shingles)
 
 
 def stopword_count(toks: Column, stopwords: tuple[str, ...]) -> Column:
@@ -178,14 +183,18 @@ def winnow_fingerprints(text: Column | str, k: int = 5, w: int = 4) -> Column:
     c = F.col(text) if isinstance(text, str) else text
 
     def window_mins(h: Column) -> Column:
+        # NULL hash array -> NULL fingerprints (see _shingles_of)
         widx = F.sequence(F.lit(1), F.greatest(F.size(h) - (w - 1), F.lit(1)))
-        return F.array_distinct(
-            F.transform(widx, lambda j: F.array_min(F.slice(h, j, w)))
+        return F.when(
+            h.isNotNull(),
+            F.array_distinct(
+                F.transform(widx, lambda j: F.array_min(F.slice(h, j, w)))
+            ),
         )
 
     def kgram_hashes(toks: Column) -> Column:
         kidx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
-        return F.transform(
+        hashes = F.transform(
             kidx,
             lambda i: F.conv(
                 F.substring(F.md5(F.array_join(F.slice(toks, i, k), " ")), 1, 12),
@@ -193,6 +202,7 @@ def winnow_fingerprints(text: Column | str, k: int = 5, w: int = 4) -> Column:
                 10,
             ).cast("long"),
         )
+        return F.when(toks.isNotNull(), hashes)
 
     return let_bound(
         tokens(c), lambda toks: let_bound(kgram_hashes(toks), window_mins)

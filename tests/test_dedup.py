@@ -359,3 +359,29 @@ def test_winnowing_density(spark):
     fps = df.select(winnow_fingerprints(F.col("text"), k=k, w=w).alias("f")).first()["f"]
     n_kgrams = n_tok - k + 1
     assert n_kgrams / w <= len(fps) <= 2 * n_kgrams / (w + 1) * 1.2
+
+
+def test_null_text_propagates_null_not_junk(spark):
+    """A NULL document must yield NULL shingles/fingerprints, not the
+    1-element [NULL] set that greatest(NULL-k, 1)=1 used to produce
+    (greatest skips NULLs) — junk sets would otherwise participate in
+    dedup grouping and pair-finding."""
+    from pypgsync_spark.functions.text import (
+        tokens,
+        winnow_fingerprints,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c d e f g h i j")], ["doc_id", "text"]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            word_shingles(tokens(F.col("text"))).alias("sh"),
+            winnow_fingerprints(F.col("text")).alias("fps"),
+        ).collect()
+    }
+    assert rows[1]["sh"] is None and rows[1]["fps"] is None
+    assert rows[2]["sh"] and rows[2]["fps"]
