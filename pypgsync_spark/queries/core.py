@@ -1288,3 +1288,34 @@ def a18_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@register(
+    "a19_unpivot_features",
+    bench=64,
+    survey="A14 ext,P2",
+    doc="UNPIVOT (melt): lineitem's numeric feature columns reshaped "
+    "wide->long into (keys, feature, val) — the feature-table "
+    "normalization step before per-feature statistics or a feature "
+    "store load; inverse of a14's pivot. Spark plans Expand (each "
+    "input row emits one row per value column in the same task) — a "
+    "map-only 3x row expansion, zero shuffle, and the scan reads only "
+    "the five referenced columns.",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, feature, val FROM (
+      UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+               FROM lineitem)
+      ON l_quantity, l_discount, l_tax INTO NAME feature VALUE val
+    )
+    """,
+)
+def a19_unpivot_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
+    )
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="feature",
+        valueColumnName="val",
+    )
