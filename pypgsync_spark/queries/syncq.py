@@ -1085,3 +1085,38 @@ def profile2_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("__n").alias("n"),
     )
+
+
+@register(
+    "c8_sync_lag",
+    bench=66,
+    survey="C3,A1,A3",
+    doc="Sync-freshness monitor: source high watermark, destination "
+    "watermark (simulated lagging copy: rows before Jan 10), lag in "
+    "millis, and rows-behind — the operational dashboard row every "
+    "deployment of the reference's watermark protocol needs. ONE "
+    "map-side-combined conditional aggregate over the source: "
+    "rows_behind = count(ms >= cutoff) is EXACTLY count(ms > dst_max) "
+    "because dst_max is by definition the largest value below the "
+    "cutoff - no second pass, no scalar-subquery dependency chain.",
+    oracle="""
+    WITH src AS (SELECT epoch_ms(ts) AS ms FROM events)
+    SELECT max(ms) AS src_max_ms,
+           max(CASE WHEN ms < 1704844800000 THEN ms END) AS dst_max_ms,
+           max(ms) - max(CASE WHEN ms < 1704844800000 THEN ms END) AS lag_ms,
+           count(CASE WHEN ms >= 1704844800000 THEN 1 END) AS rows_behind
+    FROM src
+    """,
+)
+def c8_sync_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = 1704844800000  # Jan 10 UTC - the simulated destination's copy horizon
+    src = _events_ms(spark, sf_dir).select("updated_ms")
+    dst_max = F.max(
+        F.when(F.col("updated_ms") < cutoff, F.col("updated_ms"))
+    )
+    return src.agg(
+        F.max("updated_ms").alias("src_max_ms"),
+        dst_max.alias("dst_max_ms"),
+        (F.max("updated_ms") - dst_max).alias("lag_ms"),
+        F.count(F.when(F.col("updated_ms") >= cutoff, 1)).alias("rows_behind"),
+    )

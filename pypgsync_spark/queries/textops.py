@@ -1332,3 +1332,46 @@ def mm3_resize_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = with_binary_payload(_docs(spark, sf_dir))
     return resize_signature(d, target=16)
+
+
+@register(
+    "tx9_corpus_cross_entropy",
+    bench=65,
+    survey="ext:text",
+    doc="Per-document cross-entropy against the corpus unigram "
+    "distribution — the CCNet-style LM-filter proxy (a doc of tokens "
+    "rare in the corpus scores high = out-of-distribution; tx7's "
+    "self-entropy sees only internal repetition). "
+    "H(doc, corpus) = log2(T) - sum(log2 cf)/n over the doc's tokens, "
+    "T the corpus token count riding along as a scalar subquery (no "
+    "driver-side count barrier, no join node — tx1's pattern). Two "
+    "map-side-combined shuffles (corpus frequencies, per-doc rollup); "
+    "the frequency join is equi on the token.",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents),
+    corpus AS (SELECT tok, count(*) AS cf FROM t GROUP BY tok),
+    tot AS (SELECT count(*) AS n FROM t)
+    SELECT doc_id,
+           round(log2((SELECT n FROM tot)) - SUM(log2(cf)) / count(*), 6) AS xent
+    FROM t JOIN corpus USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def tx9_corpus_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    t.createOrReplaceTempView("pypgsync_tx9_toks")
+    tot = F.expr("(SELECT count(*) FROM pypgsync_tx9_toks)")
+    corpus = t.groupBy("tok").agg(F.count(F.lit(1)).alias("cf"))
+    return (
+        t.join(corpus, on="tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.log2("cf")).alias("__slc"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.log2(tot) - F.col("__slc") / F.col("__n"), 6).alias("xent"),
+        )
+    )
