@@ -264,3 +264,40 @@ def test_incremental_dedup_plan_shape(spark, sf_small):
     assert "WindowGroupLimit" in plan
     assert "LeftAnti" in plan
     assert "struct<doc_id:bigint,text:string>" in plan  # pruned corpus read
+
+
+def test_unpivot_is_map_only_expand(spark, sf_small):
+    """a19 (UNPIVOT) must plan as Expand inside the scan stage: a
+    map-only 3x row emission with NO exchange, reading only the five
+    referenced columns."""
+    p = plan_of(spark, sf_small, "a19_unpivot_features")
+    assert "Expand" in p
+    assert "Exchange" not in p
+    assert "l_extendedprice" not in p  # unreferenced column pruned
+
+
+def test_sliding_window_map_side_combines(spark, sf_small):
+    """a17's hopping-window rollup must partial-aggregate before the
+    shuffle - the exchange carries (window x type) partials, never the
+    2x-expanded event stream."""
+    p = plan_of(spark, sf_small, "a17_sliding_window_counts")
+    assert "partial_count" in p or "partial" in p.lower()
+    assert "Expand" in p or "explode" in p.lower()  # window membership expansion
+
+
+def test_sync_lag_single_aggregate(spark, sf_small):
+    """c8 must resolve all four freshness figures in ONE aggregate over
+    the source - no joins, no subquery re-scan."""
+    p = plan_of(spark, sf_small, "c8_sync_lag")
+    assert "Join" not in p
+    assert p.count("FileScan") == 1
+
+
+def test_winnow_pairs_materialize_once(spark, sf_small):
+    """d10's df-filtered fingerprint index feeds three consumers; the
+    executed plan must read it from the localCheckpoint scan, not
+    re-run the winnowing per branch (ExistingRDD appears, and at most
+    one parquet scan of documents survives)."""
+    p = plan_of(spark, sf_small, "d10_winnow_substring_pairs")
+    assert "ExistingRDD" in p or "Scan ExistingRDD" in p
+    assert p.count("FileScan parquet") <= 1
