@@ -148,9 +148,11 @@ class ParquetSyncedTable:
     commit survives an hdfs:// or s3a:// destination, matching
     sources/partitioned.py's pattern. The pointer flip is a
     FileContext rename with Options.Rename.OVERWRITE — atomic on
-    HDFS/local; on object stores the tmp+rename degrades to
-    copy-then-delete of a 1-byte file, which readers still observe as
-    old-or-new pointer content, never a torn directory.
+    HDFS/local; object stores usually lack the AbstractFileSystem
+    binding FileContext needs, so the flip falls back to an
+    overwrite-create of the 1-byte pointer, which on a PUT-semantics
+    store is itself atomic (readers observe old or new content, never
+    a torn directory).
     """
 
     def __init__(self, spark: SparkSession, path: str):
