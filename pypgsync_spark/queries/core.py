@@ -516,12 +516,15 @@ def a12_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="The at-scale percentile path: percentile_approx (Greenwald-"
     "Khanna sketch, mergeable map-side — the shuffle carries one "
     "sketch per (group × task) instead of every value; the exact form "
-    "sorts the full group). Oracle-checked (r6 verdict #7): at "
-    "accuracy=10000 the sketch is EXACT for the fixture's ≤10k-row "
-    "groups and returns an element of the input set (no arithmetic, "
-    "no float divergence), so DuckDB's discrete quantile matches "
-    "value-for-value; the sketch's rank error at real scale stays "
-    "pytest-bounded vs exact percentiles (tests/test_oracle.py).",
+    "sorts the full group). Oracle-checked (r6 verdict #7): the GK "
+    "sketch is EXACT while a group fits its accuracy buffer and "
+    "returns an element of the input set (no arithmetic, no float "
+    "divergence), so DuckDB's discrete quantile matches "
+    "value-for-value — accuracy=100000 keeps that exact regime "
+    "through sf0.1's 20k-row groups (verified both scales; 10000 "
+    "diverged at sf0.1), while past the buffer the documented "
+    "rank-error contract takes over, pytest-bounded vs exact "
+    "percentiles (tests/test_oracle.py).",
     oracle="""
     SELECT event_type,
            quantile_disc(value, 0.5) AS p50,
@@ -535,9 +538,9 @@ def a12b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events(spark, sf_dir)
         .groupBy("event_type")
         .agg(
-            F.percentile_approx("value", 0.5, 10_000).alias("p50"),
-            F.percentile_approx("value", 0.9, 10_000).alias("p90"),
-            F.percentile_approx("value", 0.99, 10_000).alias("p99"),
+            F.percentile_approx("value", 0.5, 100_000).alias("p50"),
+            F.percentile_approx("value", 0.9, 100_000).alias("p90"),
+            F.percentile_approx("value", 0.99, 100_000).alias("p99"),
         )
     )
 
