@@ -1120,3 +1120,55 @@ def c8_sync_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("updated_ms") - dst_max).alias("lag_ms"),
         F.count(F.when(F.col("updated_ms") >= cutoff, 1)).alias("rows_behind"),
     )
+
+
+@register(
+    "c9_id_gap_census",
+    bench=67,
+    survey="C3,A3,§2.3",
+    doc="Sync-completeness validator: census of the gaps in a "
+    "destination's primary-key sequence (the fixture's divergence "
+    "scenario drops every 1009th id) — total missing ids, number of "
+    "contiguous gap runs, first/last run start. Pure equi-join "
+    "algebra, no global window: anti-join a generated id range "
+    "against the table for the missing set, flag run starts by "
+    "left-joining the missing set against itself shifted by one, one "
+    "aggregate. Both joins shuffle on the id — linear, partitionable, "
+    "no single-task sort anywhere. The [lo, hi] bounds are "
+    "driver-side plan metadata (two numbers, the planner pattern of "
+    "c1/c2).",
+    oracle="""
+    WITH p AS (SELECT event_id FROM events WHERE event_id % 1009 <> 0),
+    b AS (SELECT min(event_id) lo, max(event_id) hi FROM p),
+    seq AS (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b))) AS id),
+    miss AS (SELECT id FROM seq WHERE NOT EXISTS (SELECT 1 FROM p WHERE event_id = id)),
+    flagged AS (
+      SELECT id,
+             NOT EXISTS (SELECT 1 FROM miss m2 WHERE m2.id = miss.id - 1) AS is_start
+      FROM miss
+    )
+    SELECT count(*) AS n_missing,
+           count(CASE WHEN is_start THEN 1 END) AS n_gaps,
+           min(CASE WHEN is_start THEN id END) AS first_gap_start,
+           max(CASE WHEN is_start THEN id END) AS last_gap_start
+    FROM flagged
+    """,
+)
+def c9_id_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dst = (
+        _events_ms(spark, sf_dir)
+        .select("event_id")
+        .filter(F.col("event_id") % 1009 != 0)
+    )
+    lo, hi = dst.agg(F.min("event_id"), F.max("event_id")).first()
+    seq = spark.range(int(lo), int(hi) + 1).select("id")
+    miss = seq.join(dst, seq.id == dst.event_id, "left_anti")
+    shifted = miss.select((F.col("id") + 1).alias("id"), F.lit(1).alias("__prev"))
+    flagged = miss.join(shifted, on="id", how="left")
+    start = F.col("__prev").isNull()
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_missing"),
+        F.count(F.when(start, 1)).alias("n_gaps"),
+        F.min(F.when(start, F.col("id"))).alias("first_gap_start"),
+        F.max(F.when(start, F.col("id"))).alias("last_gap_start"),
+    )
