@@ -1187,40 +1187,50 @@ def a16_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "free: cumulative distinct users = count of users whose FIRST-seen "
     "day is <= d, so one per-user min + per-day counts + cumsums over "
     "day-level rows (metadata-scale) replace the O(days x users) "
-    "running-set a naive windowed distinct would maintain.",
+    "running-set a naive windowed distinct would maintain. The day key "
+    "is epoch-millis floor division (the a17 pattern) emitted as "
+    "BIGINT day-start millis, so neither engine performs a DATE cast "
+    "(Spark would cast the nanos-normalized ts, DuckDB the raw parquet "
+    "one — the r7 hash divergence class), and the window sums are "
+    "pinned BIGINT on both sides (DuckDB promotes windowed SUM(BIGINT) "
+    "to HUGEINT).",
     oracle="""
-    WITH f AS (
-      SELECT user_id, min(CAST(ts AS DATE)) AS fd FROM events GROUP BY user_id
+    WITH e AS (
+      SELECT user_id, (epoch_ms(ts) // 86400000) * 86400000 AS day_ms
+      FROM events
     ),
+    f AS (SELECT user_id, min(day_ms) AS fd FROM e GROUP BY user_id),
     nd AS (SELECT fd, count(*) AS new_users FROM f GROUP BY fd),
-    ad AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
-           FROM events GROUP BY 1)
-    SELECT ad.d, ad.n_events,
-           SUM(ad.n_events) OVER (ORDER BY ad.d
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_events,
-           SUM(COALESCE(nd.new_users, 0)) OVER (ORDER BY ad.d
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
-    FROM ad LEFT JOIN nd ON nd.fd = ad.d
+    ad AS (SELECT day_ms, count(*) AS n_events FROM e GROUP BY day_ms)
+    SELECT ad.day_ms, ad.n_events,
+           CAST(SUM(ad.n_events) OVER (ORDER BY ad.day_ms
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_events,
+           CAST(SUM(COALESCE(nd.new_users, 0)) OVER (ORDER BY ad.day_ms
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM ad LEFT JOIN nd ON nd.fd = ad.day_ms
     """,
 )
 def w8_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = _events(spark, sf_dir)
-    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("fd"))
-    new_users = first.groupBy("fd").agg(F.count(F.lit(1)).alias("new_users"))
-    per_day = ev.groupBy(F.to_date("ts").alias("d")).agg(
-        F.count(F.lit(1)).alias("n_events")
+    ms = to_millis(F.col("ts"))
+    ev = _events(spark, sf_dir).select(
+        "user_id", (ms - ms % F.lit(86400000)).alias("day_ms")
     )
+    first = ev.groupBy("user_id").agg(F.min("day_ms").alias("fd"))
+    new_users = first.groupBy("fd").agg(F.count(F.lit(1)).alias("new_users"))
+    per_day = ev.groupBy("day_ms").agg(F.count(F.lit(1)).alias("n_events"))
     w = (
         Window.partitionBy()
-        .orderBy("d")
+        .orderBy("day_ms")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        per_day.join(new_users, per_day["d"] == new_users["fd"], "left")
+        per_day.join(new_users, per_day["day_ms"] == new_users["fd"], "left")
         .select(
-            "d",
+            "day_ms",
             "n_events",
             F.sum("n_events").over(w).alias("cum_events"),
             F.sum(F.coalesce("new_users", F.lit(0))).over(w).alias("cum_users"),
@@ -1273,11 +1283,16 @@ def a17_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "that feeds feature stores. collect_set is an algebraic aggregate: "
     "map-side partial sets merge in the shuffle, which carries "
     "per-(user × task) DISTINCT types (bounded by the type "
-    "cardinality), never the event stream; the sort pins array order "
-    "so the result is engine-comparable.",
+    "cardinality), never the event stream; the sort pins array order. "
+    "The set is SERIALIZED to a ','-joined string for the contract: "
+    "the r7 driver sweep proved its pandas canonicalizer cannot hash "
+    "an array column (unhashable type: 'list'), so the comparable "
+    "shape is the joined string — the array form stays one "
+    "array_join removal away for operator use.",
     oracle="""
     SELECT user_id,
-           list_sort(list_distinct(list(event_type))) AS types,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',')
+             AS types,
            count(*) AS n_events
     FROM events GROUP BY user_id
     """,
@@ -1287,7 +1302,9 @@ def a18_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events(spark, sf_dir)
         .groupBy("user_id")
         .agg(
-            F.sort_array(F.collect_set("event_type")).alias("types"),
+            F.array_join(
+                F.sort_array(F.collect_set("event_type")), ","
+            ).alias("types"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )

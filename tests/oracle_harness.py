@@ -49,6 +49,22 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def compare(spark, sf_dir: str, fn, oracle: str) -> tuple[bool, str]:
     sdf = fn(spark, sf_dir)
+    # Driver-contract guard (r7 lesson, a18): the driver's pandas-based
+    # canonicalizer cannot hash array/map-typed cells — a query that
+    # ships one ERRORS its sweep row, which is worse than no row.
+    # Oracle-checked queries must serialize nested shapes (array_join /
+    # to_json) before returning; rows-only queries are exempt because
+    # the driver only counts them.
+    bad = [
+        f.name
+        for f in sdf.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    if bad:
+        return False, (
+            f"driver-unhashable column types (array/map/struct): {bad} — "
+            "serialize with array_join/to_json or register rows-only"
+        )
     scols = list(sdf.columns)
     srows = [tuple(r) for r in sdf.collect()]
     con = duck_connection(sf_dir)
