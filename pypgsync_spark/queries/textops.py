@@ -1101,6 +1101,30 @@ def pipe2_dedup_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINNOW_K, _WINNOW_W = 5, 4
 
+# Shared winnowing CTE chain for the tx6/d10 oracles. The CASE guards
+# mirror Spark's winnow_fingerprints NULL-propagation (ADVICE r7): a
+# NULL document must yield NULL fingerprints, not the junk
+# [NULL]-derived list DuckDB's greatest()-clamped range would produce
+# (greatest ignores NULLs, Postgres semantics, so len(NULL)-k clamps
+# to 1 and the transform runs over NULL slices).
+_DUCK_WINNOW_CTES = f"""
+    t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+    k AS (
+      SELECT doc_id, CASE WHEN toks IS NULL THEN NULL ELSE list_transform(
+        range(1, greatest(len(toks) - {_WINNOW_K - 1}, 1) + 1),
+        i -> ('0x' || substr(md5(array_to_string(toks[i:i+{_WINNOW_K - 1}], ' ')),
+                             1, 12))::BIGINT
+      ) END AS h FROM t
+    ),
+    f AS (
+      SELECT doc_id, CASE WHEN h IS NULL THEN NULL ELSE list_distinct(
+        list_transform(
+          range(1, greatest(len(h) - {_WINNOW_W - 1}, 1) + 1),
+          j -> list_min(h[j:j+{_WINNOW_W - 1}])
+        )
+      ) END AS fps FROM k
+    )"""
+
 
 @register(
     "tx6_winnow_fingerprints",
@@ -1117,20 +1141,7 @@ _WINNOW_K, _WINNOW_W = 5, 4
     "like the MinHash band join. Output is per-doc fingerprint-set "
     "aggregates (the set itself is order-unstable across engines).",
     oracle=f"""
-    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
-    k AS (
-      SELECT doc_id, list_transform(
-        range(1, greatest(len(toks) - {_WINNOW_K - 1}, 1) + 1),
-        i -> ('0x' || substr(md5(array_to_string(toks[i:i+{_WINNOW_K - 1}], ' ')),
-                             1, 12))::BIGINT
-      ) AS h FROM t
-    ),
-    f AS (
-      SELECT doc_id, list_distinct(list_transform(
-        range(1, greatest(len(h) - {_WINNOW_W - 1}, 1) + 1),
-        j -> list_min(h[j:j+{_WINNOW_W - 1}])
-      )) AS fps FROM k
-    )
+    WITH {_DUCK_WINNOW_CTES}
     SELECT doc_id, len(fps) AS n_fps, list_min(fps) AS fp_min,
            list_max(fps) AS fp_max, CAST(list_sum(fps) AS BIGINT) AS fp_sum
     FROM f
@@ -1222,20 +1233,7 @@ _WINNOW_MAXDF = 10  # drop fingerprints appearing in more docs (stopword runs)
     "fingerprint — shuffle carries (doc, fp) pairs, ~2/(w+1) of "
     "token count, never text.",
     oracle=f"""
-    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
-    k AS (
-      SELECT doc_id, list_transform(
-        range(1, greatest(len(toks) - {_WINNOW_K - 1}, 1) + 1),
-        i -> ('0x' || substr(md5(array_to_string(toks[i:i+{_WINNOW_K - 1}], ' ')),
-                             1, 12))::BIGINT
-      ) AS h FROM t
-    ),
-    f AS (
-      SELECT doc_id, list_distinct(list_transform(
-        range(1, greatest(len(h) - {_WINNOW_W - 1}, 1) + 1),
-        j -> list_min(h[j:j+{_WINNOW_W - 1}])
-      )) AS fps FROM k
-    ),
+    WITH {_DUCK_WINNOW_CTES},
     e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
     rare AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= {_WINNOW_MAXDF}),
     ee AS (SELECT e.doc_id, e.fp FROM e JOIN rare USING (fp)),

@@ -134,6 +134,24 @@ def sync_once(
     return merged, SyncStats(low=low, high=high, delta_rows=delta_rows, plan=plan)
 
 
+def _is_unsupported_filesystem(exc: Exception) -> bool:
+    """True iff a Py4J-surfaced Hadoop exception (or any link in its
+    cause chain) is UnsupportedFileSystemException — the one failure
+    that means "this scheme has no AbstractFileSystem binding, use the
+    PUT fallback". Everything else must propagate (ADVICE r7: a
+    transient rename failure must NOT trigger an in-place truncate of
+    the live pointer on a rename-capable filesystem)."""
+    j = getattr(exc, "java_exception", None)
+    while j is not None:
+        try:
+            if j.getClass().getName().endswith("UnsupportedFileSystemException"):
+                return True
+            j = j.getCause()
+        except Exception:
+            break
+    return "UnsupportedFileSystemException" in str(exc)
+
+
 class ParquetSyncedTable:
     """Parquet-backed destination store for the sync loop.
 
@@ -212,12 +230,19 @@ class ParquetSyncedTable:
             overwrite = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
             overwrite[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
             fc.rename(tmp, self._jpath(self._ptr), overwrite)
-        except Exception:
-            # Object stores usually ship a FileSystem but no
-            # AbstractFileSystem binding, so FileContext is unavailable
-            # — there, overwrite-create IS the atomic primitive (a PUT:
-            # readers observe old or new pointer bytes, never a tear),
-            # and rename would only degrade to copy+delete anyway.
+        except Exception as exc:
+            # The fallback is ONLY for schemes with no AbstractFileSystem
+            # binding (object stores: FileContext cannot resolve the
+            # path) — there, overwrite-create IS the atomic primitive (a
+            # PUT: readers observe old or new pointer bytes, never a
+            # tear), and rename would only degrade to copy+delete
+            # anyway. Any OTHER failure (transient HDFS/local rename
+            # error) must propagate: truncating the live pointer on a
+            # rename-capable filesystem would expose a torn/empty
+            # _CURRENT to concurrent readers, breaking the never-torn
+            # contract above.
+            if not _is_unsupported_filesystem(exc):
+                raise
             dst = self._jpath(self._ptr)
             out = fs.create(dst, True)
             try:

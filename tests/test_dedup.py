@@ -385,3 +385,87 @@ def test_null_text_propagates_null_not_junk(spark):
     }
     assert rows[1]["sh"] is None and rows[1]["fps"] is None
     assert rows[2]["sh"] and rows[2]["fps"]
+
+
+def test_winnow_oracle_null_text_parity(spark, tmp_path):
+    """ADVICE r7: the tx6/d10 DuckDB oracle CTEs must NULL-propagate a
+    NULL document exactly like Spark's winnow_fingerprints (which
+    returns NULL fps), not fabricate a junk [NULL]-derived fingerprint
+    list via the greatest()-clamped range. Run BOTH engines over a
+    tiny corpus containing a NULL text and diff the per-doc aggregate
+    shape tx6 emits."""
+    import duckdb
+
+    from pypgsync_spark.functions.text import winnow_fingerprints
+    from pypgsync_spark.queries.textops import _DUCK_WINNOW_CTES
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(30))),
+        (2, None),
+        (3, " ".join(f"z{i}" for i in range(25))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    pq = str(tmp_path / "docs.parquet")
+    df.coalesce(1).write.parquet(pq)
+
+    got = {
+        r["doc_id"]: (r["n_fps"], r["fp_min"], r["fp_sum"])
+        for r in df.select(
+            "doc_id", winnow_fingerprints(F.col("text")).alias("fps")
+        )
+        .select(
+            "doc_id",
+            F.size("fps").alias("n_fps"),
+            F.array_min("fps").alias("fp_min"),
+            F.aggregate(
+                "fps", F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("fp_sum"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+        want = {
+            d: (n, mn, s)
+            for d, n, mn, s in con.execute(
+                f"""WITH {_DUCK_WINNOW_CTES}
+                SELECT doc_id, len(fps) AS n_fps, list_min(fps) AS fp_min,
+                       CAST(list_sum(fps) AS BIGINT) AS fp_sum FROM f"""
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert got == want
+    assert got[2] == (None, None, None)  # NULL text -> NULL aggregates, both sides
+
+
+def test_fixture_documents_text_never_null():
+    """Pins the no-NULL-text fixture invariant every shingle/token
+    oracle silently depends on (ADVICE r7): the non-winnow oracles
+    keep the unguarded greatest(len(toks)-k,1) formulation, which only
+    matches Spark's NULL propagation because the driver fixture never
+    ships a NULL document. If a future fixture generation breaks this,
+    fail HERE with a clear message instead of as a cryptic driver
+    hash mismatch."""
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        for sf in ("sf0.001", "sf0.01", "sf0.1"):
+            path = f"/root/testdata/{sf}/documents.parquet"
+            if not os.path.exists(path):
+                continue
+            (n_null,) = con.execute(
+                f"SELECT count(*) FROM read_parquet('{path}') WHERE text IS NULL"
+            ).fetchone()
+            assert n_null == 0, (
+                f"{sf}: {n_null} NULL-text documents — the unguarded "
+                "shingle oracles (d2/d7/tx1/...) now diverge from "
+                "Spark's NULL propagation; add CASE guards like "
+                "_DUCK_WINNOW_CTES"
+            )
+    finally:
+        con.close()

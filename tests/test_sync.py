@@ -197,3 +197,89 @@ def test_synced_table_scheme_qualified_uri(spark, sf_small, tmp_path):
 
     sync_table(src.union(src.limit(0)), store, KEYS, VER)  # idempotent re-run
     assert store.read().count() == src.count()
+
+
+def test_unsupported_fs_classifier():
+    """ADVICE r7 (sync.py pointer flip): the PUT fallback must fire ONLY
+    for UnsupportedFileSystemException (no AbstractFileSystem binding —
+    object stores); any other FileContext/rename failure propagates, so
+    a transient rename error can never truncate the live pointer in
+    place on a rename-capable filesystem."""
+    from pypgsync_spark.sync import _is_unsupported_filesystem
+
+    class _JExc:
+        def __init__(self, name, cause=None):
+            self._name, self._cause = name, cause
+
+        def getClass(self):
+            outer = self
+
+            class _C:
+                def getName(self):
+                    return outer._name
+
+            return _C()
+
+        def getCause(self):
+            return self._cause
+
+    class _Py4JError(Exception):
+        def __init__(self, java_exception):
+            super().__init__("py4j wrapped")
+            self.java_exception = java_exception
+
+    unsupported = _JExc(
+        "org.apache.hadoop.fs.UnsupportedFileSystemException"
+    )
+    assert _is_unsupported_filesystem(_Py4JError(unsupported))
+    # ... including when buried in a cause chain
+    assert _is_unsupported_filesystem(
+        _Py4JError(_JExc("java.io.IOException", cause=unsupported))
+    )
+    # transient rename failures are NOT fallback-eligible
+    assert not _is_unsupported_filesystem(
+        _Py4JError(_JExc("java.io.IOException"))
+    )
+    assert not _is_unsupported_filesystem(
+        _Py4JError(_JExc("org.apache.hadoop.fs.ParentNotDirectoryException"))
+    )
+    # plain Python exceptions: string-level conservative match only
+    assert not _is_unsupported_filesystem(RuntimeError("boom"))
+    assert _is_unsupported_filesystem(
+        RuntimeError("x UnsupportedFileSystemException: no AFS for scheme")
+    )
+
+
+def test_pointer_flip_rename_failure_propagates(spark, sf_small, tmp_path, monkeypatch):
+    """On a rename-capable filesystem, a FileContext failure that is NOT
+    UnsupportedFileSystemException must propagate out of write() and
+    leave the previous pointer intact (never an in-place truncate)."""
+    import pytest
+
+    from pypgsync_spark import sync as sync_mod
+
+    src = events_ms(spark, sf_small)
+    store = ParquetSyncedTable(spark, str(tmp_path / "dst"))
+    sync_table(src, store, KEYS, VER)
+    assert store._current().endswith("/a")
+
+    # Simulate a transient (non-USFE) failure inside the rename block.
+    monkeypatch.setattr(
+        sync_mod,
+        "_is_unsupported_filesystem",
+        lambda exc: False,
+    )
+    real_jpath = store._jpath
+
+    def boom_on_ptr(uri):
+        if uri == store._ptr:  # the rename destination
+            raise RuntimeError("transient rename failure")
+        return real_jpath(uri)
+
+    monkeypatch.setattr(store, "_jpath", boom_on_ptr)
+    with pytest.raises(RuntimeError, match="transient rename failure"):
+        store.write(src.limit(5))
+    # live pointer untouched: still 'a', still readable
+    monkeypatch.setattr(store, "_jpath", real_jpath)
+    assert store._current().endswith("/a")
+    assert store.read().count() == src.count()
