@@ -145,12 +145,24 @@ def main() -> None:
     import glob
     import re
 
-    rounds = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))
-        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
-    ]
-    n = max(rounds, default=0) + 1
+    # ADVICE r7: max+1 misnumbers a local re-run made AFTER the driver
+    # has already written this round's BENCH file — accept an explicit
+    # override and only fall back to the heuristic when absent.
+    env_round = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    if env_round:
+        n = int(env_round)
+    else:
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        n = max(rounds, default=0) + 1
+        print(
+            f"# bench round inferred as r{n:02d} (max existing BENCH_r*+1); "
+            f"set SPARK_GRAFT_BENCH_ROUND to override",
+            file=sys.stderr,
+        )
     local_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), f"bench_local_r{n:02d}.json"
     )

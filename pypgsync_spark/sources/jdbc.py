@@ -117,6 +117,16 @@ def upsert_sql(
     """
     if dialect not in UPSERT_DIALECTS:
         raise ValueError(f"unknown dialect {dialect!r}; one of {UPSERT_DIALECTS}")
+    if conflict_constraint and dialect != "postgresql":
+        # ADVICE r7: silently falling back to the key-list/implicit
+        # target would give a caller pinning the reference's ON
+        # CONSTRAINT semantics a DIFFERENT conflict target with no
+        # error — refuse loudly, like the unknown-dialect guard.
+        raise ValueError(
+            f"conflict_constraint is postgresql-only (ON CONFLICT ON "
+            f"CONSTRAINT); dialect {dialect!r} cannot render it — pass "
+            f"keys instead"
+        )
     ph = _PLACEHOLDER.get(dialect, "?")
     collist = ", ".join(columns)
     placeholders = ", ".join([ph] * len(columns))
