@@ -73,6 +73,28 @@ def main() -> None:
     n_events = load_table(spark, SF_DIR, "events").count()
     sync_rps = round(n_events / max(times["s3_upsert_merge"], 1e-9))
 
+    # Streaming throughput (r7 verdict #7): the reference's second
+    # headline number is continuous-mode sync rows/s (cli.py:80-97,
+    # ~1,200 rows/s remote). Record the micro-batch analogues: t5 (the
+    # plain stateful balance sync — timed here, it is not in the
+    # headline list) and bench-tagged t8 (the transition-gated variant,
+    # steady time reused from the loop above). Each drains the full
+    # events fixture through availableNow micro-batches, so rows/s =
+    # n_events / steady seconds.
+    t5_fn = REGISTRY["t5_stateful_balance"].fn
+    materialize(t5_fn(spark, SF_DIR))  # session costs
+    t5_warm = []
+    for _ in range(2):
+        t0 = time.time()
+        materialize(t5_fn(spark, SF_DIR))
+        t5_warm.append(time.time() - t0)
+    stream_rps = {
+        "t5_stateful_balance": round(n_events / max(min(t5_warm), 1e-9)),
+        "t8_transition_gated_balance": round(
+            n_events / max(times["t8_transition_gated_balance"], 1e-9)
+        ),
+    }
+
     # hybrid-CC round counts for d5 (round-5 verdict: make the bench
     # carry the evidence of how much work the CC stage actually did)
     from pypgsync_spark.queries.textops import D5_CC_STATS
@@ -114,6 +136,7 @@ def main() -> None:
         "cold_value": round(sum(cold.values()), 3),
         "sf": float(sf) if sf else SF_DIR,
         "sync_rows_per_sec": sync_rps,
+        "stream_rows_per_sec": stream_rps,
         "n_events": n_events,
         "d5_cc_stats": dict(D5_CC_STATS),
         "t8_rocksdb": t8_rocksdb,
@@ -122,6 +145,16 @@ def main() -> None:
             "(r7): the interpreted HOF evaluator was re-tokenizing per "
             "shingle position — O(doc^2). d8 5.95->~3.4 s, d9 5.12->~3.5 s "
             "at sf0.1; the win grows with document length.",
+            "r8_pipe2_variance": "the r6->r7 pipe2 +16% (5.10->5.94 s) "
+            "bisected to AMBIENT load, not a plan change: same-code "
+            "fresh-session steady measured 5.10-6.9 s across one r8 "
+            "afternoon as box load moved 1.5->3.9; pipe2 composes ~33 "
+            "driver jobs (eager CC rounds), so per-job scheduling "
+            "jitter accumulates ~linearly and its ambient band is "
+            "wider than any single-job query's. Structural r8 change: "
+            "CC round checkpoints are now LAZY (the convergence-sum "
+            "scan materializes them) — 35->33 jobs per pipe2 run, one "
+            "barrier saved per Pregel/star round.",
             "r7_small_query_variance": "sub-second queries swing +-0.2 s "
             "between runs (min-of-2 on a shared box); the conditional "
             "spread check also adds one plan->RDD partition probe per "

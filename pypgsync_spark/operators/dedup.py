@@ -432,7 +432,15 @@ def _min_label_rounds(
     convergence via the label-sum fixpoint (labels only ever decrease,
     so an unchanged sum means an unchanged labeling). decimal(38,0)
     accumulator: a BIGINT sum of many large ids can overflow (an
-    ANSI-mode error, a silent wrap otherwise)."""
+    ANSI-mode error, a silent wrap otherwise).
+
+    One Spark JOB per round, not two (r8): the checkpoint is LAZY and
+    the convergence-sum aggregate — a full scan — is the action that
+    materializes it, so the round's shuffle runs once and its blocks
+    are cached for the next round's join. With eager=True each round
+    paid a second driver-barrier job just to persist what the very
+    next action would read anyway; at O(log n) star rounds on a deep
+    graph that is O(log n) saved barriers."""
     prev_sum = None
     converged = False
     rounds = 0
@@ -444,7 +452,7 @@ def _min_label_rounds(
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         rounds += 1
         s = labels.agg(
@@ -613,7 +621,10 @@ def connected_components_star(
     rounds = 0
     converged = False
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # lazy checkpoint: the signature aggregate below is a full scan
+        # and materializes it — one job per round instead of two (the
+        # Pregel loop's r8 pattern)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         rounds += 1
         sig = e.agg(
             F.count(F.lit(1)).alias("n"),

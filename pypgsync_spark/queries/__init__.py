@@ -172,9 +172,16 @@ def _load_all() -> None:
     # ROTATES: re-checked queries move back, stale ones come around.
     last = _last_green_round()
     recorded = _recorded_fingerprints()
+    # (r7 verdict #9) Oracle-less specs sort behind EVERY oracle-checked
+    # one, stale or not: their driver row can only ever report
+    # "no_oracle" — the rows-only goldens + pytest carry their
+    # verification locally — so a re-staled d3/d4 must never claim one
+    # of the 50 hash-checkable sweep slots ahead of a query the driver
+    # can actually value-check.
     ordered = sorted(
         enumerate(REGISTRY.items()),
         key=lambda t: (
+            1 if t[1][1].oracle is None else 0,
             0 if _is_stale(t[1][0], t[1][1], last.get(t[1][0], 0), recorded) else 1,
             0 if last.get(t[1][0], 0) > 0 else 1,
             t[1][1].bench if t[1][1].bench is not None else 10**9,
