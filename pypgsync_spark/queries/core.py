@@ -1339,3 +1339,39 @@ def a19_unpivot_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="feature",
         valueColumnName="val",
     )
+
+
+@register(
+    "w9_decile_profile",
+    bench=72,
+    survey="W1,A4 ext",
+    doc="ntile decile profile: rank every event's value into 10 "
+    "equal-count buckets WITHIN its event_type (partitioned window — "
+    "no global sort, each type's deciles computed where its rows "
+    "live), then per-(type, decile) count + mean. Deterministic under "
+    "ties via the (value, event_id) order; ntile pinned BIGINT on "
+    "both engines (the w8 dtype-hash lesson). The follow-on rollup "
+    "map-side combines to 10·|types| rows.",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, value,
+             CAST(ntile(10) OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS BIGINT) AS decile
+      FROM events
+    )
+    SELECT event_type, decile, count(*) AS n,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+             AS avg_value
+    FROM d GROUP BY event_type, decile
+    """,
+)
+def w9_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    d = _events(spark, sf_dir).select(
+        "event_type", "value", F.ntile(10).over(w).cast("long").alias("decile")
+    )
+    return d.groupBy("event_type", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(_dsum(F.col("value")) / F.count(F.lit(1)), 6).alias("avg_value"),
+    )

@@ -761,3 +761,200 @@ def j17_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey", "s_name", F.col("__rev").cast("double").alias("total_rev")
         )
     )
+
+
+@register(
+    "j18_pending_priority_orders",
+    bench=68,
+    survey="§2.3,A3",
+    doc="EXISTS-subquery order report (TPC-H Q4 shape on this "
+    "fixture's columns): count of ORDERS per priority having at least "
+    "one lineitem shipped > 60 days after the order date. The EXISTS "
+    "becomes a LEFT SEMI join with the interval predicate inside the "
+    "join condition, so each order contributes once no matter how "
+    "many lineitems qualify (the j14 inner-join counts lineitems — "
+    "different operator). Both sides shuffle once on orderkey; the "
+    "semi join short-circuits per probe row (no fanout, no dedup "
+    "pass) and the priority rollup map-side combines to five groups.",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def j18_pending_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (orders.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "j19_customer_order_histogram",
+    bench=69,
+    survey="§2.3,A4",
+    doc="Order-count distribution (TPC-H Q13): customers LEFT-joined "
+    "to orders, orders counted per customer (zero-order customers "
+    "kept by counting the nullable join column), then a histogram of "
+    "customers by order count. Two map-side-combined shuffles — "
+    "custkey then c_count — and the second input is already one row "
+    "per customer; no window, no global sort.",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def j19_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count() skips NULLs
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "j20_idle_rich_customers",
+    bench=70,
+    survey="§2.3,§2.4,A4",
+    doc="Scalar-subquery threshold + NOT EXISTS (TPC-H Q22 shape): "
+    "customers with above-average positive balance and no RECENT "
+    "order (none on/after 2001-01-01 — every fixture customer has "
+    "SOME order, so Q22's no-orders-at-all predicate would select "
+    "nothing), counted and balance-summed per nation. The average is "
+    "compared CROSS-MULTIPLIED in exact decimal (bal*n > total) so no "
+    "engine-specific float division decides boundary membership; the "
+    "scalar aggregate rides as a broadcast single-row join, and the "
+    "NOT EXISTS is a LEFT ANTI join on custkey whose build side is "
+    "date-filtered BEFORE the join (the filter reaches the parquet "
+    "scan). One shuffle (custkey) + one broadcast; the nation rollup "
+    "is map-side.",
+    oracle="""
+    WITH pos AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS tot,
+             CAST(count(*) AS DECIMAL(10,0)) AS n
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, count(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, pos
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > tot
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2001-01-01'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def j20_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    # native uncorrelated scalar subqueries (DataFrame.scalar, Spark
+    # 4.0): each aggregate runs once as a subquery job and its result
+    # is injected as a literal into the predicate — no join at all (a
+    # condition-less 1-row broadcast would plan the banned
+    # BroadcastNestedLoopJoin)
+    pos = customer.filter(F.col("c_acctbal") > 0)
+    tot = pos.agg(F.sum(bal)).scalar()
+    n = pos.agg(F.count(F.lit(1)).cast("decimal(10,0)")).scalar()
+    return (
+        customer.filter(bal * n > tot)
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "j21_lone_late_supplier",
+    bench=71,
+    survey="§2.3,A4,O2",
+    doc="Suppliers who kept multi-supplier orders waiting (TPC-H Q21 "
+    "shape): per (order, supplier) a late flag (any lineitem shipped "
+    "> 90 days after order date), then per order the supplier count, "
+    "late count, and — when exactly ONE supplier was late on a "
+    "multi-supplier order — that supplier, who gets the blame row. "
+    "The classic EXISTS/NOT-EXISTS pair is restated as two-level "
+    "aggregation (identical semantics, stated identically in the "
+    "oracle): two keyed shuffles replace two correlated subquery "
+    "scans, and the top-10 is TakeOrderedAndProject with a suppkey "
+    "tie-break.",
+    oracle="""
+    WITH f AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_orderkey, l_suppkey
+    ),
+    o AS (
+      SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late,
+             max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+      FROM f GROUP BY l_orderkey
+    )
+    SELECT s_suppkey, s_name, count(*) AS numwait
+    FROM o JOIN supplier ON s_suppkey = late_supp
+    WHERE n_supp >= 2 AND n_late = 1
+    GROUP BY s_suppkey, s_name
+    ORDER BY numwait DESC, s_suppkey LIMIT 10
+    """,
+)
+def j21_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.operators.topk import topk
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), 1
+    ).otherwise(0)
+    f = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    o = f.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("late").alias("n_late"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    blamed = (
+        o.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(sup), F.col("late_supp") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return topk(blamed, [F.col("numwait").desc(), F.col("s_suppkey")], 10)

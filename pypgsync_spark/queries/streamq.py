@@ -333,3 +333,36 @@ def t12_stream_corpus_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_name="t12_screen_mem",
     )
     return out.select("doc_id", "n_chars")
+
+
+@register(
+    "t13_stream_sliding_counts",
+    bench=75,
+    survey="T5,T3,§2.10 ext",
+    doc="Streaming hopping (sliding) windows: per-type counts over "
+    "2-hour windows sliding hourly, drained availableNow — the "
+    "streaming twin of the a17 batch rollup, sharing its oracle "
+    "(complete-mode drain over a bounded fixture computes the full "
+    "result). State carries (window × type) partials — 2× a tumbling "
+    "rollup's state, never raw events; the watermark bounds state "
+    "retention in a live run.",
+    oracle="""
+    WITH e AS (SELECT epoch_ms(ts) AS ms, event_type FROM events),
+    x AS (
+      SELECT (ms // 3600000) * 3600000 - k * 3600000 AS win_start_ms, event_type
+      FROM e, (SELECT unnest(range(0, 2)) AS k) g
+    )
+    SELECT win_start_ms, event_type, count(*) AS n
+    FROM x GROUP BY win_start_ms, event_type
+    """,
+)
+def t13_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.streaming.balance import sliding_event_counts
+
+    schema = _events_stream_source(spark, sf_dir)
+    return sliding_event_counts(
+        spark,
+        source_path=table_path(sf_dir, "events"),
+        schema=schema,
+        query_name="t13_sliding_mem",
+    )

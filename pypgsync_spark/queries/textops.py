@@ -1373,3 +1373,127 @@ def tx9_corpus_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log2(tot) - F.col("__slc") / F.col("__n"), 6).alias("xent"),
         )
     )
+
+
+@register(
+    "a20_filter_funnel",
+    bench=73,
+    survey="ext:quality,A3",
+    doc="Curation filter funnel: ONE pass over documents computing, "
+    "as conditional aggregates, how many docs each quality gate "
+    "would drop — too short (< 20 tokens), non-English (fixture lang "
+    "label), punctuation-heavy (ratio > 0.10), stopword-starved "
+    "(ratio < 0.01, the word-soup tell) — plus the count passing ALL "
+    "gates. The observability face of pipe1's curation pipeline: at "
+    "100 TB this is how you budget a filter chain before running it, "
+    "and it costs one map-side-combined scan (flags projected once "
+    "per row, then SUM(CASE) partials merge; no joins, no shuffle of "
+    "documents themselves).",
+    oracle=f"""
+    WITH f AS (
+      SELECT (len({_DUCK_TOKENS}) < 20) AS f_short,
+             (lang <> 'en') AS f_nonen,
+             (round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+                    / greatest(length(text), 1), 6) > 0.10) AS f_punct,
+             (round(len(list_filter({_DUCK_TOKENS},
+                        w -> list_contains({list(EN_STOPWORDS)!r}::VARCHAR[], w))) * 1.0
+                    / greatest(len({_DUCK_TOKENS}), 1), 6) < 0.01) AS f_lowsw
+      FROM documents
+    )
+    SELECT count(*) AS n_total,
+           CAST(sum(CASE WHEN f_short THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+           CAST(sum(CASE WHEN f_nonen THEN 1 ELSE 0 END) AS BIGINT) AS n_nonenglish,
+           CAST(sum(CASE WHEN f_punct THEN 1 ELSE 0 END) AS BIGINT) AS n_punct_heavy,
+           CAST(sum(CASE WHEN f_lowsw THEN 1 ELSE 0 END) AS BIGINT) AS n_low_stopword,
+           CAST(sum(CASE WHEN NOT (f_short OR f_nonen OR f_punct OR f_lowsw)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM f
+    """,
+)
+def a20_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = quality_features(F.col("text"))
+    flags = _docs(spark, sf_dir).select(
+        (feats["n_tokens"] < 20).alias("f_short"),
+        (F.col("lang") != "en").alias("f_nonen"),
+        (feats["punct_ratio"] > 0.10).alias("f_punct"),
+        (feats["stopword_ratio"] < 0.01).alias("f_lowsw"),
+    )
+
+    def _n(flag: F.Column) -> F.Column:
+        return F.sum(F.when(flag, 1).otherwise(0)).cast("long")
+
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        _n(F.col("f_short")).alias("n_short"),
+        _n(F.col("f_nonen")).alias("n_nonenglish"),
+        _n(F.col("f_punct")).alias("n_punct_heavy"),
+        _n(F.col("f_lowsw")).alias("n_low_stopword"),
+        _n(
+            ~(
+                F.col("f_short")
+                | F.col("f_nonen")
+                | F.col("f_punct")
+                | F.col("f_lowsw")
+            )
+        ).alias("n_kept"),
+    )
+
+
+_OOV_VOCAB_K = 1000
+
+
+@register(
+    "tx10_oov_rate",
+    bench=74,
+    survey="ext:text,ext:quality,O2",
+    doc="Out-of-vocabulary rate per document against the corpus's own "
+    f"top-{_OOV_VOCAB_K} token vocabulary (count desc, token asc "
+    "tie-break) — the CCNet-family quality feature that flags "
+    "word-soup and wrong-domain documents without any external model. "
+    "Two map-side-combined shuffles build (doc, token) instance "
+    "counts and the global token counts; the vocabulary selection is "
+    "TakeOrderedAndProject (no global-sort window), and the bounded "
+    f"{_OOV_VOCAB_K}-row vocab BROADCASTS to the instance stream for "
+    "the membership flag — the per-doc rollup then shuffles doc-keyed "
+    "counts only, never text. At a larger corpus swap the exact "
+    "global count for a frequency threshold; the join shape is "
+    "unchanged.",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS w FROM documents),
+    cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    vocab AS (
+      SELECT w FROM cnt
+      QUALIFY row_number() OVER (ORDER BY c DESC, w) <= {_OOV_VOCAB_K}
+    )
+    SELECT t.doc_id, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS oov_ratio
+    FROM tok t LEFT JOIN vocab v USING (w)
+    GROUP BY t.doc_id
+    """,
+)
+def tx10_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.operators.topk import topk
+
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = topk(cnt, [F.col("c").desc(), F.col("w")], _OOV_VOCAB_K).select(
+        "w", F.lit(1).alias("__in_vocab")
+    )
+    oov = F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).cast("long")
+    return (
+        tok.join(F.broadcast(vocab), on="w", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            oov.alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_ratio"),
+        )
+    )

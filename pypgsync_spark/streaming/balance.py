@@ -252,3 +252,41 @@ def windowed_event_counts(
         F.col("n"),
         F.col("total"),
     )
+
+
+def sliding_event_counts(
+    spark: SparkSession,
+    source_path: str,
+    schema: T.StructType,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "4 hours",
+    query_name: str = "sliding_counts_stream",
+    state_partitions: int | str | None = "auto",
+) -> DataFrame:
+    """HOPPING (sliding) window streaming aggregation — the streaming
+    twin of the a17 batch rollup: ``F.window(ts, window, slide)``
+    expands each event into window/slide membership rows BEFORE the
+    stateful aggregation, so the state store holds (window × type)
+    partials (window/slide × a tumbling rollup's state), never events.
+    Returns (win_start_ms, event_type, n)."""
+    src = ensure_events_ts(_file_stream(spark, schema, source_path), event_time=True)
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    with stream_shuffle_partitions(spark, state_partitions):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(query_name).select(
+        F.unix_millis(F.col("w.start")).alias("win_start_ms"),
+        F.col("event_type"),
+        F.col("n"),
+    )
