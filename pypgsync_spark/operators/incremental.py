@@ -90,8 +90,12 @@ def cross_jaccard_pairs(
         F.size("shingles") > 0
     )
     if materialize_shingles:
-        sd = sd.localCheckpoint(eager=True)
-        sc = sc.localCheckpoint(eager=True)
+        # lazy (r8): the shared-frequency aggregate below full-scans
+        # both collections as its first job and materializes the
+        # checkpoints as a side effect — same stored blocks, two fewer
+        # driver-barrier jobs than eager persists
+        sd = sd.localCheckpoint(eager=False)
+        sc = sc.localCheckpoint(eager=False)
 
     def exploded(s: DataFrame, side: str) -> DataFrame:
         return s.select(
