@@ -1375,3 +1375,35 @@ def w9_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(_dsum(F.col("value")) / F.count(F.lit(1)), 6).alias("avg_value"),
     )
+
+
+@register(
+    "a21_value_histogram",
+    bench=77,
+    survey="A4,X2 ext",
+    doc="Fixed-width 20-bin histogram of event values: the min/max "
+    "ride as DataFrame.scalar() uncorrelated subqueries (one-time "
+    "jobs, injected as literals — no 1-row join), the bin index is "
+    "pure double arithmetic identical on both engines (same "
+    "left-associative (v-mn)*20/(mx-mn) expression, IEEE doubles), "
+    "and the rollup map-side combines 20 groups. The equal-WIDTH "
+    "complement of w9's equal-COUNT deciles.",
+    oracle="""
+    WITH s AS (
+      SELECT min(value) AS mn, max(value) AS mx FROM events
+    )
+    SELECT CAST(least(floor((value - mn) * 20 / (mx - mn)), 19) AS BIGINT)
+             AS bin,
+           count(*) AS n
+    FROM events, s
+    GROUP BY bin
+    """,
+)
+def a21_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    mn = ev.agg(F.min("value")).scalar()
+    mx = ev.agg(F.max("value")).scalar()
+    bin_ = F.least(
+        F.floor((F.col("value") - mn) * 20 / (mx - mn)), F.lit(19)
+    ).cast("long")
+    return ev.groupBy(bin_.alias("bin")).agg(F.count(F.lit(1)).alias("n"))

@@ -958,3 +958,68 @@ def j21_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
     return topk(blamed, [F.col("numwait").desc(), F.col("s_suppkey")], 10)
+
+
+@register(
+    "j22_nation_trade_matrix",
+    bench=76,
+    survey="§2.3,A4",
+    doc="Nation-to-nation trade matrix (TPC-H Q7 shape): revenue "
+    "between every (supplier nation, customer nation) pair through "
+    "lineitem⋈orders⋈customer⋈supplier with the nation dim joined "
+    "TWICE under different aliases — the self-aliased broadcast-dim "
+    "pattern. The fact chain shuffles once on orderkey; customer, "
+    "supplier and both nation sides broadcast, so the 25×25 matrix "
+    "rollup map-side combines without the fact side ever shuffling "
+    "for a dimension. Exact-decimal revenue (the j14 discipline).",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           count(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    GROUP BY supp_nation, cust_nation
+    """,
+)
+def j22_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    supplier = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("__cn_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("__sn_key"))
+        .join(n2, F.col("c_nationkey") == F.col("__cn_key"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(price * disc).cast("double").alias("revenue"),
+        )
+    )

@@ -366,3 +366,36 @@ def t13_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=schema,
         query_name="t13_sliding_mem",
     )
+
+
+@register(
+    "t14_stream_enriched_rollup",
+    bench=79,
+    survey="T5,§2.3,§2.10 ext",
+    doc="Stream-static broadcast enrichment: the event stream joins "
+    "the static customer dimension (every fixture user_id is a "
+    "custkey) per micro-batch — the join itself keeps NO state and "
+    "re-resolves the static side each batch, so a dim refresh lands "
+    "live — then a stateful rollup per (market segment, event type). "
+    "State is bounded by segment × type cardinality, never events. "
+    "The batch oracle states the same join + rollup.",
+    oracle="""
+    SELECT c_mktsegment, event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+)
+def t14_stream_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.catalog import load_table
+    from pypgsync_spark.streaming.balance import enriched_segment_rollup
+
+    schema = _events_stream_source(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return enriched_segment_rollup(
+        spark,
+        source_path=table_path(sf_dir, "events"),
+        schema=schema,
+        dim=dim,
+        query_name="t14_enriched_mem",
+    )

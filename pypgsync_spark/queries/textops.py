@@ -1497,3 +1497,84 @@ def tx10_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_ratio"),
         )
     )
+
+
+@register(
+    "d11_winnow_containment",
+    bench=78,
+    survey="ext:text,§2.3",
+    doc="ASYMMETRIC containment pairs from winnowing fingerprints — "
+    "the quote/subset detector d10's symmetric Jaccard dilutes away: "
+    "containment(A in B) = shared / |A| is high when a short doc is "
+    "quoted wholesale inside a long one even though their Jaccard is "
+    "tiny. Same inverted-index machinery as d10 (df-filtered "
+    "fingerprint explode, equi self-join on the fingerprint, "
+    "metadata-scale shuffle), different measure: pairs kept when "
+    "either direction's containment >= 0.5 with >= 2 shared "
+    "fingerprints; both directions reported.",
+    oracle=f"""
+    WITH {_DUCK_WINNOW_CTES},
+    e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+    rare AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= {_WINNOW_MAXDF}),
+    ee AS (SELECT e.doc_id, e.fp FROM e JOIN rare USING (fp)),
+    sz AS (SELECT doc_id, count(*) AS n FROM ee GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM ee a JOIN ee b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, shared,
+           round(shared * 1.0 / sa.n, 6) AS cont_a,
+           round(shared * 1.0 / sb.n, 6) AS cont_b
+    FROM p
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE shared >= 2
+      AND greatest(shared * 1.0 / sa.n, shared * 1.0 / sb.n) >= 0.5
+    """,
+)
+def d11_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.functions.text import winnow_fingerprints
+    from pypgsync_spark.operators.dedup import spread_if_underpartitioned
+
+    d = spread_if_underpartitioned(_docs(spark, sf_dir))
+    f = d.select(
+        "doc_id",
+        winnow_fingerprints(F.col("text"), k=_WINNOW_K, w=_WINNOW_W).alias("fps"),
+    )
+    e = f.select("doc_id", F.explode("fps").alias("fp"))
+    rare = (
+        e.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= _WINNOW_MAXDF)
+        .select("fp")
+    )
+    # one materialization feeds sizes and both self-join sides (the
+    # d10 rationale)
+    ee = e.join(rare, on="fp").localCheckpoint(eager=False)
+    sz = ee.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ee.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = ee.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, on="fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 2)
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("__na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("__nb"))
+    ca = F.col("shared") / F.col("__na")
+    cb = F.col("shared") / F.col("__nb")
+    return (
+        pairs.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .filter(F.greatest(ca, cb) >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.round(ca, 6).alias("cont_a"),
+            F.round(cb, 6).alias("cont_b"),
+        )
+    )

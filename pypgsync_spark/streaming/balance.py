@@ -290,3 +290,35 @@ def sliding_event_counts(
         F.col("event_type"),
         F.col("n"),
     )
+
+
+def enriched_segment_rollup(
+    spark: SparkSession,
+    source_path: str,
+    schema: T.StructType,
+    dim: DataFrame,
+    query_name: str = "enriched_rollup_stream",
+    state_partitions: int | str | None = "auto",
+) -> DataFrame:
+    """Stream-STATIC broadcast enrichment + stateful rollup: the event
+    stream joins a static dimension (broadcast per micro-batch — no
+    state, no watermark needed for the join itself) and aggregates per
+    (segment, type). The static side is re-resolvable each batch, so a
+    dim refresh lands without restarting the query. Returns
+    (c_mktsegment, event_type, n, total)."""
+    src = ensure_events_ts(_file_stream(spark, schema, source_path), event_time=True)
+    joined = src.join(F.broadcast(dim), src.user_id == dim.c_custkey, "inner")
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+    with stream_shuffle_partitions(spark, state_partitions):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(query_name)
