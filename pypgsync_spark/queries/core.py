@@ -1407,3 +1407,169 @@ def a21_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.col("value") - mn) * 20 / (mx - mn)), F.lit(19)
     ).cast("long")
     return ev.groupBy(bin_.alias("bin")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "a22_feature_moments",
+    bench=80,
+    survey="A4,A14 ext,X2",
+    doc="Per-feature standardization statistics + outlier census over "
+    "a19's unpivoted (feature, val) stream: mean and variance derived "
+    "from EXACT decimal power sums (sum, sum-of-squares — both "
+    "algebraic, map-side combined; decimal(18,2)² = decimal(36,4) "
+    "stays exact), converted to double only at the end with the SAME "
+    "expression order on both engines, then one broadcast join of the "
+    "3-row stats table back onto the stream counts |z| > 3 outliers. "
+    "Two scans of a map-only Expand — no window, no second shuffle of "
+    "the data: the z-threshold compare uses identical IEEE doubles.",
+    oracle="""
+    WITH long AS (
+      SELECT feature, val FROM (
+        UNPIVOT (SELECT l_quantity, l_discount, l_tax FROM lineitem)
+        ON l_quantity, l_discount, l_tax INTO NAME feature VALUE val
+      )
+    ),
+    stats AS (
+      SELECT feature, count(*) AS n,
+             CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(val AS DECIMAL(18,2)) * CAST(val AS DECIMAL(18,2)))
+                  AS DOUBLE) AS s2
+      FROM long GROUP BY feature
+    ),
+    m AS (
+      SELECT feature, n, s1 / n AS mean,
+             sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std
+      FROM stats
+    )
+    SELECT m.feature, n, round(mean, 6) AS mean, round(std, 6) AS std,
+           CAST(sum(CASE WHEN abs(val - mean) > 3 * std THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM long JOIN m USING (feature)
+    GROUP BY m.feature, n, mean, std
+    """,
+)
+def a22_feature_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_tax"
+    )
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="feature",
+        valueColumnName="val",
+    )
+    vd = F.col("val").cast("decimal(18,2)")
+    stats = long.groupBy("feature").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vd).cast("double").alias("s1"),
+        F.sum(vd * vd).cast("double").alias("s2"),
+    )
+    m = stats.select(
+        "feature",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    return (
+        long.join(F.broadcast(m), on="feature")
+        .groupBy("feature", "n", "mean", "std")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("val") - F.col("mean")) > 3 * F.col("std"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "feature",
+            "n",
+            F.round("mean", 6).alias("mean"),
+            F.round("std", 6).alias("std"),
+            "n_outliers",
+        )
+    )
+
+
+@register(
+    "a23_event_funnel",
+    bench=81,
+    survey="A4,W1 ext",
+    doc="Ordered conversion funnel view → click → purchase: per user, "
+    "nested RUNNING flags over one (user, time) window — seen_view, "
+    "then click-after-view, then purchase-after-that — so stage "
+    "membership respects event ORDER, not mere presence (a user who "
+    "purchases before ever viewing does not convert). The window is "
+    "PARTITIONED by user (no global sort; Spark chains the two "
+    "window layers over one exchange+sort since the spec is "
+    "identical), per-user flags collapse with max, and the funnel "
+    "report is a 1-row conditional aggregate.",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events
+    ),
+    w1 AS (
+      SELECT user_id, event_type, ms, event_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ms, event_id
+                     ROWS UNBOUNDED PRECEDING) AS seen_view
+      FROM e
+    ),
+    w2 AS (
+      SELECT user_id, event_type,
+             seen_view,
+             max(CASE WHEN event_type = 'click' AND seen_view = 1
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ms, event_id
+                     ROWS UNBOUNDED PRECEDING) AS seen_cav
+      FROM w1
+    ),
+    per_user AS (
+      SELECT user_id,
+             max(seen_view) AS had_view,
+             max(CASE WHEN event_type = 'click' AND seen_view = 1
+                      THEN 1 ELSE 0 END) AS had_cav,
+             max(CASE WHEN event_type = 'purchase' AND seen_cav = 1
+                      THEN 1 ELSE 0 END) AS had_paf
+      FROM w2 GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(had_view) AS BIGINT) AS n_viewed,
+           CAST(sum(had_cav) AS BIGINT) AS n_clicked_after_view,
+           CAST(sum(had_paf) AS BIGINT) AS n_purchased_after_funnel
+    FROM per_user
+    """,
+)
+def a23_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_ms(spark, sf_dir).select(
+        "user_id", "event_type", "updated_ms", "event_id"
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("updated_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_view = F.when(F.col("event_type") == "view", 1).otherwise(0)
+    w1 = ev.withColumn("seen_view", F.max(is_view).over(win))
+    cav = F.when(
+        (F.col("event_type") == "click") & (F.col("seen_view") == 1), 1
+    ).otherwise(0)
+    w2 = w1.withColumn("seen_cav", F.max(cav).over(win))
+    paf = F.when(
+        (F.col("event_type") == "purchase") & (F.col("seen_cav") == 1), 1
+    ).otherwise(0)
+    per_user = w2.groupBy("user_id").agg(
+        F.max("seen_view").alias("had_view"),
+        F.max(cav).alias("had_cav"),
+        F.max(paf).alias("had_paf"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("had_view").cast("long").alias("n_viewed"),
+        F.sum("had_cav").cast("long").alias("n_clicked_after_view"),
+        F.sum("had_paf").cast("long").alias("n_purchased_after_funnel"),
+    )
