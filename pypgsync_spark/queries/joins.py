@@ -1023,3 +1023,281 @@ def j22_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(price * disc).cast("double").alias("revenue"),
         )
     )
+
+
+@register(
+    "j23_market_share",
+    bench=82,
+    survey="§2.3,A4",
+    doc="National market share (TPC-H Q8 shape): for the ASIA-region "
+    "customer market, per order year, total revenue and the share "
+    "supplied by NATION_5. Supplier nation and customer "
+    "region attach through two INDEPENDENT broadcast chains "
+    "(region→nation→customer prunes the fact rows; a 1-col supplier "
+    "flag dim tags each item) so the orderkey shuffle join is the "
+    "only exchange of fact data. Share = double division of two "
+    "exact-decimal sums, rounded to 6 on both engines.",
+    oracle="""
+    SELECT year(o_orderdate) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS mkt_revenue,
+           CAST(SUM(CASE WHEN sn.n_name = 'NATION_5'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS nation_revenue,
+           round(CAST(SUM(CASE WHEN sn.n_name = 'NATION_5'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE), 6) AS mkt_share
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region ON cn.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY o_year
+    """,
+)
+def j23_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    # Customer side collapses to the set of ASIA custkeys (broadcast).
+    asia_cust = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            nation.select("n_nationkey", "n_regionkey"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    # Supplier side collapses to a (suppkey, is_target) flag dim.
+    supp_flag = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            nation.select(
+                F.col("n_nationkey").alias("__snk"),
+                F.col("n_name").alias("__sname"),
+            ),
+            F.col("s_nationkey") == F.col("__snk"),
+        )
+        .select(
+            "s_suppkey",
+            (F.col("__sname") == "NATION_5").alias("is_target"),
+        )
+    )
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_flag, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(vol).cast("double").alias("mkt_revenue"),
+            F.sum(F.when(F.col("is_target"), vol).otherwise(zero))
+            .cast("double")
+            .alias("nation_revenue"),
+        )
+        .select(
+            "o_year",
+            "mkt_revenue",
+            "nation_revenue",
+            F.round(F.col("nation_revenue") / F.col("mkt_revenue"), 6).alias(
+                "mkt_share"
+            ),
+        )
+    )
+
+
+@register(
+    "j24_returned_items",
+    bench=83,
+    survey="§2.3,A4,O2",
+    doc="Top returning customers (TPC-H Q10 shape): revenue lost to "
+    "returned items (l_returnflag = 'R') for orders placed in one "
+    "quarter, attributed to the customer and their nation; top 20. "
+    "The quarter filter prunes orders BEFORE the fact join; customer "
+    "and nation broadcast onto the aggregated (custkey, revenue) "
+    "rows (group first, widen later — dims join 20 aggregated rows' "
+    "worth of groups, not 60k lineitems). Ordering and the top-k "
+    "tie-break run on the EXACT decimal revenue; double only in the "
+    "output projection.",
+    oracle="""
+    WITH rev AS (
+      SELECT c_custkey, c_name, n_name,
+             count(*) AS n_items,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_d
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-04-01'
+      GROUP BY c_custkey, c_name, n_name
+    )
+    SELECT c_custkey, c_name, n_name, n_items,
+           CAST(rev_d AS DOUBLE) AS revenue
+    FROM rev
+    ORDER BY rev_d DESC, c_custkey LIMIT 20
+    """,
+)
+def j24_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.operators.topk import topk
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    customer = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_nationkey"
+        )
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    per_cust = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1996-04-01")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.sum(vol).alias("rev_d"))
+    )
+    top = topk(per_cust, [F.col("rev_d").desc(), F.col("o_custkey")], 20)
+    return (
+        top.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "n_items",
+            F.col("rev_d").cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "j25_priority_return_matrix",
+    bench=84,
+    survey="§2.3,A4",
+    doc="Order-priority service matrix (TPC-H Q12 shape, adapted: the "
+    "fixture has no l_shipmode, so the classic mode×priority pivot "
+    "becomes returnflag×priority): per l_returnflag, how many line "
+    "items belong to URGENT/HIGH-priority orders vs the rest. The "
+    "orders side is projected to (orderkey, is_high BOOLEAN) before "
+    "the join — one fact-side shuffle, conditional counts map-side "
+    "combine into 3 rows.",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag
+    """,
+)
+def j25_priority_return_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_high"),
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(F.col("is_high"), 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "j26_disjunctive_promo_revenue",
+    bench=85,
+    survey="§2.3,A4,P1",
+    doc="Disjunctive brand/quantity/size promo revenue (TPC-H Q19 "
+    "shape): one scalar revenue over an OR of three conjunctive "
+    "arms, each pairing a part predicate (brand, size) with a "
+    "lineitem predicate (quantity band). part broadcasts; the "
+    "OR collapses into the single broadcast-hash-join's post-filter "
+    "so the fact side is scanned once with no shuffle at all, and "
+    "Catalyst still pushes the common l_quantity <= 30 bound and "
+    "p_size <= 15 bound down into each parquet scan.",
+    oracle="""
+    SELECT count(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+           AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+           AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
+           AND p_size BETWEEN 1 AND 15)
+    """,
+)
+def j26_disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    )
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    arm = lambda brand, qlo, qhi, shi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & qty.between(qlo, qhi)
+        & size.between(1, shi)
+    )
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            arm("Brand#12", 1, 11, 5)
+            | arm("Brand#23", 10, 20, 10)
+            | arm("Brand#3", 20, 30, 15)
+        )
+        .agg(F.count(F.lit(1)).alias("n_items"), F.sum(vol).cast("double").alias("revenue"))
+    )
