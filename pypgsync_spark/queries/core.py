@@ -1573,3 +1573,104 @@ def a23_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("had_cav").cast("long").alias("n_clicked_after_view"),
         F.sum("had_paf").cast("long").alias("n_purchased_after_funnel"),
     )
+
+
+@register(
+    "w10_session_spans",
+    bench=87,
+    survey="W1 ext,A4",
+    doc="Gaps-and-islands session spans: w4's lag-gap session starts "
+    "become running session ids (sum of start flags over the same "
+    "(user, time) window — Spark chains lag, the running sum and the "
+    "per-session rollup over ONE exchange+sort since every layer "
+    "shares the window spec), then per user the session count, "
+    "longest span in ms (exact long arithmetic) and mean events per "
+    "session (one double division, rounded 6).",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) AS ms, event_id,
+             lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ms, event_id) AS prev_ms
+      FROM (SELECT user_id, ts, event_id, epoch_ms(ts) AS ms FROM events)
+    ),
+    f AS (
+      SELECT user_id, ms, event_id,
+             CASE WHEN prev_ms IS NULL OR ms - prev_ms > 3600000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM e
+    ),
+    g AS (
+      SELECT user_id, ms,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM f
+    ),
+    s AS (
+      SELECT user_id, sess_id, count(*) AS n_events,
+             max(ms) - min(ms) AS span_ms
+      FROM g GROUP BY user_id, sess_id
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(max(span_ms) AS BIGINT) AS max_span_ms,
+           round(CAST(SUM(n_events) AS DOUBLE) / count(*), 6) AS avg_events
+    FROM s GROUP BY user_id
+    """,
+)
+def w10_session_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_ms(spark, sf_dir).select("user_id", "updated_ms", "event_id")
+    w = Window.partitionBy("user_id").orderBy("updated_ms", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("updated_ms") - F.lag("updated_ms").over(w)
+    is_start = F.when(gap.isNull() | (gap > 3600000), 1).otherwise(0)
+    sess = (
+        ev.withColumn("is_start", is_start)
+        .withColumn("sess_id", F.sum("is_start").over(run))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("updated_ms") - F.min("updated_ms")).alias("span_ms"),
+        )
+    )
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.max("span_ms").cast("long").alias("max_span_ms"),
+        F.round(
+            F.sum("n_events").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_events"),
+    )
+
+
+@register(
+    "o4_keyset_page",
+    bench=89,
+    survey="O1 ext,P1",
+    doc="Keyset (cursor) pagination — the scale-safe alternative to "
+    "OFFSET: page after cursor (ms, event_id) = (2024-01-15T00:00Z, "
+    "0) in (ms, event_id) order, 100 rows. The row-comparison "
+    "predicate is a plain filter, so the scan prunes BEFORE the "
+    "sort and the physical plan is TakeOrderedAndProject (per-"
+    "partition top-k + driver merge of 100-row heaps) — no global "
+    "sort, no skip-scan of dead rows, unlike OFFSET which at 100 TB "
+    "must still produce and discard every preceding row.",
+    oracle="""
+    SELECT event_id, epoch_ms(ts) AS ms, event_type
+    FROM events
+    WHERE epoch_ms(ts) > 1705276800000
+       OR (epoch_ms(ts) = 1705276800000 AND event_id > 0)
+    ORDER BY ms, event_id LIMIT 100
+    """,
+)
+def o4_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_ms(spark, sf_dir).select(
+        "event_id", F.col("updated_ms").alias("ms"), "event_type"
+    )
+    cur_ms, cur_id = 1705276800000, 0
+    return (
+        ev.filter(
+            (F.col("ms") > cur_ms)
+            | ((F.col("ms") == cur_ms) & (F.col("event_id") > cur_id))
+        )
+        .orderBy("ms", "event_id")
+        .limit(100)
+    )

@@ -1578,3 +1578,121 @@ def d11_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cb, 6).alias("cont_b"),
         )
     )
+
+
+@register(
+    "tx11_type_token_ratio",
+    bench=86,
+    survey="ext:text,A4",
+    doc="Per-language vocabulary profile: type-token ratio and hapax-"
+    "legomena share — the lexical-diversity curation signals (low TTR "
+    "= templated/boilerplate corpus slice; high hapax share = noisy "
+    "OCR/spam vocabulary). One explode to (lang, token) counts — the "
+    "shuffle carries token COUNTS, never text — then a 5-row rollup; "
+    "both ratios are single divisions of exact longs, rounded to 6.",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, unnest({_DUCK_TOKENS}) AS tok FROM documents
+    ),
+    c AS (SELECT lang, tok, count(*) AS c FROM t GROUP BY 1, 2)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(count(*) * 1.0 / SUM(c), 6) AS ttr,
+           round(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS hapax_share
+    FROM c GROUP BY lang
+    """,
+)
+def tx11_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    cnt = (
+        d.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        cnt.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+        )
+        .select(
+            "lang",
+            "n_types",
+            "n_tokens",
+            "n_hapax",
+            F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+            F.round(F.col("n_hapax") / F.col("n_types"), 6).alias(
+                "hapax_share"
+            ),
+        )
+    )
+
+
+@register(
+    "d12_cross_source_neardup",
+    bench=88,
+    survey="ext:dedup,A4",
+    doc="Cross-source contamination census: d2's complete 3-gram-"
+    "Jaccard near-dup pairs, split into intra-source vs cross-source "
+    "scope with pair count and mean similarity. The per-pair jaccard "
+    "is rounded to 6 THEN decimal-summed (exact, order-independent) "
+    "before the final double division — the only way a mean of "
+    "doubles hashes identically across engines. The (doc_id, source) "
+    "dim broadcasts onto the pair list twice; pair discovery itself "
+    "reuses the PPJoin prefix-filter path, so the census costs two "
+    "broadcast joins more than d2.",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, source, {_DUCK_SHINGLES} AS sh FROM documents),
+    p AS (
+      SELECT CASE WHEN a.source = b.source THEN 'intra' ELSE 'cross' END
+               AS scope,
+             round(len(list_intersect(a.sh, b.sh)) * 1.0
+                   / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1),
+                   6) AS j
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) > 0.3
+    )
+    SELECT scope, count(*) AS n_pairs,
+           round(CAST(SUM(CAST(j AS DECIMAL(18,6))) AS DOUBLE) / count(*),
+                 6) AS avg_jaccard
+    FROM p GROUP BY scope
+    """,
+)
+def d12_cross_source_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3, materialize_shingles=True)
+    src = docs.select("doc_id", "source")
+    sa = F.broadcast(
+        src.select(
+            F.col("doc_id").alias("__ida"), F.col("source").alias("__sa")
+        )
+    )
+    sb = F.broadcast(
+        src.select(
+            F.col("doc_id").alias("__idb"), F.col("source").alias("__sb")
+        )
+    )
+    return (
+        pairs.join(sa, F.col("id_a") == F.col("__ida"))
+        .join(sb, F.col("id_b") == F.col("__idb"))
+        .select(
+            F.when(F.col("__sa") == F.col("__sb"), "intra")
+            .otherwise("cross")
+            .alias("scope"),
+            F.col("jaccard").cast("decimal(18,6)").alias("j"),
+        )
+        .groupBy("scope")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum("j").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_jaccard"),
+        )
+    )
