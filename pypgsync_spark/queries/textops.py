@@ -1696,3 +1696,107 @@ def d12_cross_source_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_jaccard"),
         )
     )
+
+
+@register(
+    "samp4_quality_weighted",
+    bench=91,
+    survey="ext:sampling,A4",
+    doc="Quality-weighted acceptance sampling: each doc's keep "
+    "probability is its length-based quality proxy least(1, "
+    "n_chars/2000), accepted when a Knuth multiplicative hash of "
+    "doc_id lands under the per-doc threshold — seedless, "
+    "engine-exact (pure BIGINT multiply/modulo, no float hash), "
+    "embarrassingly parallel (no shuffle until the 5-row per-lang "
+    "report). The importance-sampling shape web-corpus curation uses "
+    "to downsample low-quality slices without a global sort or RNG "
+    "state; kept-share and kept-quality are audited per language.",
+    oracle="""
+    WITH d AS (
+      SELECT lang,
+             least(1.0, length(text) / 2000.0) AS q,
+             (doc_id * 2654435761) % 1000 AS h
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN h < ceil(q * 1000) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           round(SUM(CASE WHEN h < ceil(q * 1000) THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS kept_share,
+           round(CAST(SUM(CASE WHEN h < ceil(q * 1000)
+                          THEN CAST(round(q, 6) AS DECIMAL(18,6))
+                          ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / greatest(SUM(CASE WHEN h < ceil(q * 1000)
+                                THEN 1 ELSE 0 END), 1), 6) AS kept_avg_q
+    FROM d GROUP BY lang
+    """,
+)
+def samp4_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    q = F.least(F.lit(1.0), F.length("text") / 2000.0)
+    h = F.pmod(F.col("doc_id") * F.lit(2654435761), 1000)
+    kept = F.when(h < F.ceil(q * 1000), 1).otherwise(0)
+    q6 = F.round(q, 6).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        d.select("lang", q.alias("q"), kept.alias("kept"), q6.alias("q6"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.round(F.sum("kept") / F.count(F.lit(1)), 6).alias("kept_share"),
+            F.round(
+                F.sum(F.when(F.col("kept") == 1, F.col("q6")).otherwise(zero))
+                .cast("double")
+                / F.greatest(F.sum("kept"), F.lit(1)),
+                6,
+            ).alias("kept_avg_q"),
+        )
+    )
+
+
+@register(
+    "pack3_length_buckets",
+    bench=92,
+    survey="ext:packing,A4",
+    doc="Sequence-length bucketing for training-batch planning: docs "
+    "binned by whitespace-token count into width-64 buckets (pure "
+    "integer division — no float log2, whose libm rounding differs "
+    "across engines), per bucket the doc count, token mass and the "
+    "number of 4096-token batches that bucket fills. One map-side-"
+    "combined groupBy over a single corpus scan; the length histogram "
+    "is what a sequence-packing scheduler consumes to bound padding "
+    "waste.",
+    oracle=f"""
+    WITH d AS (
+      SELECT len({_DUCK_TOKENS}) AS n_tokens FROM documents
+    )
+    SELECT CAST(n_tokens // 64 AS BIGINT) AS bucket,
+           CAST((n_tokens // 64) * 64 AS BIGINT) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(ceil(SUM(n_tokens) / 4096.0) AS BIGINT) AS n_batches
+    FROM d GROUP BY bucket, bucket_lo
+    """,
+)
+def pack3_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    nt = token_count(F.col("text"))
+    b = d.select(nt.alias("n_tokens")).select(
+        F.expr("n_tokens div 64").alias("bucket"), "n_tokens"
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            (F.col("bucket") * 64).cast("long").alias("bucket_lo"),
+            "n_docs",
+            "total_tokens",
+            F.ceil(F.col("total_tokens") / 4096.0).cast("long").alias("n_batches"),
+        )
+    )

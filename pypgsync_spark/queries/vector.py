@@ -266,3 +266,112 @@ def v7_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pypgsync_spark.operators.similarity import knn_join
 
     return knn_join(_emb(spark, sf_dir), k=3)
+
+
+@register(
+    "v8_ivf_recall_audit",
+    bench=90,
+    survey="ext:similarity,A4",
+    doc="In-engine ANN quality audit: recall@10 of the IVF probe path "
+    "(v5: 8 deterministic centroids = the vec_id<8 embeddings, 2 "
+    "probed cells, exact re-rank) against the brute-force truth (v1) "
+    "— the index-quality gate a 100 TB embedding pipeline runs after "
+    "every IVF build. Everything is deterministic (cosine ties break "
+    "to the LOWEST centroid/vector id, matching ivf_assign's strict "
+    "`>` comparison), so the full audit — assignment, probe choice, "
+    "both top-k sets, the overlap — is replicated in the DuckDB "
+    "oracle. All-lazy plan: candidate census and overlap are two "
+    "1-row aggregates cross-joined; nothing but the 8 centroids and "
+    "the query vector ever reaches the driver.",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = {_QUERY_VEC_ID}),
+    a AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                 c.cid) AS rn
+        FROM e CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT cid FROM (
+        SELECT c.cid, row_number() OVER (ORDER BY
+          list_dot_product(c.cv, q.qv)
+          / (sqrt(list_dot_product(c.cv, c.cv))
+             * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+          c.cid) AS rn
+        FROM c CROSS JOIN q
+      ) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT e.vec_id, e.v FROM e JOIN a USING (vec_id)
+      JOIN probes USING (cid)
+    ),
+    approx AS (
+      SELECT vec_id FROM (
+        SELECT cand.vec_id, row_number() OVER (ORDER BY
+          list_dot_product(cand.v, q.qv)
+          / (sqrt(list_dot_product(cand.v, cand.v))
+             * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+          cand.vec_id) AS rn
+        FROM cand CROSS JOIN q
+      ) WHERE rn <= {_TOPK}
+    ),
+    truth AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id, row_number() OVER (ORDER BY
+          list_dot_product(e.v, q.qv)
+          / (sqrt(list_dot_product(e.v, e.v))
+             * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+          e.vec_id) AS rn
+        FROM e CROSS JOIN q
+      ) WHERE rn <= {_TOPK}
+    )
+    SELECT {_TOPK} AS k,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM approx JOIN truth USING (vec_id))
+                AS BIGINT) AS n_overlap,
+           round((SELECT count(*) FROM approx JOIN truth USING (vec_id))
+                 / {_TOPK}.0, 6) AS recall
+    """,
+)
+def v8_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from pypgsync_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    cent_rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    centroids = [list(r["embedding"]) for r in cent_rows]
+    qvec = _query_vec(spark, sf_dir)
+    assigned = ivf_assign(emb, centroids)
+    # probe choice mirrors ivf_topk exactly (stable sort, lowest cid ties)
+    qv = np.asarray(qvec, dtype=np.float64)
+    qn = np.linalg.norm(qv)
+    sims = [
+        float(np.dot(c, qv) / (np.linalg.norm(c) * qn))
+        for c in np.asarray(centroids)
+    ]
+    probe = sorted(range(len(centroids)), key=lambda i: -sims[i])[:2]
+    approx = ivf_topk(assigned, centroids, qvec, k=_TOPK, n_probe=2).select(
+        "vec_id"
+    )
+    truth = brute_force_topk(emb, qvec, k=_TOPK).select("vec_id")
+    n_cand = (
+        assigned.filter(F.col("cell").isin(probe))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    )
+    n_over = approx.join(truth, on="vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    )
+    return n_cand.crossJoin(n_over).select(
+        F.lit(_TOPK).alias("k"),
+        "n_candidates",
+        "n_overlap",
+        F.round(F.col("n_overlap") / float(_TOPK), 6).alias("recall"),
+    )
