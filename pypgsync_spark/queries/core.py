@@ -1674,3 +1674,138 @@ def o4_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ms", "event_id")
         .limit(100)
     )
+
+
+@register(
+    "w11_mom_growth",
+    bench=93,
+    survey="W1 ext,A4",
+    doc="Month-over-month revenue growth: orders roll up to integer "
+    "month ids (year*100+month — pure int arithmetic, no DATE-type "
+    "canonicalization in the contract), revenue decimal-exact, then "
+    "lag/delta/growth over the ~80-row month table — the deliberate "
+    "place for an unpartitioned window (metadata-scale by "
+    "construction, like samp3's mixture weights). Growth is one "
+    "double division of two exact-decimal-derived doubles, rounded "
+    "6; the first month's NULLs pass through both engines.",
+    oracle="""
+    WITH m AS (
+      SELECT year(o_orderdate) * 100 + month(o_orderdate) AS month_id,
+             count(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
+      FROM orders GROUP BY month_id
+    )
+    SELECT month_id, n_orders,
+           CAST(rev_d AS DOUBLE) AS revenue,
+           CAST(lag(rev_d) OVER (ORDER BY month_id) AS DOUBLE) AS prev_revenue,
+           round((CAST(rev_d AS DOUBLE)
+                  - CAST(lag(rev_d) OVER (ORDER BY month_id) AS DOUBLE))
+                 / CAST(lag(rev_d) OVER (ORDER BY month_id) AS DOUBLE),
+                 6) AS mom_growth
+    FROM m
+    """,
+)
+def w11_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("month_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_d"),
+    )
+    w = Window.orderBy("month_id")
+    prev = F.lag("rev_d").over(w)
+    return m.select(
+        "month_id",
+        "n_orders",
+        F.col("rev_d").cast("double").alias("revenue"),
+        prev.cast("double").alias("prev_revenue"),
+        F.round(
+            (F.col("rev_d").cast("double") - prev.cast("double"))
+            / prev.cast("double"),
+            6,
+        ).alias("mom_growth"),
+    )
+
+
+@register(
+    "profile3_correlation_matrix",
+    bench=94,
+    survey="A4,A14 ext,X2",
+    doc="Single-pass Pearson correlations between the three lineitem "
+    "measures from EXACT decimal power sums (sum, sum-of-squares, "
+    "cross products — all algebraic, map-side combined; no built-in "
+    "corr(), whose engine-internal accumulation order is not "
+    "contract-stable). One scan, one 1-row aggregate; the corr "
+    "formula then runs on doubles in the SAME expression order on "
+    "both engines and rounds to 6. The a22 pattern widened to "
+    "covariances — what a feature-profiling pass computes before "
+    "feature selection at 100 TB.",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sdd,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sqd,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS spd
+      FROM lineitem
+    )
+    SELECT n,
+           round((n * sqp - sq * sp)
+                 / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)),
+                 6) AS corr_qty_price,
+           round((n * sqd - sq * sd)
+                 / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)),
+                 6) AS corr_qty_disc,
+           round((n * spd - sp * sd)
+                 / (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd)),
+                 6) AS corr_price_disc
+    FROM s
+    """,
+)
+def profile3_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(18,2)")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sq"),
+        F.sum(p).cast("double").alias("sp"),
+        F.sum(d).cast("double").alias("sd"),
+        F.sum(q * q).cast("double").alias("sqq"),
+        F.sum(p * p).cast("double").alias("spp"),
+        F.sum(d * d).cast("double").alias("sdd"),
+        F.sum(q * p).cast("double").alias("sqp"),
+        F.sum(q * d).cast("double").alias("sqd"),
+        F.sum(p * d).cast("double").alias("spd"),
+    )
+    n = F.col("n")
+
+    def corr(sxy, sx, sy, sxx, syy):
+        return F.round(
+            (n * F.col(sxy) - F.col(sx) * F.col(sy))
+            / (
+                F.sqrt(n * F.col(sxx) - F.col(sx) * F.col(sx))
+                * F.sqrt(n * F.col(syy) - F.col(sy) * F.col(sy))
+            ),
+            6,
+        )
+
+    return s.select(
+        "n",
+        corr("sqp", "sq", "sp", "sqq", "spp").alias("corr_qty_price"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
+        corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_disc"),
+    )

@@ -1172,3 +1172,53 @@ def c9_id_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(start, F.col("id"))).alias("first_gap_start"),
         F.max(F.when(start, F.col("id"))).alias("last_gap_start"),
     )
+
+
+@register(
+    "s9_partition_pruned_read",
+    bench=95,
+    survey="S4,S7,P1",
+    doc="Partition pruning end-to-end: events land date-partitioned "
+    "(s4b's layout, own scratch path), then ONE day is read back "
+    "through a partition-column predicate — the predicate resolves "
+    "against the directory listing (PartitionFilters in the scan "
+    "node, asserted in tests/test_partitioned.py), so the scan "
+    "touches 1/30th of the files before a single row is read. At "
+    "100 TB this is the difference between a 3 TB day-scan and a "
+    "full-corpus scan; the rollup itself is a 4-row map-side "
+    "combine.",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+    GROUP BY event_type
+    """,
+)
+def s9_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from pypgsync_spark.sources.partitioned import (
+        DATE_COL,
+        read_date_partitioned,
+        with_event_date,
+        write_date_partitioned,
+    )
+
+    df = with_event_date(_events_ms(spark, sf_dir).drop("ts_nanos"))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"pypgsync_pruned_{tag}", "t"
+    )
+    write_date_partitioned(df, path)
+    back = read_date_partitioned(spark, path).filter(
+        F.col(DATE_COL) == "2024-01-15"
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
