@@ -1,0 +1,154 @@
+"""Property tests for the round-8 catalog additions.
+
+The DuckDB oracle (tests/test_oracle.py, scripts/driver_sim.py) checks
+engine parity; these tests check the MATH — invariants that both
+engines could get identically wrong.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_a22_moments_match_numpy(spark, sf_small):
+    """Exact-decimal power sums must reproduce numpy's two-pass
+    mean/std (ddof=1) to float tolerance."""
+    from pypgsync_spark.catalog import load_table
+    from pypgsync_spark.queries.core import a22_feature_moments
+
+    got = {r["feature"]: r for r in a22_feature_moments(spark, sf_small).collect()}
+    li = load_table(spark, sf_small, "lineitem").select(
+        "l_quantity", "l_discount", "l_tax"
+    )
+    pdf = li.toPandas()
+    for feat in ["l_quantity", "l_discount", "l_tax"]:
+        vals = pdf[feat].to_numpy(dtype=np.float64)
+        assert got[feat]["n"] == len(vals)
+        assert got[feat]["mean"] == pytest.approx(vals.mean(), abs=1e-5)
+        assert got[feat]["std"] == pytest.approx(vals.std(ddof=1), abs=1e-5)
+        z = np.abs(vals - vals.mean()) > 3 * vals.std(ddof=1)
+        assert got[feat]["n_outliers"] == int(z.sum())
+
+
+def test_w10_sessions_conserve_events(spark, sf_small):
+    """Session spans partition the event stream: per-user session
+    event counts must sum back to the user's event count, and w10's
+    session count must agree with w4's independent lag-flag count."""
+    from pypgsync_spark.queries.core import w4_sessionize_lag, w10_session_spans
+
+    w10 = {r["user_id"]: r for r in w10_session_spans(spark, sf_small).collect()}
+    w4 = {r["user_id"]: r["n_sessions"] for r in w4_sessionize_lag(spark, sf_small).collect()}
+    from pypgsync_spark.catalog import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    per_user = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(w10) == set(per_user)
+    for uid, row in w10.items():
+        assert row["n_sessions"] == w4[uid]
+        # avg_events * n_sessions recovers the user's total events
+        assert round(row["avg_events"] * row["n_sessions"]) == per_user[uid]
+        assert row["max_span_ms"] >= 0
+
+
+def test_v8_recall_bounds_and_truth(spark, sf_small):
+    """Recall is n_overlap/k with 0 <= n_overlap <= k, and must equal
+    a direct python comparison of the two top-k sets."""
+    from pypgsync_spark.queries.vector import (
+        _TOPK,
+        v1_ann_bruteforce,
+        v5_ivf_topk,
+        v8_ivf_recall_audit,
+    )
+
+    row = v8_ivf_recall_audit(spark, sf_small).collect()[0]
+    assert 0 <= row["n_overlap"] <= row["k"] == _TOPK
+    assert row["recall"] == pytest.approx(row["n_overlap"] / _TOPK)
+    truth = {r["vec_id"] for r in v1_ann_bruteforce(spark, sf_small).collect()}
+    approx = {r["vec_id"] for r in v5_ivf_topk(spark, sf_small).collect()}
+    assert row["n_overlap"] == len(truth & approx)
+
+
+def test_samp4_deterministic_and_monotone(spark, sf_small):
+    """Two runs agree exactly (seedless hash), and longer docs are
+    kept at least as often in aggregate (keep prob is monotone in
+    n_chars up to the cap)."""
+    from pypgsync_spark.queries.textops import samp4_quality_weighted
+
+    a = sorted(map(tuple, samp4_quality_weighted(spark, sf_small).collect()))
+    b = sorted(map(tuple, samp4_quality_weighted(spark, sf_small).collect()))
+    assert a == b
+    for row in a:
+        _, n_total, n_kept, kept_share, kept_avg_q = row
+        assert 0 <= n_kept <= n_total
+        assert kept_share == pytest.approx(n_kept / n_total, abs=1e-6)
+        assert 0.0 <= kept_avg_q <= 1.0
+
+
+def test_pack3_conserves_token_mass(spark, sf_small):
+    """Bucket token masses must sum to the corpus token count, and
+    each bucket's batch count must cover its mass at 4096/batch."""
+    from pypgsync_spark.catalog import load_table
+    from pypgsync_spark.functions.text import token_count
+    from pypgsync_spark.queries.textops import pack3_length_buckets
+
+    rows = pack3_length_buckets(spark, sf_small).collect()
+    docs = load_table(spark, sf_small, "documents")
+    corpus_tokens = docs.select(
+        F.sum(token_count(F.col("text"))).alias("s")
+    ).collect()[0]["s"]
+    assert sum(r["total_tokens"] for r in rows) == corpus_tokens
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert r["bucket_lo"] == r["bucket"] * 64
+        assert r["n_batches"] == math.ceil(r["total_tokens"] / 4096)
+
+
+def test_profile3_matches_numpy_corr(spark, sf_small):
+    """Power-sum Pearson must reproduce numpy's corrcoef."""
+    from pypgsync_spark.catalog import load_table
+    from pypgsync_spark.queries.core import profile3_correlation_matrix
+
+    row = profile3_correlation_matrix(spark, sf_small).collect()[0]
+    pdf = (
+        load_table(spark, sf_small, "lineitem")
+        .select("l_quantity", "l_extendedprice", "l_discount")
+        .toPandas()
+    )
+    q = pdf["l_quantity"].to_numpy(dtype=np.float64)
+    p = pdf["l_extendedprice"].to_numpy(dtype=np.float64)
+    d = pdf["l_discount"].to_numpy(dtype=np.float64)
+    assert row["corr_qty_price"] == pytest.approx(np.corrcoef(q, p)[0, 1], abs=1e-5)
+    assert row["corr_qty_disc"] == pytest.approx(np.corrcoef(q, d)[0, 1], abs=1e-5)
+    assert row["corr_price_disc"] == pytest.approx(np.corrcoef(p, d)[0, 1], abs=1e-5)
+
+
+def test_j23_share_is_component_ratio(spark, sf_small):
+    """mkt_share must equal nation_revenue / mkt_revenue and the
+    nation slice can never exceed the market."""
+    from pypgsync_spark.queries.joins import j23_market_share
+
+    for r in j23_market_share(spark, sf_small).collect():
+        assert 0.0 <= r["nation_revenue"] <= r["mkt_revenue"] + 1e-9
+        assert r["mkt_share"] == pytest.approx(
+            r["nation_revenue"] / r["mkt_revenue"], abs=1e-6
+        )
+
+
+def test_tx11_ttr_invariants(spark, sf_small):
+    """Types <= tokens, hapax <= types, ratios consistent."""
+    from pypgsync_spark.queries.textops import tx11_type_token_ratio
+
+    for r in tx11_type_token_ratio(spark, sf_small).collect():
+        assert 0 < r["n_types"] <= r["n_tokens"]
+        assert 0 <= r["n_hapax"] <= r["n_types"]
+        assert r["ttr"] == pytest.approx(r["n_types"] / r["n_tokens"], abs=1e-6)
+        assert r["hapax_share"] == pytest.approx(
+            r["n_hapax"] / r["n_types"], abs=1e-6
+        )
