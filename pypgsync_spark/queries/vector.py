@@ -362,16 +362,20 @@ def v8_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id"
     )
     truth = brute_force_topk(emb, qvec, k=_TOPK).select("vec_id")
-    n_cand = (
-        assigned.filter(F.col("cell").isin(probe))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    # the candidate census and the overlap count collapse into ONE
+    # 1-row aggregate over a tagged union — joining two 1-row
+    # aggregates (even on a constant equi key, which Catalyst folds
+    # away) would plan BroadcastNestedLoopJoin, the one join strategy
+    # the registry-wide sweep (test_plans) bans
+    cand_rows = assigned.filter(F.col("cell").isin(probe)).select(
+        F.lit(1).alias("is_cand"), F.lit(0).alias("is_over")
     )
-    n_over = approx.join(truth, on="vec_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    over_rows = approx.join(truth, on="vec_id").select(
+        F.lit(0).alias("is_cand"), F.lit(1).alias("is_over")
     )
-    return n_cand.crossJoin(n_over).select(
+    return cand_rows.unionByName(over_rows).agg(
         F.lit(_TOPK).alias("k"),
-        "n_candidates",
-        "n_overlap",
-        F.round(F.col("n_overlap") / float(_TOPK), 6).alias("recall"),
+        F.sum("is_cand").cast("long").alias("n_candidates"),
+        F.sum("is_over").cast("long").alias("n_overlap"),
+        F.round(F.sum("is_over") / float(_TOPK), 6).alias("recall"),
     )
