@@ -1809,3 +1809,53 @@ def profile3_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
         corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_disc"),
     )
+
+
+@register(
+    "w12_rank_distribution",
+    bench=96,
+    survey="W1 ext",
+    doc="percent_rank + cume_dist profile: per event_type's top-5 events "
+    "by value, each carrying its exact rank position within the full "
+    "type partition — percent_rank=(rank-1)/(n-1), cume_dist=rn/n, "
+    "both single divisions of identical longs (tie-free under the "
+    "(value, event_id) order), rounded 6. The ranking windows and the "
+    "top-5 filter share one (type, value) exchange+sort; the desc "
+    "row_number plans as WindowGroupLimit so each task keeps 5 rows "
+    "per type before the shuffle.",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, event_id, value,
+             percent_rank() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS pr,
+             cume_dist() OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS cd,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT event_type, CAST(rn AS BIGINT) AS top_rn, event_id, value,
+           round(pr, 6) AS pct_rank, round(cd, 6) AS cume
+    FROM r WHERE rn <= 5
+    """,
+)
+def w12_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("event_type", "event_id", "value")
+    asc = Window.partitionBy("event_type").orderBy("value", "event_id")
+    desc = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("pr", F.percent_rank().over(asc))
+        .withColumn("cd", F.cume_dist().over(asc))
+        .withColumn("rn", F.row_number().over(desc))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "event_type",
+            F.col("rn").cast("long").alias("top_rn"),
+            "event_id",
+            "value",
+            F.round("pr", 6).alias("pct_rank"),
+            F.round("cd", 6).alias("cume"),
+        )
+    )

@@ -1800,3 +1800,50 @@ def pack3_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil(F.col("total_tokens") / 4096.0).cast("long").alias("n_batches"),
         )
     )
+
+
+@register(
+    "d13_threshold_sensitivity",
+    bench=97,
+    survey="ext:dedup,A4",
+    doc="Dedup threshold tuning curve: from ONE run of the complete "
+    "3-gram-Jaccard pair finder at the 0.3 floor, the surviving pair "
+    "count at 0.5 / 0.7 / 0.9 — the sensitivity sweep that picks a "
+    "production dedup threshold WITHOUT re-running pair discovery "
+    "per candidate value (at 100 TB the pair join is the cost; the "
+    "curve is a free 1-row conditional aggregate on top). Counts "
+    "compare the 6-rounded jaccard (identical on both engines by "
+    "the d2/d12 discipline).",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+    p AS (
+      SELECT round(len(list_intersect(a.sh, b.sh)) * 1.0
+                   / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1),
+                   6) AS j
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) > 0.3
+    )
+    SELECT count(*) AS n_pairs_03,
+           CAST(SUM(CASE WHEN j > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pairs_05,
+           CAST(SUM(CASE WHEN j > 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pairs_07,
+           CAST(SUM(CASE WHEN j > 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pairs_09,
+           round(max(j), 6) AS max_jaccard
+    FROM p
+    """,
+)
+def d13_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.3, materialize_shingles=True
+    )
+    j = F.col("jaccard")
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs_03"),
+        F.sum(F.when(j > 0.5, 1).otherwise(0)).cast("long").alias("n_pairs_05"),
+        F.sum(F.when(j > 0.7, 1).otherwise(0)).cast("long").alias("n_pairs_07"),
+        F.sum(F.when(j > 0.9, 1).otherwise(0)).cast("long").alias("n_pairs_09"),
+        F.round(F.max(j), 6).alias("max_jaccard"),
+    )
