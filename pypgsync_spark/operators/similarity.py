@@ -307,16 +307,36 @@ def ivf_assign(
     """Assign each vector to its nearest centroid by cosine (IVF build
     step). Centroids are plan literals — at real scale they come from a
     sampled k-means and are broadcast. Write the result partitioned by
-    ``cell`` so query-time probes prune partitions."""
-    best_cell = F.lit(0)
-    best_sim = F.lit(-2.0)
-    for ci, c in enumerate(centroids):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        sim = cosine(F.col(vec_col), carr)
-        better = sim > best_sim
-        best_cell = F.when(better, F.lit(ci)).otherwise(best_cell)
-        best_sim = F.when(better, sim).otherwise(best_sim)
-    return vectors.withColumn(cell_col, best_cell)
+    ``cell`` so query-time probes prune partitions.
+
+    Argmax is array-based: the k cosines land in ONE array column,
+    aliased in its own projection (each cosine evaluated once — the
+    tx6 CollapseProject discipline), and the cell is
+    ``array_position(sims, array_max(sims)) - 1`` — first-max wins,
+    i.e. ties break to the LOWEST centroid index, the same semantics
+    as a strict `>` fold. The previous iterative when-chain embedded
+    the running best TWICE per level (condition + otherwise): 2^k
+    expression copies, a ~7 MB task binary and ~17 s of per-run
+    analysis at k=8, d=64. Linear expression size restores
+    millisecond planning. Zero-norm vectors (NaN cosine) are assumed
+    absent, as everywhere in this family."""
+    sims = F.array(
+        *[
+            cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+    return (
+        vectors.withColumn("__sims", sims)
+        .withColumn(
+            cell_col,
+            (
+                F.array_position(F.col("__sims"), F.array_max(F.col("__sims")))
+                - 1
+            ).cast("int"),
+        )
+        .drop("__sims")
+    )
 
 
 def ivf_topk(
