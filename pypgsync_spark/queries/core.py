@@ -1859,3 +1859,202 @@ def w12_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cd", 6).alias("cume"),
         )
     )
+
+
+@register(
+    "w13_user_streaks",
+    bench=98,
+    survey="W1 ext,A4",
+    doc="Gaps-and-islands: per-user consecutive-active-day streaks. "
+    "Distinct (user, day) activity rows get a per-user row_number; "
+    "day_ms minus rank*86400000 is constant within a consecutive run "
+    "(the island key), so streaks fall out of two hash aggregations "
+    "— no self-join, no iterative pass. Day keys are epoch-millis "
+    "floor products (the w8 class: no engine-side DATE cast) and the "
+    "island arithmetic is pure BIGINT, so the contract carries only "
+    "integers. Scale: the distinct and both groupBys share the "
+    "user_id-prefixed key, so AQE coalesces one shuffle cascade; "
+    "output is one row per user.",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT user_id, (epoch_ms(ts) // 86400000) * 86400000 AS day_ms
+      FROM events
+    ),
+    i AS (
+      SELECT user_id, day_ms,
+             day_ms - CAST(row_number() OVER (PARTITION BY user_id
+                                              ORDER BY day_ms) AS BIGINT)
+                      * 86400000 AS isl
+      FROM e
+    ),
+    st AS (SELECT user_id, isl, count(*) AS len FROM i GROUP BY user_id, isl)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS max_streak,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM st GROUP BY user_id
+    """,
+)
+def w13_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ms = to_millis(F.col("ts"))
+    act = (
+        _events(spark, sf_dir)
+        .select("user_id", (ms - ms % F.lit(86400000)).alias("day_ms"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_ms")
+    isl = (
+        F.col("day_ms") - F.row_number().over(w).cast("long") * F.lit(86400000)
+    ).alias("isl")
+    st = (
+        act.select("user_id", "day_ms", isl)
+        .groupBy("user_id", "isl")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return st.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("len").cast("long").alias("max_streak"),
+        F.sum("len").cast("long").alias("active_days"),
+    )
+
+
+@register(
+    "w14_gap_fill_locf",
+    bench=99,
+    survey="W1 ext,A4,T3 ext",
+    doc="Time-series gap fill with last-observation-carried-forward: "
+    "hourly per-type averages left-joined onto a dense (type x hour) "
+    "spine, missing hours filled by last(avg, ignorenulls) over the "
+    "per-type hour order — the resample/ffill step a metrics or "
+    "feature-engineering pipeline runs before modeling. The spine is "
+    "sequence(min_hr, max_hr) per type, exploded straight out of the "
+    "SAME grouped aggregate that owns the bounds — no keyless join "
+    "anywhere (a global-bounds cross join would plan the "
+    "BroadcastNestedLoopJoin the registry-wide sweep bans) and the "
+    "spine is metadata-scale by construction (calendar hours x "
+    "|types|, independent of row count); hour keys are epoch-millis "
+    "floor products (no DATE casts) and the average is the "
+    "decimal-exact _dsum contract. A gap hour inherits the latest "
+    "preceding observed hour's average via last(ignorenulls); the "
+    "per-type spine starts at the type's first observed hour, so "
+    "filled_avg is never NULL.",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS hr_ms, value
+      FROM events
+    ),
+    d AS (
+      SELECT event_type, hr_ms, count(*) AS n_events,
+             round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*), 6) AS hour_avg
+      FROM e GROUP BY event_type, hr_ms
+    ),
+    s AS (
+      SELECT event_type,
+             unnest(generate_series(min(hr_ms), max(hr_ms), 3600000)) AS hr_ms
+      FROM e GROUP BY event_type
+    )
+    SELECT s.event_type, s.hr_ms,
+           CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events,
+           d.hour_avg,
+           last_value(d.hour_avg IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.hr_ms
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+    FROM s LEFT JOIN d ON d.event_type = s.event_type AND d.hr_ms = s.hr_ms
+    """,
+)
+def w14_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ms = to_millis(F.col("ts"))
+    ev = _events(spark, sf_dir).select(
+        "event_type", (ms - ms % F.lit(3600000)).alias("hr_ms"), "value"
+    )
+    hourly = ev.groupBy("event_type", "hr_ms").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(_dsum(F.col("value")) / F.count(F.lit(1)), 6).alias("hour_avg"),
+    )
+    spine = (
+        ev.groupBy("event_type")
+        .agg(F.min("hr_ms").alias("lo"), F.max("hr_ms").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.lit(3600000).cast("long"))
+            ).alias("hr_ms"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr_ms")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(hourly, ["event_type", "hr_ms"], "left").select(
+        "event_type",
+        "hr_ms",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        "hour_avg",
+        F.last("hour_avg", ignorenulls=True).over(w).alias("filled_avg"),
+    )
+
+
+@register(
+    "a24_zscore_outliers",
+    bench=100,
+    survey="A4,§2.4 ext",
+    doc="Per-type z-score outlier census: mean/stddev from EXACT "
+    "decimal power sums (one grouped pass, map-side combined — the "
+    "profile3 moment contract, never the engine-internal stddev() "
+    "whose accumulation order is not contract-stable), broadcast "
+    "back onto the events, |z| > 2 flagged and aggregated per type. "
+    "The standardization expression runs on doubles in the SAME "
+    "order on both engines, so the boundary predicate and max|z| "
+    "hash-match; rate and max round to 6. Two scans of the fact "
+    "(one for moments, one for scoring) but zero fact-sized "
+    "shuffles: the stats side is |types| rows and broadcasts.",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, count(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS svv
+      FROM events GROUP BY event_type
+    ),
+    z AS (
+      SELECT e.event_type,
+             abs((e.value - s.sv / s.n)
+                 / sqrt(s.svv / s.n - (s.sv / s.n) * (s.sv / s.n))) AS az
+      FROM events e JOIN s USING (event_type)
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN az > 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           round(CAST(SUM(CASE WHEN az > 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS outlier_rate,
+           round(max(az), 6) AS max_abs_z
+    FROM z GROUP BY event_type
+    """,
+)
+def a24_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    v = F.col("value").cast("decimal(18,2)")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("sv"),
+        F.sum(v * v).cast("double").alias("svv"),
+    )
+    mean = F.col("sv") / F.col("n")
+    az = F.abs(
+        (F.col("value") - mean) / F.sqrt(F.col("svv") / F.col("n") - mean * mean)
+    )
+    flag = F.when(F.col("az") > 2, 1).otherwise(0)
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .select("event_type", az.alias("az"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(flag).cast("long").alias("n_outliers"),
+            F.round(
+                F.sum(flag).cast("double") / F.count(F.lit(1)), 6
+            ).alias("outlier_rate"),
+            F.round(F.max("az"), 6).alias("max_abs_z"),
+        )
+    )

@@ -379,3 +379,88 @@ def v8_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_over").cast("long").alias("n_overlap"),
         F.round(F.sum("is_over") / float(_TOPK), 6).alias("recall"),
     )
+
+
+@register(
+    "v9_quantization_error",
+    bench=101,
+    survey="ext:similarity,A4",
+    doc="Int8 scalar-quantization audit: each vector is quantized to "
+    "256 uniform levels over its own [min, max] (the per-vector "
+    "scalar quantizer an ANN index or embedding cache applies before "
+    "storage), reconstructed, and the per-label mean/max "
+    "reconstruction MSE reported — the go/no-go check before "
+    "shipping 4x-smaller vectors. min/max come from array_min/"
+    "array_max BEFORE the posexplode (per-row, no window, no extra "
+    "shuffle); the rounding is floor(x+0.5) on BOTH engines (no "
+    "engine-native round whose half-even behavior could differ); "
+    "squared errors round to 14 and sum through DECIMAL(30,16) so "
+    "the per-vector MSE is exact and order-independent. The exploded "
+    "rows map-side combine straight back to one partial per vector, "
+    "so the shuffle carries ~|vectors| rows, never |vectors| x dim.",
+    oracle="""
+    WITH l AS (
+      SELECT vec_id, label,
+             CAST(list_min(embedding) AS DOUBLE) AS mn,
+             CAST(list_max(embedding) AS DOUBLE) AS mx,
+             CAST(unnest(embedding) AS DOUBLE) AS xd
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, label,
+             CASE WHEN mx = mn THEN 0.0
+                  ELSE (xd - (floor((xd - mn) / ((mx - mn) / 255.0) + 0.5)
+                              * ((mx - mn) / 255.0) + mn))
+                       * (xd - (floor((xd - mn) / ((mx - mn) / 255.0) + 0.5)
+                                * ((mx - mn) / 255.0) + mn))
+             END AS se
+      FROM l
+    ),
+    p AS (
+      SELECT vec_id, label,
+             round(CAST(SUM(CAST(round(se, 14) AS DECIMAL(30,16))) AS DOUBLE)
+                   / count(*), 9) AS mse
+      FROM s GROUP BY vec_id, label
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(SUM(CAST(mse AS DECIMAL(18,12))) AS DOUBLE)
+                 / count(*), 9) AS avg_mse,
+           round(max(mse), 9) AS max_mse
+    FROM p GROUP BY label
+    """,
+)
+def v9_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.array_min("embedding").cast("double").alias("mn"),
+        F.array_max("embedding").cast("double").alias("mx"),
+        F.posexplode("embedding").alias("pos", "x"),
+    )
+    xd = F.col("x").cast("double")
+    mn, mx = F.col("mn"), F.col("mx")
+    scale = (mx - mn) / F.lit(255.0)
+    rec = F.floor((xd - mn) / scale + F.lit(0.5)) * scale + mn
+    se = F.when(mx == mn, F.lit(0.0)).otherwise((xd - rec) * (xd - rec))
+    per_vec = (
+        base.select("vec_id", "label", se.alias("se"))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("se"), 14).cast("decimal(30,16)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mse")
+        )
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(
+            F.sum(F.col("mse").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("avg_mse"),
+        F.round(F.max("mse"), 9).alias("max_mse"),
+    )

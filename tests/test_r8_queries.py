@@ -152,3 +152,110 @@ def test_tx11_ttr_invariants(spark, sf_small):
         assert r["hapax_share"] == pytest.approx(
             r["n_hapax"] / r["n_types"], abs=1e-6
         )
+
+
+def test_w13_streaks_match_python(spark, sf_small):
+    """Gaps-and-islands decomposition must agree with a direct python
+    consecutive-run scan over the distinct (user, day) pairs."""
+    from pypgsync_spark.catalog import load_table
+    from pypgsync_spark.functions.time import to_millis
+    from pypgsync_spark.queries.core import w13_user_streaks
+
+    got = {r["user_id"]: r for r in w13_user_streaks(spark, sf_small).collect()}
+    ev = load_table(spark, sf_small, "events").select(
+        "user_id", (to_millis("ts") / 86400000).cast("long").alias("day")
+    )
+    days: dict[int, set[int]] = {}
+    for r in ev.collect():
+        days.setdefault(r["user_id"], set()).add(r["day"])
+    assert set(got) == set(days)
+    for uid, ds in days.items():
+        sd = sorted(ds)
+        runs, cur = [], 1
+        for a, b in zip(sd, sd[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        row = got[uid]
+        assert row["active_days"] == len(ds) == sum(runs)
+        assert row["n_streaks"] == len(runs)
+        assert row["max_streak"] == max(runs)
+
+
+def test_w14_gap_fill_is_locf(spark, sf_small):
+    """The spine is dense per type, event counts are conserved, and
+    every filled value is exactly the last preceding observed average
+    (pandas ffill reproduces the column)."""
+    from pypgsync_spark.catalog import load_table
+    from pypgsync_spark.queries.core import w14_gap_fill_locf
+
+    pdf = w14_gap_fill_locf(spark, sf_small).toPandas()
+    total = load_table(spark, sf_small, "events").count()
+    assert int(pdf["n_events"].sum()) == total
+    for _, g in pdf.groupby("event_type"):
+        g = g.sort_values("hr_ms")
+        span = int(g["hr_ms"].max() - g["hr_ms"].min())
+        assert len(g) == span // 3600000 + 1
+        assert (g["hr_ms"].diff().dropna() == 3600000).all()
+        # first spine hour is the type's first observed hour
+        assert g["n_events"].iloc[0] > 0
+        assert g["filled_avg"].notna().all()
+        expected = g["hour_avg"].ffill()
+        assert np.allclose(g["filled_avg"], expected, atol=1e-9)
+        # gap rows exist only where no events landed
+        gaps = g[g["n_events"] == 0]
+        assert gaps["hour_avg"].isna().all()
+
+
+def test_a24_zscore_matches_numpy(spark, sf_small):
+    """Decimal power sums must reproduce numpy's population mean/std
+    standardization and its outlier census."""
+    from pypgsync_spark.catalog import load_table
+    from pypgsync_spark.queries.core import a24_zscore_outliers
+
+    got = {r["event_type"]: r for r in a24_zscore_outliers(spark, sf_small).collect()}
+    pdf = (
+        load_table(spark, sf_small, "events")
+        .select("event_type", "value")
+        .toPandas()
+    )
+    for et, g in pdf.groupby("event_type"):
+        vals = g["value"].to_numpy(dtype=np.float64)
+        az = np.abs((vals - vals.mean()) / vals.std(ddof=0))
+        row = got[et]
+        assert row["n_total"] == len(vals)
+        assert row["n_outliers"] == int((az > 2).sum())
+        assert row["outlier_rate"] == pytest.approx((az > 2).mean(), abs=1e-5)
+        assert row["max_abs_z"] == pytest.approx(az.max(), abs=1e-5)
+
+
+def test_v9_quantization_matches_numpy(spark, sf_small):
+    """Per-label MSE must reproduce a direct numpy int8 uniform
+    quantizer, and stay under the worst-case bound (scale/2)^2."""
+    from pypgsync_spark.catalog import load_table
+    from pypgsync_spark.queries.vector import v9_quantization_error
+
+    got = {r["label"]: r for r in v9_quantization_error(spark, sf_small).collect()}
+    pdf = load_table(spark, sf_small, "embeddings").toPandas()
+    per_label: dict[int, list[float]] = {}
+    bounds: dict[int, float] = {}
+    for _, r in pdf.iterrows():
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        mn, mx = x.min(), x.max()
+        scale = (mx - mn) / 255.0
+        q = np.floor((x - mn) / scale + 0.5)
+        rec = q * scale + mn
+        mse = float(((x - rec) ** 2).mean())
+        per_label.setdefault(r["label"], []).append(mse)
+        bounds[r["label"]] = max(bounds.get(r["label"], 0.0), (scale / 2) ** 2)
+    assert set(got) == set(per_label)
+    for lbl, mses in per_label.items():
+        row = got[lbl]
+        assert row["n_vecs"] == len(mses)
+        assert row["avg_mse"] == pytest.approx(float(np.mean(mses)), abs=1e-9)
+        assert row["max_mse"] == pytest.approx(max(mses), abs=1e-9)
+        # uniform quantization can never err more than half a level
+        assert row["max_mse"] <= bounds[lbl] + 1e-12
