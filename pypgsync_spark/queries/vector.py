@@ -16,6 +16,7 @@ from pypgsync_spark.catalog import load_table
 from pypgsync_spark.operators.similarity import (
     brute_force_topk,
     cosine,
+    dot,
     cosine_pairs,
     cosine_pairs_lsh_gated,
     ivf_assign,
@@ -463,4 +464,40 @@ def v9_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("avg_mse"),
         F.round(F.max("mse"), 9).alias("max_mse"),
+    )
+
+
+@register(
+    "v10_mips_topk",
+    bench=102,
+    survey="ext:similarity",
+    doc="Maximum-inner-product retrieval: exact top-10 by RAW dot "
+    "product against the vec_id=0 query vector — the magnitude-aware "
+    "ranking recommendation/retrieval systems use where popular items "
+    "carry larger norms (cosine, v1, would erase that signal). The "
+    "query vector is a plan literal, the kernel accumulates "
+    "sequentially in double on both engines, and both engines order "
+    "by the ROUNDED score with vec_id tie-break, so the page is "
+    "deterministic; Catalyst plans TakeOrderedAndProject (per-"
+    "partition heaps, no global sort). At 100 TB the ANN path is the "
+    "standard norm-augmentation reduction (append "
+    "sqrt(max_norm^2-|x|^2) as an extra dimension) which turns MIPS "
+    "into the cosine problem v4/v5 already index.",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT v FROM e WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT e.vec_id, round(list_dot_product(e.v, q.v), 6) AS dot_sim
+    FROM e, q
+    ORDER BY dot_sim DESC, e.vec_id LIMIT {_TOPK}
+    """,
+)
+def v10_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = F.array(*[F.lit(float(x)) for x in _query_vec(spark, sf_dir)])
+    return (
+        emb.select(
+            "vec_id", F.round(dot(F.col("embedding"), q), 6).alias("dot_sim")
+        )
+        .orderBy(F.col("dot_sim").desc(), "vec_id")
+        .limit(_TOPK)
     )

@@ -259,3 +259,24 @@ def test_v9_quantization_matches_numpy(spark, sf_small):
         assert row["max_mse"] == pytest.approx(max(mses), abs=1e-9)
         # uniform quantization can never err more than half a level
         assert row["max_mse"] <= bounds[lbl] + 1e-12
+
+
+def test_v10_mips_matches_numpy(spark, sf_small):
+    """Exact MIPS top-k must equal numpy's dot-product ranking, and
+    the plan must be a heap top-k, not a global sort."""
+    from pypgsync_spark.catalog import load_table
+    from pypgsync_spark.queries.vector import v10_mips_topk
+
+    df = v10_mips_topk(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    got = [(r["vec_id"], r["dot_sim"]) for r in df.collect()]
+    pdf = load_table(spark, sf_small, "embeddings").toPandas()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    q = mat[list(ids).index(0)]
+    dots = mat @ q
+    order = sorted(zip(ids, np.round(dots, 6)), key=lambda t: (-t[1], t[0]))[:10]
+    assert [i for i, _ in got] == [int(i) for i, _ in order]
+    for (_, a), (_, b) in zip(got, order):
+        assert a == pytest.approx(b, abs=2e-6)
