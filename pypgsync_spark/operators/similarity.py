@@ -46,6 +46,24 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def seq_cosine(a, b) -> float:
+    """Driver-side cosine with strictly SEQUENTIAL double accumulation
+    — the same left fold :func:`dot` runs in-engine and DuckDB's
+    ``list_dot_product`` runs in the oracles (verified bit-identical
+    on the fixture; numpy's pairwise/SIMD ``np.dot`` differs in the
+    last ulp on >half the fixture vectors). Probe/cell RANKINGS compare
+    raw unrounded doubles, so any driver-side ranking that feeds a
+    cell filter must use this fold, or a near-tied pair of centroids
+    can order differently than the oracle's and flip the probed set."""
+    s = xx = yy = 0.0
+    for x, y in zip(a, b):
+        x, y = float(x), float(y)
+        s += x * y
+        xx += x * x
+        yy += y * y
+    return s / (xx**0.5 * yy**0.5)
+
+
 def brute_force_topk(
     vectors: DataFrame,
     query_vec: list[float],
@@ -350,13 +368,11 @@ def ivf_topk(
     cell_col: str = "cell",
     sim_col: str = "cos_sim",
 ) -> DataFrame:
-    """Probe the ``n_probe`` nearest cells to the query, exact re-rank."""
-    qv = np.asarray(query_vec, dtype=np.float64)
-    qn = np.linalg.norm(qv)
-    sims = [
-        float(np.dot(c, qv) / (np.linalg.norm(c) * qn)) for c in np.asarray(centroids)
-    ]
-    probe = sorted(range(len(centroids)), key=lambda i: -sims[i])[:n_probe]
+    """Probe the ``n_probe`` nearest cells to the query, exact re-rank.
+    Cell ranking uses :func:`seq_cosine` (oracle-identical fold), with
+    lowest cell id breaking ties — matching the oracle's row_number."""
+    sims = [seq_cosine(c, query_vec) for c in centroids]
+    probe = sorted(range(len(centroids)), key=lambda i: (-sims[i], i))[:n_probe]
     cand = assigned.filter(F.col(cell_col).isin(probe))
     return brute_force_topk(cand, query_vec, k, id_col, vec_col, sim_col)
 
@@ -505,14 +521,8 @@ def ivf_topk_from_index(
         .orderBy(cell_col)
         .collect()
     )
-    qv = np.asarray(query_vec, dtype=np.float64)
-    qn = np.linalg.norm(qv)
-    sims = {
-        r[cell_col]: float(
-            np.dot(r["centroid"], qv) / (np.linalg.norm(r["centroid"]) * qn)
-        )
-        for r in cents
-    }
-    probe = sorted(sims, key=lambda c: -sims[c])[:n_probe]
+    # seq_cosine: oracle-identical sequential fold (see its docstring)
+    sims = {r[cell_col]: seq_cosine(r["centroid"], query_vec) for r in cents}
+    probe = sorted(sims, key=lambda c: (-sims[c], c))[:n_probe]
     cand = spark.read.parquet(f"{path}/cells").filter(F.col(cell_col).isin(probe))
     return brute_force_topk(cand, query_vec, k, id_col, vec_col, sim_col)

@@ -1708,14 +1708,19 @@ def d12_cross_source_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_id lands under the per-doc threshold — seedless, "
     "engine-exact (pure BIGINT multiply/modulo, no float hash), "
     "embarrassingly parallel (no shuffle until the 5-row per-lang "
-    "report). The importance-sampling shape web-corpus curation uses "
-    "to downsample low-quality slices without a global sort or RNG "
-    "state; kept-share and kept-quality are audited per language.",
+    "report). doc_id reduces mod 1000 BEFORE the multiply: the "
+    "composite (id*K) % 1000 only ever depended on id % 1000, so the "
+    "reduction is value-identical for every id while keeping the "
+    "product under 2^63 — the unreduced form silently wraps in Spark "
+    "and hard-errors DuckDB once ids pass ~3.5e9 (real at 100 TB). "
+    "The residue-class structure makes this a systematic sample over "
+    "dense ids, which is what web-corpus curation wants anyway. "
+    "Kept-share and kept-quality are audited per language.",
     oracle="""
     WITH d AS (
       SELECT lang,
              least(1.0, length(text) / 2000.0) AS q,
-             (doc_id * 2654435761) % 1000 AS h
+             ((doc_id % 1000) * 2654435761) % 1000 AS h
       FROM documents
     )
     SELECT lang,
@@ -1735,7 +1740,7 @@ def d12_cross_source_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def samp4_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     q = F.least(F.lit(1.0), F.length("text") / 2000.0)
-    h = F.pmod(F.col("doc_id") * F.lit(2654435761), 1000)
+    h = F.pmod(F.pmod(F.col("doc_id"), 1000) * F.lit(2654435761), 1000)
     kept = F.when(h < F.ceil(q * 1000), 1).otherwise(0)
     q6 = F.round(q, 6).cast("decimal(18,6)")
     zero = F.lit(0).cast("decimal(18,6)")

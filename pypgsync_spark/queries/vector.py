@@ -342,23 +342,19 @@ def v7_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def v8_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
-    from pypgsync_spark.operators.similarity import brute_force_topk
+    from pypgsync_spark.operators.similarity import brute_force_topk, seq_cosine
 
     emb = _emb(spark, sf_dir)
     cent_rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
     centroids = [list(r["embedding"]) for r in cent_rows]
     qvec = _query_vec(spark, sf_dir)
     assigned = ivf_assign(emb, centroids)
-    # probe choice mirrors ivf_topk exactly (stable sort, lowest cid ties)
-    qv = np.asarray(qvec, dtype=np.float64)
-    qn = np.linalg.norm(qv)
-    sims = [
-        float(np.dot(c, qv) / (np.linalg.norm(c) * qn))
-        for c in np.asarray(centroids)
-    ]
-    probe = sorted(range(len(centroids)), key=lambda i: -sims[i])[:2]
+    # probe choice mirrors ivf_topk exactly: seq_cosine is the
+    # oracle-identical sequential fold (numpy's pairwise np.dot can
+    # flip near-tied centroid rankings vs list_dot_product), lowest
+    # cid breaks ties like the oracle's row_number
+    sims = [seq_cosine(c, qvec) for c in centroids]
+    probe = sorted(range(len(centroids)), key=lambda i: (-sims[i], i))[:2]
     approx = ivf_topk(assigned, centroids, qvec, k=_TOPK, n_probe=2).select(
         "vec_id"
     )

@@ -109,6 +109,31 @@ def _file_stream(spark: SparkSession, schema: "T.StructType", source_path: str):
     return reader.parquet(source_path)
 
 
+def drain_to_memory(
+    spark: SparkSession,
+    agg: DataFrame,
+    query_name: str,
+    state_partitions: int | str | None = "auto",
+    store_provider: str | None = None,
+) -> DataFrame:
+    """Drain a streaming aggregate through a complete-mode memory sink
+    with an availableNow trigger and return the sink table — the ONE
+    place the drain idiom lives, so trigger/output-mode changes apply
+    once instead of in every stateful query (five copies before r8)."""
+    with stream_shuffle_partitions(spark, state_partitions), state_store_provider(
+        spark, store_provider
+    ):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(query_name)
+
+
 def qualifying(events: DataFrame, status_col: str = "event_type", blocked: str = "error") -> DataFrame:
     """The README Q2 gate: certified AND not blocked → fixture analogue:
     event_type <> 'error' (FIXTURES.md role mapping)."""
@@ -157,18 +182,9 @@ def streaming_balance(
             F.count(F.lit(1)).alias("n_events"),
         )
     )
-    with stream_shuffle_partitions(spark, state_partitions), state_store_provider(
-        spark, store_provider
-    ):
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(query_name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(query_name)
+    return drain_to_memory(
+        spark, agg, query_name, state_partitions, store_provider
+    )
 
 
 def session_window_stats(
@@ -199,16 +215,7 @@ def session_window_stats(
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
         )
     )
-    with stream_shuffle_partitions(spark, state_partitions):
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(query_name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(query_name).select(
+    return drain_to_memory(spark, agg, query_name, state_partitions).select(
         F.col("user_id"),
         F.unix_millis(F.col("w.start")).alias("session_start_ms"),
         F.col("n"),
@@ -237,16 +244,7 @@ def windowed_event_counts(
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
         )
     )
-    with stream_shuffle_partitions(spark, state_partitions):
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(query_name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(query_name).select(
+    return drain_to_memory(spark, agg, query_name, state_partitions).select(
         F.unix_millis(F.col("w.start")).alias("window_start_ms"),
         F.col("event_type"),
         F.col("n"),
@@ -276,16 +274,7 @@ def sliding_event_counts(
         .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    with stream_shuffle_partitions(spark, state_partitions):
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(query_name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(query_name).select(
+    return drain_to_memory(spark, agg, query_name, state_partitions).select(
         F.unix_millis(F.col("w.start")).alias("win_start_ms"),
         F.col("event_type"),
         F.col("n"),
@@ -312,13 +301,4 @@ def enriched_segment_rollup(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
     )
-    with stream_shuffle_partitions(spark, state_partitions):
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(query_name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(query_name)
+    return drain_to_memory(spark, agg, query_name, state_partitions)

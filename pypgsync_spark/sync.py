@@ -142,14 +142,26 @@ def _is_unsupported_filesystem(exc: Exception) -> bool:
     transient rename failure must NOT trigger an in-place truncate of
     the live pointer on a rename-capable filesystem)."""
     j = getattr(exc, "java_exception", None)
+    if j is None:
+        # No Java chain to inspect (plain Python failure, e.g. the
+        # FileContext classes missing from the gateway) — the string
+        # probe is all there is.
+        return "UnsupportedFileSystemException" in str(exc)
     while j is not None:
         try:
             if j.getClass().getName().endswith("UnsupportedFileSystemException"):
                 return True
             j = j.getCause()
         except Exception:
-            break
-    return "UnsupportedFileSystemException" in str(exc)
+            # Chain walk broke mid-way (gateway hiccup) — fall back to
+            # the string probe rather than guessing either way.
+            return "UnsupportedFileSystemException" in str(exc)
+    # A FULLY walked chain with no USFE is authoritative: do NOT let a
+    # rendered stack trace that merely quotes the class name (suppressed
+    # exceptions, remote-side messages) re-classify a transient rename
+    # failure as fallback-eligible — the fallback truncates the live
+    # pointer in place, the exact hazard ADVICE r7 closed.
+    return False
 
 
 class ParquetSyncedTable:

@@ -248,6 +248,12 @@ def test_unsupported_fs_classifier():
     assert _is_unsupported_filesystem(
         RuntimeError("x UnsupportedFileSystemException: no AFS for scheme")
     )
+    # a FULLY walked Java chain with no USFE is authoritative: a stack
+    # text that merely QUOTES the class name must not re-enable the
+    # in-place pointer-truncate fallback
+    quoted = _Py4JError(_JExc("java.io.IOException"))
+    quoted.args = ("rename failed; earlier: UnsupportedFileSystemException",)
+    assert not _is_unsupported_filesystem(quoted)
 
 
 def test_pointer_flip_rename_failure_propagates(spark, sf_small, tmp_path, monkeypatch):
