@@ -1301,3 +1301,214 @@ def j26_disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .agg(F.count(F.lit(1)).alias("n_items"), F.sum(vol).cast("double").alias("revenue"))
     )
+
+
+@register(
+    "j27_min_cost_supplier",
+    bench=103,
+    survey="§2.3,W1,O2",
+    doc="Minimum-cost supplier per part (TPC-H Q2 shape, adapted: the "
+    "test schema has no partsupp, so the per-(part,supplier) offer "
+    "price is MIN(l_extendedprice) observed in lineitem). The "
+    "correlated-min subquery is one window MIN over the already "
+    "(partkey,suppkey)-aggregated offers — the window reuses the "
+    "groupBy's hash partitioning on the leading key, so the 'join "
+    "back to the minimum' costs no extra shuffle of fact data. Part "
+    "slice filter (p_size<=10, ECONOMY) and supplier→nation attach "
+    "as broadcast dims; final top-100 is a total-order "
+    "TakeOrderedAndProject (s_acctbal DESC, n_name, s_name, "
+    "p_partkey — (s_name, p_partkey) is unique, so LIMIT is "
+    "deterministic). MIN of doubles is bit-exact on both engines; "
+    "the equality join-back compares identical stored values.",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS offer_price
+      FROM lineitem GROUP BY 1, 2),
+    best AS (
+      SELECT *, MIN(offer_price) OVER (PARTITION BY l_partkey)
+               AS best_price
+      FROM offers)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, offer_price
+    FROM best
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE offer_price = best_price
+      AND p_size <= 10 AND p_type = 'ECONOMY'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def j27_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("offer_price")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = offers.withColumn("best_price", F.min("offer_price").over(w)).filter(
+        F.col("offer_price") == F.col("best_price")
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 10) & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey", "p_name")
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    return (
+        best.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "offer_price"
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "j28_nation_profit",
+    bench=104,
+    survey="§2.3,A4,F1",
+    doc="Product-line profit by supplier nation and order year (TPC-H "
+    "Q9 shape, adapted: no ps_supplycost, so cost is proxied by "
+    "p_retailprice * l_quantity). Five-way join where the only "
+    "fact-data exchange is lineitem↔orders on orderkey: the "
+    "name-filtered part slice and the supplier→nation chain both "
+    "ride as broadcast dims, and the LIKE filter prunes the fact "
+    "rows before the shuffle. Profit sums through exact "
+    "decimal(18,2) arithmetic on both engines, cast double at the "
+    "end (the j23/catalog convention).",
+    oracle="""
+    SELECT n_name AS nation,
+           year(o_orderdate) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    - CAST(p_retailprice AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2)))
+                AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def j28_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    profit = dec("l_extendedprice") * (F.lit(1) - dec("l_discount")) - dec(
+        "p_retailprice"
+    ) * dec("l_quantity")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "j29_important_parts",
+    bench=105,
+    survey="§2.3,A4",
+    doc="Important-stock scan (TPC-H Q11 shape, adapted: per-part "
+    "value is the discounted revenue supplied from a two-nation "
+    "slice, in place of ps_supplycost * ps_availqty). The global "
+    "threshold is a scalar subquery: the per-part aggregate is "
+    "computed once, its exact-decimal grand total collapses to one "
+    "row and rides back as a scalar subquery (the tx9 pattern — no "
+    "driver barrier, no cross-join node). The threshold is relative "
+    "(2× the mean per-part value), so the selected fraction is "
+    "scale-free — a fixed fraction of the grand total would select "
+    "nothing once the part population grows 10×. Threshold compare "
+    "happens in IEEE double on both engines from identical "
+    "exact-decimal inputs.",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey AS part_key,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS val
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7')
+      GROUP BY 1)
+    SELECT part_key, CAST(val AS DOUBLE) AS part_value
+    FROM pv
+    WHERE CAST(val AS DOUBLE)
+          > 2.0 * (SELECT CAST(SUM(val) AS DOUBLE) / COUNT(*) FROM pv)
+    """,
+)
+def j29_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+        .select("s_suppkey")
+    )
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    pv = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("part_key"))
+        .agg(F.sum(vol).alias("val_dec"))
+    )
+    # Scalar subquery, not a cross-joined 1-row frame: a broadcast
+    # cross join would plan as BroadcastNestedLoopJoin and trip the
+    # registry-wide quadratic-join sweep (the tx9 pattern).
+    pv.createOrReplaceTempView("pypgsync_j29_pv")
+    mean_val = F.expr(
+        "(SELECT CAST(SUM(val_dec) AS DOUBLE) / COUNT(*)"
+        " FROM pypgsync_j29_pv)"
+    )
+    return (
+        pv.filter(F.col("val_dec").cast("double") > F.lit(2.0) * mean_val)
+        .select(
+            "part_key", F.col("val_dec").cast("double").alias("part_value")
+        )
+    )
