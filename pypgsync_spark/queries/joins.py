@@ -1454,8 +1454,9 @@ def j28_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "slice, in place of ps_supplycost * ps_availqty). The global "
     "threshold is a scalar subquery: the per-part aggregate is "
     "computed once, its exact-decimal grand total collapses to one "
-    "row and rides back as a scalar subquery (the tx9 pattern — no "
-    "driver barrier, no cross-join node). The threshold is relative "
+    "row and rides back as a native scalar subquery "
+    "(DataFrame.scalar, the j20 pattern — no driver barrier, no "
+    "cross-join node). The threshold is relative "
     "(2× the mean per-part value), so the selected fraction is "
     "scale-free — a fixed fraction of the grand total would select "
     "nothing once the part population grows 10×. Threshold compare "
@@ -1498,14 +1499,13 @@ def j29_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("part_key"))
         .agg(F.sum(vol).alias("val_dec"))
     )
-    # Scalar subquery, not a cross-joined 1-row frame: a broadcast
-    # cross join would plan as BroadcastNestedLoopJoin and trip the
-    # registry-wide quadratic-join sweep (the tx9 pattern).
-    pv.createOrReplaceTempView("pypgsync_j29_pv")
-    mean_val = F.expr(
-        "(SELECT CAST(SUM(val_dec) AS DOUBLE) / COUNT(*)"
-        " FROM pypgsync_j29_pv)"
-    )
+    # Native scalar subquery (DataFrame.scalar, the j20 pattern), not
+    # a cross-joined 1-row frame: a broadcast cross join would plan as
+    # BroadcastNestedLoopJoin and trip the registry-wide
+    # quadratic-join sweep.
+    mean_val = pv.agg(
+        F.sum("val_dec").cast("double") / F.count(F.lit(1))
+    ).scalar()
     return (
         pv.filter(F.col("val_dec").cast("double") > F.lit(2.0) * mean_val)
         .select(
