@@ -1311,9 +1311,13 @@ def j26_disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     "test schema has no partsupp, so the per-(part,supplier) offer "
     "price is MIN(l_extendedprice) observed in lineitem). The "
     "correlated-min subquery is one window MIN over the already "
-    "(partkey,suppkey)-aggregated offers — the window reuses the "
-    "groupBy's hash partitioning on the leading key, so the 'join "
-    "back to the minimum' costs no extra shuffle of fact data. Part "
+    "(partkey,suppkey)-aggregated offers; lineitem is explicitly "
+    "repartitioned on l_partkey first, and partitioning on the "
+    "leading key satisfies BOTH the (partkey,suppkey) groupBy's and "
+    "the partkey window's clustering requirement — one fact shuffle "
+    "total, plan-asserted (without the repartition Spark inserts a "
+    "second exchange: HashPartitioning(partkey,suppkey) does not "
+    "satisfy ClusteredDistribution(partkey)). Part "
     "slice filter (p_size<=10, ECONOMY) and supplier→nation attach "
     "as broadcast dims; final top-100 is a total-order "
     "TakeOrderedAndProject (s_acctbal DESC, n_name, s_name, "
@@ -1343,8 +1347,14 @@ def j27_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice"
     )
-    offers = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min("l_extendedprice").alias("offer_price")
+    # One shuffle serves both keyed stages: hash-partitioning on
+    # l_partkey alone co-locates every (partkey, suppkey) group AND
+    # every window partition, so neither the groupBy nor the window
+    # adds an exchange (asserted in tests/test_plans.py).
+    offers = (
+        li.repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("offer_price"))
     )
     w = Window.partitionBy("l_partkey")
     best = offers.withColumn("best_price", F.min("offer_price").over(w)).filter(
@@ -1379,7 +1389,7 @@ def j27_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j28_nation_profit",
     bench=104,
-    survey="§2.3,A4,F1",
+    survey="§2.3,A4",
     doc="Product-line profit by supplier nation and order year (TPC-H "
     "Q9 shape, adapted: no ps_supplycost, so cost is proxied by "
     "p_retailprice * l_quantity). Five-way join where the only "
@@ -1498,6 +1508,12 @@ def j29_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("part_key"))
         .agg(F.sum(vol).alias("val_dec"))
+        # Materialize the per-part aggregate ONCE: the scalar subquery
+        # below is a separate job, and without the checkpoint it would
+        # re-run the lineitem scan + join + groupBy a second time
+        # (verified: two FileScans, no ReusedExchange). The checkpoint
+        # holds one row per part — the small side — never fact rows.
+        .localCheckpoint(eager=False)
     )
     # Native scalar subquery (DataFrame.scalar, the j20 pattern), not
     # a cross-joined 1-row frame: a broadcast cross join would plan as

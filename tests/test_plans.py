@@ -301,3 +301,31 @@ def test_winnow_pairs_materialize_once(spark, sf_small):
     p = plan_of(spark, sf_small, "d10_winnow_substring_pairs")
     assert "ExistingRDD" in p or "Scan ExistingRDD" in p
     assert p.count("FileScan parquet") <= 1
+
+
+def test_min_cost_supplier_one_fact_exchange(spark, sf_small):
+    """j27: the explicit repartition on l_partkey must be the ONLY
+    non-broadcast exchange — partitioning on the leading key serves
+    both the (partkey,suppkey) groupBy and the partkey window (without
+    it Spark inserts a second exchange for the window), and the
+    top-100 must plan as TakeOrderedAndProject, not a global sort."""
+    p = plan_of(spark, sf_small, "j27_min_cost_supplier")
+    fact_exchanges = [
+        ln for ln in p.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+        and "ReusedExchange" not in ln
+    ]
+    assert len(fact_exchanges) == 1, fact_exchanges
+    assert "REPARTITION_BY_COL" in fact_exchanges[0]
+    assert "TakeOrderedAndProject" in p
+
+
+def test_important_parts_aggregates_once(spark, sf_small):
+    """j29: the per-part aggregate is checkpointed, so the main plan
+    (scalar-subquery threshold + filter) reads the materialized rdd —
+    a second lineitem scan would double the fact work per run."""
+    df = REGISTRY["j29_important_parts"].fn(spark, sf_small)
+    df.collect()  # materializes the lazy checkpoint + subquery
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in p, "final plan re-scans the fact table"
+    assert "existingrdd" in p.lower()
