@@ -1528,3 +1528,145 @@ def j29_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "part_key", F.col("val_dec").cast("double").alias("part_value")
         )
     )
+
+
+@register(
+    "j30_supplier_part_census",
+    bench=106,
+    survey="§2.3,A7",
+    doc="Distinct-supplier census per part attribute group (TPC-H Q16 "
+    "shape, adapted: no partsupp, so the part↔supplier relation is "
+    "the distinct (l_partkey, l_suppkey) pairs observed in "
+    "lineitem; no s_comment, so the Q16 complaints exclusion "
+    "becomes the negative-balance suppliers). Shape under test: an "
+    "ANTI-join exclusion feeding a multi-attribute COUNT(DISTINCT) "
+    "— the excluded-supplier set is broadcast (tiny by "
+    "construction), the NOT-IN predicates prune part rows before "
+    "the fact join, and the count-distinct shuffles the already "
+    "pair-distinct (brand, type, size, suppkey) tuples, never raw "
+    "lineitem rows. Reference analogue: the catalog existence "
+    "checks' NOT-EXISTS probe (reference session.py:170-192) "
+    "generalized to a grouped census.",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def j30_supplier_part_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#13")
+            & (~F.col("p_type").like("PROMO%"))
+            & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_suppliers = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad_suppliers, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "j31_excess_shippers",
+    bench=107,
+    survey="§2.3,A4,W2",
+    doc="Suppliers holding an outsized share of a part line (TPC-H Q20 "
+    "shape, adapted: no ps_availqty, so 'excess stock' is a "
+    "supplier shipping more than 1.5× the per-supplier average "
+    "quantity of a gear part inside the 1998 ship-date window). "
+    "Shape under test: grouped SUM → window-relative threshold → "
+    "LEFT SEMI join back to the supplier dimension. The threshold "
+    "compare is exact integer-scaled decimal algebra on both "
+    "engines (2·qty·cnt > 3·total — no division, no doubles), so "
+    "no boundary row can flip between Spark and the oracle. One "
+    "fact shuffle on (suppkey, partkey); the partkey window rides "
+    "the same hash partitioning via a partkey-only repartition "
+    "(the j27 trick); supplier+nation ride as broadcast dims.",
+    oracle="""
+    WITH sq AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE '%gear%'
+        AND l_shipdate >= DATE '1998-01-01'
+        AND l_shipdate < DATE '1999-01-01'
+      GROUP BY 1, 2),
+    th AS (
+      SELECT *,
+             SUM(qty) OVER (PARTITION BY l_partkey) AS total,
+             COUNT(*) OVER (PARTITION BY l_partkey) AS cnt
+      FROM sq)
+    SELECT s_suppkey, s_name, n_name,
+           CAST(s_acctbal AS DOUBLE) AS acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM th
+                        WHERE 2 * qty * cnt > 3 * total)
+    """,
+)
+def j31_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1998-01-01")
+            & (F.col("l_shipdate") < "1999-01-01")
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+    )
+    # Partition on l_partkey alone so the (suppkey, partkey) groupBy
+    # AND the partkey window share one exchange (the j27 pattern).
+    sq = (
+        li.repartition("l_partkey")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    qualified = (
+        sq.withColumn("total", F.sum("qty").over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        .filter(F.lit(2) * F.col("qty") * F.col("cnt") > F.lit(3) * F.col("total"))
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(load_table(spark, sf_dir, "nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    # The qualified-key set is bounded by the supplier dimension's
+    # cardinality, so the semi join's build side is always
+    # dim-sized — hint it so the supplier side never shuffles (AQE
+    # reaches the same join but only after exchanging the dim).
+    return supp.join(
+        F.broadcast(qualified),
+        F.col("s_suppkey") == F.col("l_suppkey"),
+        "left_semi",
+    ).select(
+        "s_suppkey",
+        "s_name",
+        "n_name",
+        F.col("s_acctbal").cast("double").alias("acctbal"),
+    )

@@ -329,3 +329,40 @@ def test_important_parts_aggregates_once(spark, sf_small):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "lineitem" not in p, "final plan re-scans the fact table"
     assert "existingrdd" in p.lower()
+
+
+def test_supplier_census_dedups_before_shuffle(spark, sf_small):
+    """j30: the count-distinct must shuffle pair-DISTINCT
+    (brand,type,size,suppkey) tuples, never raw lineitem rows — the
+    partial HashAggregate (keys incl. l_suppkey, no functions) sits
+    below the first exchange, and the complaint-exclusion anti join
+    never degrades to a SortMergeJoin (its build side is dim-sized;
+    at sf0.001 AQE may eliminate it outright — empty build side)."""
+    p = plan_of(spark, sf_small, "j30_supplier_part_census")
+    assert "SortMergeJoin" not in p
+    assert "partial_count(distinct" in p
+    fact_exchanges = [
+        ln for ln in p.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+        and "ReusedExchange" not in ln
+    ]
+    assert len(fact_exchanges) <= 2, fact_exchanges
+    # the wide (4-key) exchange input is the dedup aggregate
+    assert "hashpartitioning(p_brand" in p
+
+
+def test_excess_shippers_one_fact_exchange(spark, sf_small):
+    """j31: the partkey repartition is the ONLY non-broadcast
+    exchange — it serves the (suppkey,partkey) groupBy AND the partkey
+    window (the j27 trick), and the supplier semi join builds from the
+    broadcast qualified-key set, so the dimension side never
+    shuffles."""
+    p = plan_of(spark, sf_small, "j31_excess_shippers")
+    fact_exchanges = [
+        ln for ln in p.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+        and "ReusedExchange" not in ln
+    ]
+    assert len(fact_exchanges) == 1, fact_exchanges
+    assert "REPARTITION_BY_COL" in fact_exchanges[0]
+    assert "LeftSemi, BuildRight" in p
