@@ -29,6 +29,11 @@ from pypgsync_spark.functions.text import (
     token_count,
     tokens,
 )
+from pypgsync_spark.operators.bpe import (
+    merges_df,
+    train_bpe,
+    word_frequencies,
+)
 from pypgsync_spark.operators.dedup import (
     dedup_exact,
     minhash_lsh_pairs,
@@ -1852,3 +1857,49 @@ def d13_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(j > 0.9, 1).otherwise(0)).cast("long").alias("n_pairs_09"),
         F.round(F.max(j), 6).alias("max_jaccard"),
     )
+
+
+@register(
+    "tx12_pretoken_vocab",
+    bench=108,
+    survey="ext:text",
+    doc="Pre-tokenizer word-frequency table — BPE training's one "
+    "corpus-scale job (operators/bpe.py step 1): regexp pre-tokenize "
+    "(letter / digit / punctuation runs, the BPE_ISH_PATTERN shared "
+    "with bpe_ish_token_count), explode, map-side-combined count. "
+    "The shuffle carries (word, partial count) — vocabulary-scale, "
+    "a ~10⁶× reduction of the corpus — and every BPE merge round "
+    "iterates this table, never the documents.",
+    oracle=r"""
+    SELECT word, count(*) AS freq
+    FROM (SELECT unnest(regexp_extract_all(
+                   lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS word
+          FROM documents)
+    GROUP BY word
+    """,
+)
+def tx12_pretoken_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return word_frequencies(_docs(spark, sf_dir), "text").select(
+        "word", F.col("freq").cast("long").alias("freq")
+    )
+
+
+@register(
+    "tx13_bpe_merges",
+    bench=109,
+    survey="ext:text",
+    doc="BPE tokenizer training (Sennrich et al. 2016) over the "
+    "documents corpus: 30 merge rounds on the word-frequency table "
+    "(operators/bpe.py). Rows-only for the driver — the merge table "
+    "is the output of an iterative argmax loop no single SQL "
+    "statement expresses — but fully deterministic (exact integer "
+    "pair counts, lexicographic tie-break), bit-identical to the "
+    "pure-Python Sennrich kernel in pytest (tests/test_bpe.py), and "
+    "golden-pinned. Each round is one vocabulary-scale aggregation; "
+    "the corpus is scanned exactly once (tx12's job).",
+    oracle=None,
+)
+def tx13_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wf = word_frequencies(_docs(spark, sf_dir), "text")
+    merges = train_bpe(wf, n_merges=30)
+    return merges_df(spark, merges)

@@ -1,5 +1,5 @@
 """(Re)generate the pinned golden outputs for the rows-only query
-families (d3/d4/v2b/v4/v5) at sf0.001.
+families (d3/d4/v2b/v4/v5, plus the tx13 BPE merge table) at sf0.001.
 
 These queries have no exact SQL oracle (their correctness is
 signature-math + recall), so the driver only row-count-checks them.
@@ -40,6 +40,7 @@ def main() -> None:
         "v2b_cosine_pairs_lsh_gated",
         "v4_lsh_ann_topk",
         "v5_ivf_topk",
+        "tx13_bpe_merges",
     ):
         rows = REGISTRY[name].fn(spark, SF).collect()
         golden[name] = {

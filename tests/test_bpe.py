@@ -1,0 +1,144 @@
+"""BPE tokenizer trainer — bit-identity with the pure-Python Sennrich
+kernel (the seq_cosine oracle pattern), encode-replay exactness, and
+the algebraic invariants of the merge loop.
+
+The DataFrame trainer (operators/bpe.py) is an iterative argmax no SQL
+statement expresses, so its registry row is rows-only; these tests are
+its correctness contract: the Spark merge list must equal the
+reference kernel's EXACTLY (same counts, same lexicographic
+tie-break), and the rank-greedy encoder must reproduce the training
+segmentation of every training word (the classic BPE replay
+property — if greedy-per-round and rank-greedy diverge, the learned
+vocabulary does not tokenize its own training data consistently).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pypgsync_spark.operators.bpe import (
+    END_OF_WORD,
+    bpe_tokens,
+    encode_word,
+    merges_df,
+    train_bpe,
+    train_bpe_reference,
+    word_frequencies,
+)
+
+N_MERGES = 25
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_small):
+    return spark.read.parquet(f"{sf_small}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def wf_dict(spark, docs) -> dict[str, int]:
+    return {
+        r["word"]: r["freq"]
+        for r in word_frequencies(docs, "text").collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def spark_merges(spark, docs) -> list[tuple[str, str]]:
+    return train_bpe(word_frequencies(docs, "text"), n_merges=N_MERGES)
+
+
+def test_trainer_bit_identical_to_reference_kernel(wf_dict, spark_merges):
+    ref = train_bpe_reference(wf_dict, n_merges=N_MERGES)
+    assert spark_merges == ref
+
+
+def _replay_training(wf_dict, merges):
+    vocab = {w: list(w) + [END_OF_WORD] for w in wf_dict}
+    for left, right in merges:
+        for w, syms in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return vocab
+
+
+def test_encode_replays_training_segmentation(wf_dict, spark_merges):
+    ranks = {p: i for i, p in enumerate(spark_merges)}
+    trained = _replay_training(wf_dict, spark_merges)
+    for w in wf_dict:
+        assert encode_word(w, ranks) == trained[w], w
+
+
+def test_encode_is_lossless(spark_merges):
+    ranks = {p: i for i, p in enumerate(spark_merges)}
+    for w in ("hello", "aardvark", "zzz", "a", "12034", "...!", "été"):
+        syms = encode_word(w, ranks)
+        assert "".join(syms) == w + END_OF_WORD
+
+
+def test_merges_are_frequency_monotone_per_round(wf_dict, spark_merges):
+    """Round k's merged pair count (at round-k state) must be >= round
+    k+1's: the argmax sequence of a BPE run is non-increasing ONLY
+    per-state, so assert the direct invariant instead — each recorded
+    merge was the maximum at its own round (recompute one round)."""
+    vocab = {w: list(w) + [END_OF_WORD] for w in wf_dict}
+    for left, right in spark_merges:
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            f = wf_dict[w]
+            for pair in zip(syms, syms[1:]):
+                counts[pair] = counts.get(pair, 0) + f
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert best == (left, right)
+        for w, syms in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            vocab[w] = out
+
+
+def test_bpe_tokens_udf_matches_kernel(spark, docs, spark_merges):
+    """The Arrow-batched encoder equals per-word kernel encoding glued
+    across the document (pre-tokens are independent under BPE)."""
+    import re
+
+    from pypgsync_spark.functions.text import BPE_ISH_PATTERN
+
+    ranks = {p: i for i, p in enumerate(spark_merges)}
+    pattern = re.compile(BPE_ISH_PATTERN)
+    sample = docs.limit(20).select("doc_id", "text").collect()
+    got = {
+        r["doc_id"]: r["toks"]
+        for r in docs.limit(20)
+        .select("doc_id", bpe_tokens("text", spark_merges).alias("toks"))
+        .collect()
+    }
+    for r in sample:
+        expect: list[str] = []
+        for w in pattern.findall(r["text"].lower()):
+            expect.extend(encode_word(w, ranks))
+        assert got[r["doc_id"]] == expect
+
+
+def test_merges_df_shape(spark, spark_merges):
+    df = merges_df(spark, spark_merges)
+    assert df.columns == ["rank", "left", "right", "merged"]
+    rows = df.collect()
+    assert [r["rank"] for r in rows] == list(range(len(spark_merges)))
+    assert all(r["merged"] == r["left"] + r["right"] for r in rows)
+
+
+def test_early_stop_on_min_pair_freq(spark):
+    """A vocabulary whose best pair is below min_pair_freq stops the
+    loop — no degenerate singleton merges."""
+    wf = spark.createDataFrame([("ab", 1)], "word string, freq long")
+    assert train_bpe(wf, n_merges=5, min_pair_freq=2) == []
+    ref = train_bpe_reference({"ab": 1}, n_merges=5, min_pair_freq=2)
+    assert ref == []

@@ -1,4 +1,4 @@
-"""Pinned-output goldens for the rows-only families (d3/d4/v2b/v4/v5).
+"""Pinned-output goldens for the rows-only families (d3/d4/v2b/v4/v5, plus the tx13 BPE merge table).
 
 These are the registry entries with no exact SQL oracle — the driver
 only row-count-checks them, and the existing pytest coverage asserts
@@ -38,6 +38,7 @@ def golden() -> dict:
         "v2b_cosine_pairs_lsh_gated",
         "v4_lsh_ann_topk",
         "v5_ivf_topk",
+        "tx13_bpe_merges",
     ],
 )
 def test_rows_only_family_exact_golden(spark, sf_small, golden, name):
