@@ -28,6 +28,7 @@ from pypgsync_spark.functions.text import (
     stopword_count,
     token_count,
     tokens,
+    word_shingles,
 )
 from pypgsync_spark.operators.bpe import (
     merges_df,
@@ -1903,3 +1904,244 @@ def tx13_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     wf = word_frequencies(_docs(spark, sf_dir), "text")
     merges = train_bpe(wf, n_merges=30)
     return merges_df(spark, merges)
+
+@register(
+    "tx14_gopher_rules",
+    bench=110,
+    survey="ext:quality",
+    doc="Gopher/MassiveText document-quality ruleset (Rae et al. 2021 "
+    "appendix A1.1) as per-document flags: word-count bounds "
+    "[50, 100000], mean word length in [3, 10], symbol-to-word ratio "
+    "(# / ellipsis) <= 0.1, >= 80% of words containing an alphabetic "
+    "character, and >= 2 distinct marker stopwords present (the "
+    "'required words' rule, using the repo's EN marker list). All five "
+    "flags plus the conjunction come from ONE projection over the "
+    "let-bound token array — no join, no shuffle of the documents; at "
+    "100 TB this is a map-only stage whose output is the keep/drop "
+    "column the downstream curation sample reads. Ratios are rounded "
+    "to 6 BEFORE thresholding on both engines so no boundary ULP "
+    "divergence can flip a flag.",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             round(list_sum(list_transform(tk, w -> length(w))) * 1.0
+                   / greatest(len(tk), 1), 6) AS mean_word_len,
+             round(len(list_filter(tk, w -> regexp_matches(w, '#|\\.\\.\\.'))) * 1.0
+                   / greatest(len(tk), 1), 6) AS symbol_word_ratio,
+             round(len(list_filter(tk, w -> regexp_matches(w, '[a-z]'))) * 1.0
+                   / greatest(len(tk), 1), 6) AS alpha_word_frac,
+             CAST(len(list_intersect(list_distinct(tk),
+                      {list(EN_STOPWORDS)!r}::VARCHAR[])) AS BIGINT)
+               AS n_marker_stopwords
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           alpha_word_frac, n_marker_stopwords,
+           CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+                AS BIGINT) AS r_word_count,
+           CAST(CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END
+                AS BIGINT) AS r_mean_word_len,
+           CAST(CASE WHEN symbol_word_ratio <= 0.1 THEN 1 ELSE 0 END
+                AS BIGINT) AS r_symbol_ratio,
+           CAST(CASE WHEN alpha_word_frac >= 0.8 THEN 1 ELSE 0 END
+                AS BIGINT) AS r_alpha_words,
+           CAST(CASE WHEN n_marker_stopwords >= 2 THEN 1 ELSE 0 END
+                AS BIGINT) AS r_stopwords,
+           CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                      AND mean_word_len BETWEEN 3.0 AND 10.0
+                      AND symbol_word_ratio <= 0.1
+                      AND alpha_word_frac >= 0.8
+                      AND n_marker_stopwords >= 2 THEN 1 ELSE 0 END
+                AS BIGINT) AS passes
+    FROM m
+    """,
+)
+def tx14_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Token array aliased in its own select so CollapseProject's cost
+    # guard evaluates the split once for all six derived metrics.
+    d = _docs(spark, sf_dir).select(
+        "doc_id", tokens(F.col("text")).alias("tk")
+    )
+    tk = F.col("tk")
+    n = F.greatest(F.size(tk), F.lit(1))
+    m = d.select(
+        "doc_id",
+        F.size(tk).cast("long").alias("n_words"),
+        F.round(
+            F.aggregate(tk, F.lit(0), lambda a, w: a + F.length(w)) / n, 6
+        ).alias("mean_word_len"),
+        F.round(
+            F.size(F.filter(tk, lambda w: w.rlike(r"#|\.\.\."))) / n, 6
+        ).alias("symbol_word_ratio"),
+        F.round(
+            F.size(F.filter(tk, lambda w: w.rlike("[a-z]"))) / n, 6
+        ).alias("alpha_word_frac"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(tk),
+                F.array(*[F.lit(s) for s in EN_STOPWORDS]),
+            )
+        )
+        .cast("long")
+        .alias("n_marker_stopwords"),
+    )
+    r_wc = F.col("n_words").between(50, 100000)
+    r_mwl = F.col("mean_word_len").between(3.0, 10.0)
+    r_sym = F.col("symbol_word_ratio") <= 0.1
+    r_alpha = F.col("alpha_word_frac") >= 0.8
+    r_sw = F.col("n_marker_stopwords") >= 2
+
+    def _flag(c: F.Column) -> F.Column:
+        return F.when(c, 1).otherwise(0).cast("long")
+
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_word_ratio",
+        "alpha_word_frac",
+        "n_marker_stopwords",
+        _flag(r_wc).alias("r_word_count"),
+        _flag(r_mwl).alias("r_mean_word_len"),
+        _flag(r_sym).alias("r_symbol_ratio"),
+        _flag(r_alpha).alias("r_alpha_words"),
+        _flag(r_sw).alias("r_stopwords"),
+        _flag(r_wc & r_mwl & r_sym & r_alpha & r_sw).alias("passes"),
+    )
+
+
+@register(
+    "tx15_bigram_lm_ppl",
+    bench=111,
+    survey="ext:text",
+    doc="Per-document cross-entropy under an add-k-smoothed BIGRAM "
+    "language model trained on the corpus itself — the KenLM-style "
+    "quality filter one order up from tx9's unigram proxy (wiki-like "
+    "text scores low; shuffled/word-soup text scores high even when "
+    "its unigrams are in-distribution, because its TRANSITIONS are "
+    "not). p(w2|w1) = (c(w1,w2)+0.5) / (c(w1)+0.5·V); the bigram "
+    "stream is built from two shifted slices zipped (tx2's shape, no "
+    "interpreted per-position lambda) and lazily checkpointed so the "
+    "model counts and the scoring probe read ONE materialization. "
+    "Three map-side-combined aggregations + two equi-joins on the "
+    "bigram/prefix keys; V rides as a scalar subquery (no driver "
+    "barrier). At 100 TB the count tables are vocabulary²-bounded — "
+    "orders of magnitude below corpus scale — and the scoring join "
+    "shuffles (doc_id, w1, w2) only.",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+    bg0 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(tk), 1)),
+                    i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS g
+      FROM t
+    ),
+    bg AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM bg0),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    v AS (SELECT count(DISTINCT tok) AS v
+          FROM (SELECT unnest(tk) AS tok FROM t))
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(SUM(log2(c1.c1 + 0.5 * (SELECT v FROM v))
+                     - log2(c2.c2 + 0.5)) / count(*), 6) AS xent2
+    FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY bg.doc_id
+    """,
+)
+def tx15_bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tk = tokens(F.col("text"))
+    ln = F.greatest(F.size(tk) - 1, F.lit(0))
+    arr = F.arrays_zip(
+        F.slice(tk, 1, ln).alias("w1"), F.slice(tk, 2, ln).alias("w2")
+    )
+    bg = (
+        d.select("doc_id", F.explode(arr).alias("g"))
+        .select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .localCheckpoint(eager=False)
+    )
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    toks.createOrReplaceTempView("pypgsync_tx15_toks")
+    v = F.expr("(SELECT count(DISTINCT tok) FROM pypgsync_tx15_toks)")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .select(
+            "doc_id",
+            (
+                F.log2(F.col("c1") + 0.5 * v)
+                - F.log2(F.col("c2") + F.lit(0.5))
+            ).alias("nll"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("nll").alias("__s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("__s") / F.col("n_bigrams"), 6).alias("xent2"),
+        )
+    )
+
+
+@register(
+    "tx16_dup_shingle_fraction",
+    bench=112,
+    survey="ext:quality,ext:dedup",
+    doc="Per-document CROSS-CORPUS duplicate n-gram fraction — the "
+    "RefinedWeb/MassiveText dedup-side quality column (tx5 measures "
+    "repetition WITHIN a document; this measures how much of a "
+    "document's distinct 3-gram content also appears in OTHER "
+    "documents, the boilerplate/template tell that survives exact "
+    "dedup). Shingle document frequencies from one map-side-combined "
+    "count (shingles are distinct per doc, so count(*) IS the df), "
+    "joined back equi on the shingle — the d2/tx3 shuffle shape, "
+    "carrying (doc_id, shingle) at shingle cardinality, never text.",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh
+               FROM documents),
+    df AS (SELECT sh, count(*) AS df FROM s GROUP BY sh)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_shingles,
+           round(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS dup_frac
+    FROM s JOIN df USING (sh)
+    GROUP BY s.doc_id
+    """,
+)
+def tx16_dup_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    s = d.select(
+        "doc_id",
+        F.explode(word_shingles(tokens(F.col("text")))).alias("sh"),
+    ).localCheckpoint(eager=False)
+    df_tbl = s.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        s.join(df_tbl, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_shingles"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup_shingles",
+            F.round(F.col("n_dup_shingles") / F.col("n_shingles"), 6).alias(
+                "dup_frac"
+            ),
+        )
+    )

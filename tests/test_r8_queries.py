@@ -280,3 +280,109 @@ def test_v10_mips_matches_numpy(spark, sf_small):
     assert [i for i, _ in got] == [int(i) for i, _ in order]
     for (_, a), (_, b) in zip(got, order):
         assert a == pytest.approx(b, abs=2e-6)
+
+
+def test_tx14_gopher_rules_match_python(spark, sf_small):
+    """Every tx14 metric and flag must reproduce a pure-Python
+    re-derivation of the Gopher rules over the raw text."""
+    import re
+
+    from pypgsync_spark.catalog import load_table
+    from pypgsync_spark.functions.text import EN_STOPWORDS
+    from pypgsync_spark.queries.textops import tx14_gopher_rules
+
+    got = {r["doc_id"]: r for r in tx14_gopher_rules(spark, sf_small).collect()}
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text").collect()
+    assert set(got) == {r["doc_id"] for r in docs}
+    for r in docs:
+        tk = re.split(r"\s+", r["text"].strip().lower())
+        n = max(len(tk), 1)
+        mwl = round(sum(len(w) for w in tk) / n, 6)
+        sym = round(sum(1 for w in tk if re.search(r"#|\.\.\.", w)) / n, 6)
+        alpha = round(sum(1 for w in tk if re.search("[a-z]", w)) / n, 6)
+        nsw = len(set(tk) & set(EN_STOPWORDS))
+        g = got[r["doc_id"]]
+        assert g["n_words"] == len(tk)
+        assert g["mean_word_len"] == pytest.approx(mwl, abs=1e-9)
+        assert g["symbol_word_ratio"] == pytest.approx(sym, abs=1e-9)
+        assert g["alpha_word_frac"] == pytest.approx(alpha, abs=1e-9)
+        assert g["n_marker_stopwords"] == nsw
+        flags = {
+            "r_word_count": 50 <= len(tk) <= 100000,
+            "r_mean_word_len": 3.0 <= mwl <= 10.0,
+            "r_symbol_ratio": sym <= 0.1,
+            "r_alpha_words": alpha >= 0.8,
+            "r_stopwords": nsw >= 2,
+        }
+        for k, v in flags.items():
+            assert g[k] == int(v), (r["doc_id"], k)
+        assert g["passes"] == int(all(flags.values()))
+
+
+def test_tx15_bigram_xent_matches_python_lm(spark, sf_small):
+    """tx15's per-doc cross-entropy must reproduce a counter-based
+    add-0.5-smoothed bigram LM built in pure Python."""
+    import re
+    from collections import Counter
+
+    from pypgsync_spark.catalog import load_table
+    from pypgsync_spark.queries.textops import tx15_bigram_lm_ppl
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text").collect()
+    toks = {
+        r["doc_id"]: re.split(r"\s+", r["text"].strip().lower()) for r in docs
+    }
+    c2, c1, vocab = Counter(), Counter(), set()
+    for tk in toks.values():
+        vocab.update(tk)
+        for a, b in zip(tk, tk[1:]):
+            c2[(a, b)] += 1
+            c1[a] += 1
+    V = len(vocab)
+    got = {r["doc_id"]: r for r in tx15_bigram_lm_ppl(spark, sf_small).collect()}
+    expected_docs = {d for d, tk in toks.items() if len(tk) >= 2}
+    assert set(got) == expected_docs
+    for d in expected_docs:
+        tk = toks[d]
+        terms = [
+            math.log2(c1[a] + 0.5 * V) - math.log2(c2[(a, b)] + 0.5)
+            for a, b in zip(tk, tk[1:])
+        ]
+        g = got[d]
+        assert g["n_bigrams"] == len(terms)
+        assert g["xent2"] == pytest.approx(sum(terms) / len(terms), abs=1e-5)
+        # smoothed probability < 1 => positive cross-entropy
+        assert g["xent2"] > 0
+
+
+def test_tx16_dup_fraction_matches_python(spark, sf_small):
+    """tx16's cross-corpus duplicate-shingle fraction must reproduce a
+    pure-Python document-frequency recount, and a corpus of unique
+    documents must score dup_frac bounds sanely."""
+    import re
+    from collections import Counter
+
+    from pypgsync_spark.catalog import load_table
+    from pypgsync_spark.queries.textops import tx16_dup_shingle_fraction
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text").collect()
+
+    def shingles(text):
+        tk = re.split(r"\s+", text.strip().lower())
+        return {
+            " ".join(tk[i : i + 3]) for i in range(max(len(tk) - 2, 1))
+        }
+
+    sh = {r["doc_id"]: shingles(r["text"]) for r in docs}
+    df = Counter(s for ss in sh.values() for s in ss)
+    got = {
+        r["doc_id"]: r for r in tx16_dup_shingle_fraction(spark, sf_small).collect()
+    }
+    assert set(got) == set(sh)
+    for d, ss in sh.items():
+        n_dup = sum(1 for s in ss if df[s] > 1)
+        g = got[d]
+        assert g["n_shingles"] == len(ss)
+        assert g["n_dup_shingles"] == n_dup
+        assert g["dup_frac"] == pytest.approx(round(n_dup / len(ss), 6), abs=1e-9)
+        assert 0.0 <= g["dup_frac"] <= 1.0
