@@ -24,6 +24,8 @@ assignment tables are write-once, query-many.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -61,7 +63,10 @@ def seq_cosine(a, b) -> float:
         s += x * y
         xx += x * x
         yy += y * y
-    return s / (xx**0.5 * yy**0.5)
+    # math.sqrt is the correctly-rounded IEEE sqrt (matches DuckDB's);
+    # ``**0.5`` goes through libm pow, which is NOT correctly rounded —
+    # hypothesis found a 1-ulp divergence (see the pinned @example).
+    return s / (math.sqrt(xx) * math.sqrt(yy))
 
 
 def brute_force_topk(

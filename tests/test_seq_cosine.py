@@ -13,7 +13,7 @@ from __future__ import annotations
 import duckdb
 import numpy as np
 import pytest
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from pypgsync_spark.operators.similarity import seq_cosine
@@ -40,6 +40,17 @@ def _duck_cosine(a: list[float], b: list[float]) -> float:
 
 @given(st.lists(st.tuples(finite, finite), min_size=1, max_size=128))
 @settings(max_examples=150, deadline=None)
+# pins the ``**0.5``-vs-``math.sqrt`` 1-ulp divergence hypothesis found
+# (libm pow is not correctly rounded; sqrt is)
+@example(
+    pairs=[
+        (1000000.0, 0.0),
+        (1000000.0, 1.0),
+        (1.1, 0.0),
+        (346248.812564017, 0.0),
+        (0.5, 0.0),
+    ],
+)
 def test_seq_cosine_bit_identical_to_duckdb(pairs):
     a = [x for x, _ in pairs]
     b = [y for _, y in pairs]
