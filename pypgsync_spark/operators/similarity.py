@@ -531,3 +531,82 @@ def ivf_topk_from_index(
     probe = sorted(sims, key=lambda c: (-sims[c], c))[:n_probe]
     cand = spark.read.parquet(f"{path}/cells").filter(F.col(cell_col).isin(probe))
     return brute_force_topk(cand, query_vec, k, id_col, vec_col, sim_col)
+
+
+def cell_cosine_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    cell_col: str = "cell",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 4,
+) -> DataFrame:
+    """All same-cell pairs (id_a < id_b) with cosine > threshold —
+    the SemDeDup kernel (Abbas et al. 2023): near-duplicate search
+    restricted to k-means/IVF cells, so total work is Σ n_cell²·d
+    instead of N²·d. Output columns: (cell, id_a, id_b, cos_sim).
+
+    Physical strategy is :func:`cosine_pairs`' block-nested GEMM with
+    the cell PREPENDED to the grouping key: rows are replicated to the
+    unordered block pairs WITHIN their cell only, so one hot cell
+    (skewed cluster) is split into n_blocks·(n_blocks+1)/2 bounded
+    GEMM tasks rather than one (n_cell)² task — the skew story a
+    production SemDeDup needs, since cluster sizes are power-law. No
+    driver collect; shuffle carries each row n_blocks times.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    v = vectors.select(cell_col, id_col, vec_col).withColumn(
+        "__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    )
+    keyed = (
+        v.withColumn(
+            "__other", F.explode(F.array(*[F.lit(j) for j in range(n_blocks)]))
+        )
+        .withColumn("__bp", F.least("__blk", "__other"))
+        .withColumn("__bq", F.greatest("__blk", "__other"))
+    )
+    schema = T.StructType(
+        [
+            T.StructField(cell_col, T.IntegerType()),
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(pdf[cell_col].iloc[0])
+        p = int(pdf["__bp"].iloc[0])
+        q = int(pdf["__bq"].iloc[0])
+        mat = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        blk = pdf["__blk"].to_numpy()
+        if p == q:
+            a_idx = np.arange(len(pdf))
+            b_idx = a_idx
+        else:
+            a_idx = np.nonzero(blk == p)[0]
+            b_idx = np.nonzero(blk == q)[0]
+        sims = mat[a_idx] @ mat[b_idx].T
+        ida, idb = ids[a_idx], ids[b_idx]
+        if p == q:
+            mask = (sims > threshold) & (ida[:, None] < idb[None, :])
+        else:
+            mask = sims > threshold
+        ia, jb = np.nonzero(mask)
+        lo = np.minimum(ida[ia], idb[jb])
+        hi = np.maximum(ida[ia], idb[jb])
+        return pd.DataFrame(
+            {
+                cell_col: np.full(len(ia), cell, dtype=np.int32),
+                "id_a": lo,
+                "id_b": hi,
+                "cos_sim": np.round(sims[ia, jb], 6),
+            }
+        )
+
+    return keyed.groupBy(cell_col, "__bp", "__bq").applyInPandas(gemm, schema)

@@ -497,3 +497,87 @@ def v10_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dot_sim").desc(), "vec_id")
         .limit(_TOPK)
     )
+
+
+@register(
+    "d14_semdedup_cells",
+    bench=113,
+    survey="ext:dedup,ext:similarity",
+    doc="SemDeDup (Abbas et al. 2023): semantic dedup restricted to "
+    "IVF/k-means cells — assign every embedding to its nearest of the "
+    "8 deterministic centroids (v5/v8's convention: vec_id<8 vectors, "
+    "first-max-wins ties), then find cosine>0.35 pairs ONLY within "
+    "cells via the block-nested GEMM with the cell prepended to the "
+    "grouping key (one hot cell splits into bounded sub-blocks — the "
+    "power-law-cluster skew story). Census per cell: vectors, dup "
+    "pairs, dropped (higher id of any pair, the min-id-keeper rule), "
+    "kept. Work is Σ n_cell²·d, not N²·d — the property that makes "
+    "embedding dedup feasible at 10⁸+ vectors.",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    a AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                 c.cid) AS rn
+        FROM e CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    m AS (SELECT e.vec_id, e.v, a.cid AS cell FROM e JOIN a USING (vec_id)),
+    p AS (
+      SELECT x.cell, x.vec_id AS id_a, y.vec_id AS id_b
+      FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE list_dot_product(x.v, y.v)
+            / (sqrt(list_dot_product(x.v, x.v))
+               * sqrt(list_dot_product(y.v, y.v))) > 0.35
+    ),
+    pa AS (
+      SELECT cell, count(*) AS n_pairs, count(DISTINCT id_b) AS n_dropped
+      FROM p GROUP BY cell
+    )
+    SELECT m.cell,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(coalesce(any_value(pa.n_pairs), 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(any_value(pa.n_dropped), 0) AS BIGINT) AS n_dropped,
+           CAST(count(*) - coalesce(any_value(pa.n_dropped), 0) AS BIGINT)
+             AS n_kept
+    FROM m LEFT JOIN pa USING (cell)
+    GROUP BY m.cell
+    """,
+)
+def d14_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.operators.similarity import cell_cosine_pairs
+
+    emb = _emb(spark, sf_dir)
+    cent_rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    centroids = [list(r["embedding"]) for r in cent_rows]
+    assigned = ivf_assign(emb, centroids).localCheckpoint(eager=False)
+    pairs = cell_cosine_pairs(assigned, threshold=0.35)
+    pa = pairs.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("id_b").cast("long").alias("n_dropped"),
+    )
+    census = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    return (
+        census.join(pa, on="cell", how="left")
+        .select(
+            "cell",
+            "n_vectors",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_dropped"), F.lit(0))
+            .cast("long")
+            .alias("n_dropped"),
+            (
+                F.col("n_vectors")
+                - F.coalesce(F.col("n_dropped"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )

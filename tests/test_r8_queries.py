@@ -386,3 +386,42 @@ def test_tx16_dup_fraction_matches_python(spark, sf_small):
         assert g["n_dup_shingles"] == n_dup
         assert g["dup_frac"] == pytest.approx(round(n_dup / len(ss), 6), abs=1e-9)
         assert 0.0 <= g["dup_frac"] <= 1.0
+
+
+def test_d14_semdedup_matches_python(spark, sf_small):
+    """d14's per-cell census must reproduce a pure-Python SemDeDup:
+    sequential-fold assignment (first-max-wins), exact within-cell
+    pairwise cosine, higher-id-dropped keeper rule."""
+    from collections import defaultdict
+
+    from pypgsync_spark.catalog import load_table
+    from pypgsync_spark.operators.similarity import seq_cosine
+    from pypgsync_spark.queries.vector import d14_semdedup_cells
+
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, sf_small, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    cents = [emb[i] for i in sorted(emb) if i < 8]
+    cells = defaultdict(list)
+    for vid, v in emb.items():
+        sims = [seq_cosine(v, c) for c in cents]
+        cells[max(range(len(cents)), key=lambda i: (sims[i], -i))].append(vid)
+    want = {}
+    for cell, vids in cells.items():
+        vids = sorted(vids)
+        pairs, dropped = 0, set()
+        for i, a in enumerate(vids):
+            for b in vids[i + 1 :]:
+                if seq_cosine(emb[a], emb[b]) > 0.35:
+                    pairs += 1
+                    dropped.add(b)
+        want[cell] = (len(vids), pairs, len(dropped))
+    got = {r["cell"]: r for r in d14_semdedup_cells(spark, sf_small).collect()}
+    assert set(got) == set(want)
+    for cell, (nv, np_, nd) in want.items():
+        g = got[cell]
+        assert (g["n_vectors"], g["n_pairs"], g["n_dropped"]) == (nv, np_, nd)
+        assert g["n_kept"] == nv - nd
