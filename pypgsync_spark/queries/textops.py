@@ -2145,3 +2145,37 @@ def tx16_dup_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "pipe3_bpe_tokenize_pack",
+    bench=114,
+    survey="ext:pipeline,ext:text",
+    doc="End-to-end tokenize-and-pack: train a 20-merge BPE table on "
+    "the corpus word frequencies (tx12/tx13's vocabulary-scale loop), "
+    "BPE-encode every document with the Arrow-batched rank-greedy "
+    "encoder (map-only; merge ranks ride the closure broadcast, "
+    "per-word memoization within each batch), then pack the encoded "
+    "token counts into 1024-token training sequences per source via "
+    "the distributed two-level prefix sum (pack1's operator). This is "
+    "the last mile of the training-data story: dedup/filter feed it, "
+    "its output is the batch manifest a trainer reads. Rows-only for "
+    "the driver (the merge loop is not one SQL statement); the full "
+    "composition is golden-pinned at sf0.001 and replayed in pure "
+    "Python (encode + prefix-sum) in pytest.",
+    oracle=None,
+)
+def pipe3_bpe_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.operators.bpe import bpe_tokens
+    from pypgsync_spark.operators.packing import pack_chunks
+
+    d = _docs(spark, sf_dir)
+    merges = train_bpe(word_frequencies(d, "text"), n_merges=20)
+    counted = d.select(
+        "doc_id",
+        "source",
+        F.size(bpe_tokens("text", merges)).alias("n_tokens"),
+    )
+    return pack_chunks(
+        counted, "source", "doc_id", "n_tokens", budget=1024, bucket_size=1000
+    )

@@ -41,6 +41,7 @@ def main() -> None:
         "v4_lsh_ann_topk",
         "v5_ivf_topk",
         "tx13_bpe_merges",
+        "pipe3_bpe_tokenize_pack",
     ):
         rows = REGISTRY[name].fn(spark, SF).collect()
         golden[name] = {

@@ -39,6 +39,7 @@ def golden() -> dict:
         "v4_lsh_ann_topk",
         "v5_ivf_topk",
         "tx13_bpe_merges",
+        "pipe3_bpe_tokenize_pack",
     ],
 )
 def test_rows_only_family_exact_golden(spark, sf_small, golden, name):

@@ -425,3 +425,46 @@ def test_d14_semdedup_matches_python(spark, sf_small):
         g = got[cell]
         assert (g["n_vectors"], g["n_pairs"], g["n_dropped"]) == (nv, np_, nd)
         assert g["n_kept"] == nv - nd
+
+
+def test_pipe3_matches_python_replay(spark, sf_small):
+    """Full independent replay of pipe3 in pure Python: reference BPE
+    trainer -> per-doc rank-greedy encode -> per-source prefix-sum
+    packing; the chunk census must match exactly."""
+    import re
+    from collections import Counter, defaultdict
+
+    from pypgsync_spark.catalog import load_table
+    from pypgsync_spark.functions.text import BPE_ISH_PATTERN
+    from pypgsync_spark.operators.bpe import encode_word, train_bpe_reference
+    from pypgsync_spark.queries.textops import pipe3_bpe_tokenize_pack
+
+    docs = (
+        load_table(spark, sf_small, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    pattern = re.compile(BPE_ISH_PATTERN)
+    words = {r["doc_id"]: pattern.findall(r["text"].lower()) for r in docs}
+    wf = Counter(w for ws in words.values() for w in ws)
+    merges = train_bpe_reference(dict(wf), n_merges=20)
+    ranks = {p: i for i, p in enumerate(merges)}
+    enc_len = {w: len(encode_word(w, ranks)) for w in wf}
+    n_tok = {d: sum(enc_len[w] for w in ws) for d, ws in words.items()}
+
+    by_source = defaultdict(list)
+    for r in docs:
+        by_source[r["source"]].append(r["doc_id"])
+    want: dict = {}
+    for src, ids in by_source.items():
+        off = 0
+        for d in sorted(ids):
+            chunk = off // 1024
+            n, tot = want.get((src, chunk), (0, 0))
+            want[(src, chunk)] = (n + 1, tot + n_tok[d])
+            off += n_tok[d]
+    got = {
+        (r["source"], r["chunk_id"]): (r["n_docs"], r["chunk_tokens"])
+        for r in pipe3_bpe_tokenize_pack(spark, sf_small).collect()
+    }
+    assert got == want
