@@ -141,6 +141,18 @@ def main() -> None:
         "d5_cc_stats": dict(D5_CC_STATS),
         "t8_rocksdb": t8_rocksdb,
         "notes": {
+            "r8_catalog_growth": "the r8 catalog grew 97->114 benched "
+            "ranks (tx12-16, d14, pipe3, j30/j31 and the earlier r8 "
+            "session additions); steady/cold totals are NOT comparable "
+            "round-over-round — compare per-query.",
+            "r8_bpe_hybrid": "train_bpe is hybrid as of r8: the merge "
+            "loop runs driver-side when the vocabulary fits (one "
+            "limit-probe job; sentencepiece/HF do the same), falling "
+            "back to per-round vocabulary-scale aggregations past "
+            "driver_vocab_limit. On the fixture's 31-word vocab this "
+            "removed ~30 scheduling-bound driver jobs: tx13 7.8->sub-1 s, "
+            "pipe3 5.2->~2 s. Both paths bit-identical "
+            "(tests/test_bpe.py).",
             "r7_hof": "word_shingles/winnowing let-bind their token arrays "
             "(r7): the interpreted HOF evaluator was re-tokenizing per "
             "shingle position — O(doc^2). d8 5.95->~3.4 s, d9 5.12->~3.5 s "

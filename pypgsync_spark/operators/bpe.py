@@ -112,14 +112,36 @@ def train_bpe(
     word_col: str = "word",
     freq_col: str = "freq",
     min_pair_freq: int = 2,
+    driver_vocab_limit: int = 2_000_000,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from a ``(word, freq)`` table.
 
     Returns the merge list in training order; stops early when the
     best remaining pair occurs fewer than ``min_pair_freq`` times
     (weighted). Deterministic: ties break lexicographically on the
-    pair, independent of partitioning. Each round is one
-    vocabulary-scale aggregation plus a top-1 collect (one row)."""
+    pair, independent of partitioning.
+
+    Hybrid execution, the way production trainers work: when the
+    vocabulary has at most ``driver_vocab_limit`` rows (one cheap
+    ``limit(n+1).count()`` probe — the corpus was already collapsed to
+    word counts by :func:`word_frequencies`), the merge loop runs
+    driver-side on the collected table via the reference kernel —
+    sentencepiece/HF train exactly this way, and a distributed round
+    on a vocabulary that fits in one task is pure scheduling overhead
+    (n_merges jobs for zero parallelism). Past the limit, each round
+    is one vocabulary-scale aggregation plus a top-1 collect (one
+    row) — the beyond-memory path a 100 TB corpus with a 10⁸-row
+    vocabulary needs. Both paths are bit-identical by construction
+    (pinned in tests/test_bpe.py, which forces the distributed path
+    with ``driver_vocab_limit=0``)."""
+    if (
+        driver_vocab_limit
+        and words.limit(driver_vocab_limit + 1).count() <= driver_vocab_limit
+    ):
+        wf = {
+            r[0]: r[1] for r in words.select(word_col, freq_col).collect()
+        }
+        return train_bpe_reference(wf, n_merges, min_pair_freq)
     vocab = words.select(
         F.col(freq_col).alias("freq"),
         _initial_symbols(F.col(word_col)).alias("syms"),

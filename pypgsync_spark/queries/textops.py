@@ -1896,8 +1896,10 @@ def tx12_pretoken_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     "statement expresses — but fully deterministic (exact integer "
     "pair counts, lexicographic tie-break), bit-identical to the "
     "pure-Python Sennrich kernel in pytest (tests/test_bpe.py), and "
-    "golden-pinned. Each round is one vocabulary-scale aggregation; "
-    "the corpus is scanned exactly once (tx12's job).",
+    "golden-pinned. The corpus is scanned exactly once (tx12's job); "
+    "the merge loop is hybrid — driver-side when the vocabulary fits "
+    "(as sentencepiece/HF train), per-round vocabulary-scale "
+    "aggregations when it doesn't (both paths pinned identical).",
     oracle=None,
 )
 def tx13_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -44,12 +44,24 @@ def wf_dict(spark, docs) -> dict[str, int]:
 
 @pytest.fixture(scope="module")
 def spark_merges(spark, docs) -> list[tuple[str, str]]:
-    return train_bpe(word_frequencies(docs, "text"), n_merges=N_MERGES)
+    # driver_vocab_limit=0 forces the DISTRIBUTED merge loop — the
+    # bit-identity test below would otherwise be circular (the hybrid
+    # default collects a small vocab and runs the reference kernel).
+    return train_bpe(
+        word_frequencies(docs, "text"), n_merges=N_MERGES, driver_vocab_limit=0
+    )
 
 
 def test_trainer_bit_identical_to_reference_kernel(wf_dict, spark_merges):
     ref = train_bpe_reference(wf_dict, n_merges=N_MERGES)
     assert spark_merges == ref
+
+
+def test_hybrid_driver_path_matches_distributed(spark, docs, spark_merges):
+    """The default (driver-side, vocab-fits) path must return the same
+    merge list as the forced distributed loop."""
+    hybrid = train_bpe(word_frequencies(docs, "text"), n_merges=N_MERGES)
+    assert hybrid == spark_merges
 
 
 def _replay_training(wf_dict, merges):
@@ -139,6 +151,8 @@ def test_early_stop_on_min_pair_freq(spark):
     """A vocabulary whose best pair is below min_pair_freq stops the
     loop — no degenerate singleton merges."""
     wf = spark.createDataFrame([("ab", 1)], "word string, freq long")
+    # both execution paths must early-stop identically
     assert train_bpe(wf, n_merges=5, min_pair_freq=2) == []
+    assert train_bpe(wf, n_merges=5, min_pair_freq=2, driver_vocab_limit=0) == []
     ref = train_bpe_reference({"ab": 1}, n_merges=5, min_pair_freq=2)
     assert ref == []

@@ -366,3 +366,51 @@ def test_excess_shippers_one_fact_exchange(spark, sf_small):
     assert len(fact_exchanges) == 1, fact_exchanges
     assert "REPARTITION_BY_COL" in fact_exchanges[0]
     assert "LeftSemi, BuildRight" in p
+
+
+def test_gopher_rules_is_map_only(spark, sf_small):
+    """tx14 must be one pass over documents: no exchange, a single
+    parquet scan, and the unreferenced columns pruned from it (the
+    Gopher gate runs at scan speed or it isn't a filter)."""
+    p = plan_of(spark, sf_small, "tx14_gopher_rules")
+    assert "Exchange" not in p
+    assert p.count("FileScan") == 1
+    assert "lang" not in p  # unreferenced column pruned from ReadSchema
+
+
+def test_bigram_lm_materializes_stream_once(spark, sf_small):
+    """tx15's bigram stream feeds the c2 counts, the c1 counts and the
+    scoring probe; the executed plan must read it back from the lazy
+    localCheckpoint (ExistingRDD) instead of re-exploding documents
+    per consumer."""
+    p = plan_of(spark, sf_small, "tx15_bigram_lm_ppl")
+    assert "ExistingRDD" in p
+    # the only parquet re-scan is the token view behind the scalar V
+    assert p.count("FileScan parquet") <= 1
+
+
+def test_dup_shingle_reuses_exploded_shingles(spark, sf_small):
+    """tx16 joins the shingle stream against its own df table; both
+    sides must come from ONE materialization of the explode."""
+    p = plan_of(spark, sf_small, "tx16_dup_shingle_fraction")
+    assert "ExistingRDD" in p
+    assert "FileScan parquet" not in p
+
+
+def test_semdedup_gemm_grouped_by_cell_blocks(spark, sf_small):
+    """d14's GEMM groups must be keyed by (cell, block-pair): a hot
+    cell splits into bounded sub-block tasks instead of one
+    n_cell-squared task (power-law cluster sizes)."""
+    p = plan_of(spark, sf_small, "d14_semdedup_cells")
+    assert "FlatMapGroupsInPandas" in p
+    assert "__bp" in p and "__bq" in p  # sub-block keys in the grouping
+
+
+def test_pipe3_encoder_is_arrow_batched_map(spark, sf_small):
+    """pipe3's BPE encode must run as an Arrow-batched pandas UDF in a
+    map stage (no per-row Python), and the packing must keep pack1's
+    no-stream-wide-window contract."""
+    p = plan_of(spark, sf_small, "pipe3_bpe_tokenize_pack")
+    assert "ArrowEvalPython" in p
+    assert "SinglePartition" not in p
+    assert "BatchEvalPython" not in p  # never the row-at-a-time path
