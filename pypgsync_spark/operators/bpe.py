@@ -122,9 +122,10 @@ def train_bpe(
     pair, independent of partitioning.
 
     Hybrid execution, the way production trainers work: when the
-    vocabulary has at most ``driver_vocab_limit`` rows (one cheap
-    ``limit(n+1).count()`` probe — the corpus was already collapsed to
-    word counts by :func:`word_frequencies`), the merge loop runs
+    vocabulary has at most ``driver_vocab_limit`` rows (probed and
+    collected by ONE ``limit(n+1).collect()`` job — the corpus was
+    already collapsed to word counts by :func:`word_frequencies`, and
+    an over-limit vocabulary ships at most n+1 rows), the merge loop runs
     driver-side on the collected table via the reference kernel —
     sentencepiece/HF train exactly this way, and a distributed round
     on a vocabulary that fits in one task is pure scheduling overhead
@@ -134,14 +135,21 @@ def train_bpe(
     vocabulary needs. Both paths are bit-identical by construction
     (pinned in tests/test_bpe.py, which forces the distributed path
     with ``driver_vocab_limit=0``)."""
-    if (
-        driver_vocab_limit
-        and words.limit(driver_vocab_limit + 1).count() <= driver_vocab_limit
-    ):
-        wf = {
-            r[0]: r[1] for r in words.select(word_col, freq_col).collect()
-        }
-        return train_bpe_reference(wf, n_merges, min_pair_freq)
+    if driver_vocab_limit:
+        # ONE job probes and collects: limit(n+1) caps the transfer, so
+        # an over-limit vocabulary ships at most n+1 rows before the
+        # distributed path takes over.
+        probe = words.select(word_col, freq_col).limit(
+            driver_vocab_limit + 1
+        ).collect()
+        if len(probe) <= driver_vocab_limit:
+            wf: dict[str, int] = {}
+            for r in probe:
+                # sum duplicates: the distributed loop weights every row
+                # independently, which is summation per word — a dict
+                # last-wins would silently diverge on non-unique input
+                wf[r[0]] = wf.get(r[0], 0) + r[1]
+            return train_bpe_reference(wf, n_merges, min_pair_freq)
     vocab = words.select(
         F.col(freq_col).alias("freq"),
         _initial_symbols(F.col(word_col)).alias("syms"),

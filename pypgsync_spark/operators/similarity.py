@@ -112,20 +112,25 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int = 8,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine > threshold — embedding
-    near-dup detection. Exact, fully distributed.
+    near-dup detection. Exact, fully distributed. With ``group_cols``,
+    only pairs AGREEING on those columns are compared (SemDeDup's
+    within-cell restriction — see :func:`cell_cosine_pairs`); the
+    group values are prepended to the output columns.
 
     Physical strategy: block-nested GEMM self-join. Each row gets a
     deterministic block id ``pmod(xxhash64(id), B)``; every unordered
-    block pair (p ≤ q) becomes one shuffle group holding block p's and
-    block q's rows, and an Arrow-batched ``applyInPandas`` runs the
-    (N/B)×(N/B) GEMM per group at BLAS speed. No driver ``collect()``,
-    no full-matrix broadcast: shuffle volume is B·N·d values (each row
-    replicated B times via explode), peak executor memory is one
-    2N/B × d block pair plus its (N/B)² score tile. Pick
-    B ≈ N·d·8 bytes / target-block-bytes; total work is the intrinsic
-    N²d/2 FLOPs of exactness. Past ~10⁸ rows, gate candidates first
+    block pair (p ≤ q) — within each group — becomes one shuffle group
+    holding block p's and block q's rows, and an Arrow-batched
+    ``applyInPandas`` runs the (N/B)×(N/B) GEMM per group at BLAS
+    speed. No driver ``collect()``, no full-matrix broadcast: shuffle
+    volume is B·N·d values (each row replicated B times via explode),
+    peak executor memory is one 2N/B × d block pair plus its (N/B)²
+    score tile. Pick B ≈ N·d·8 bytes / target-block-bytes; total work
+    is the intrinsic N²d/2 FLOPs of exactness (Σ n_group²·d with
+    groups). Past ~10⁸ rows, gate candidates first
     (:func:`cosine_pairs_lsh_gated`) and accept approximate recall.
 
     The expression-based exact-sequential-sum variant is
@@ -134,9 +139,12 @@ def cosine_pairs(
     """
     import pandas as pd
 
-    v = vectors.select(
-        F.col(id_col), F.col(vec_col)
-    ).withColumn("__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int"))
+    from pyspark.sql import types as T
+
+    gcols = list(group_cols or [])
+    v = vectors.select(*gcols, id_col, vec_col).withColumn(
+        "__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    )
     # Replicate each row to every unordered block pair it belongs to:
     # for a row in block i, keys {(min(i,j), max(i,j)) : j} are distinct,
     # so each row lands exactly once in each of its B groups.
@@ -144,6 +152,9 @@ def cosine_pairs(
         v.withColumn("__other", F.explode(F.array(*[F.lit(j) for j in range(n_blocks)])))
         .withColumn("__bp", F.least("__blk", "__other"))
         .withColumn("__bq", F.greatest("__blk", "__other"))
+    )
+    schema = T.StructType(
+        [vectors.schema[c] for c in gcols] + list(_pair_schema())
     )
 
     def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -171,11 +182,13 @@ def cosine_pairs(
         ia, jb = np.nonzero(mask)
         lo = np.minimum(ida[ia], idb[jb])
         hi = np.maximum(ida[ia], idb[jb])
-        return pd.DataFrame(
+        out = {c: pdf[c].iloc[[0] * len(ia)].to_numpy() for c in gcols}
+        out.update(
             {"id_a": lo, "id_b": hi, "cos_sim": np.round(sims[ia, jb], 6)}
         )
+        return pd.DataFrame(out)
 
-    return keyed.groupBy("__bp", "__bq").applyInPandas(gemm, _pair_schema())
+    return keyed.groupBy(*gcols, "__bp", "__bq").applyInPandas(gemm, schema)
 
 
 def cosine_pairs_lsh_gated(
@@ -547,66 +560,21 @@ def cell_cosine_pairs(
     instead of N²·d. Output columns: (cell, id_a, id_b, cos_sim).
 
     Physical strategy is :func:`cosine_pairs`' block-nested GEMM with
-    the cell PREPENDED to the grouping key: rows are replicated to the
-    unordered block pairs WITHIN their cell only, so one hot cell
-    (skewed cluster) is split into n_blocks·(n_blocks+1)/2 bounded
-    GEMM tasks rather than one (n_cell)² task — the skew story a
-    production SemDeDup needs, since cluster sizes are power-law. No
-    driver collect; shuffle carries each row n_blocks times.
+    the cell PREPENDED to the grouping key (``group_cols``): rows are
+    replicated to the unordered block pairs WITHIN their cell only, so
+    one hot cell (skewed cluster) is split into
+    n_blocks·(n_blocks+1)/2 bounded GEMM tasks rather than one
+    (n_cell)² task — the skew story a production SemDeDup needs, since
+    cluster sizes are power-law. No driver collect; shuffle carries
+    each row n_blocks times. One kernel serves both shapes (review
+    finding: a forked copy of the numerically sensitive GEMM would
+    drift).
     """
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    v = vectors.select(cell_col, id_col, vec_col).withColumn(
-        "__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    return cosine_pairs(
+        vectors,
+        threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_blocks=n_blocks,
+        group_cols=[cell_col],
     )
-    keyed = (
-        v.withColumn(
-            "__other", F.explode(F.array(*[F.lit(j) for j in range(n_blocks)]))
-        )
-        .withColumn("__bp", F.least("__blk", "__other"))
-        .withColumn("__bq", F.greatest("__blk", "__other"))
-    )
-    schema = T.StructType(
-        [
-            T.StructField(cell_col, T.IntegerType()),
-            T.StructField("id_a", T.LongType()),
-            T.StructField("id_b", T.LongType()),
-            T.StructField("cos_sim", T.DoubleType()),
-        ]
-    )
-
-    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
-        cell = int(pdf[cell_col].iloc[0])
-        p = int(pdf["__bp"].iloc[0])
-        q = int(pdf["__bq"].iloc[0])
-        mat = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
-        blk = pdf["__blk"].to_numpy()
-        if p == q:
-            a_idx = np.arange(len(pdf))
-            b_idx = a_idx
-        else:
-            a_idx = np.nonzero(blk == p)[0]
-            b_idx = np.nonzero(blk == q)[0]
-        sims = mat[a_idx] @ mat[b_idx].T
-        ida, idb = ids[a_idx], ids[b_idx]
-        if p == q:
-            mask = (sims > threshold) & (ida[:, None] < idb[None, :])
-        else:
-            mask = sims > threshold
-        ia, jb = np.nonzero(mask)
-        lo = np.minimum(ida[ia], idb[jb])
-        hi = np.maximum(ida[ia], idb[jb])
-        return pd.DataFrame(
-            {
-                cell_col: np.full(len(ia), cell, dtype=np.int32),
-                "id_a": lo,
-                "id_b": hi,
-                "cos_sim": np.round(sims[ia, jb], 6),
-            }
-        )
-
-    return keyed.groupBy(cell_col, "__bp", "__bq").applyInPandas(gemm, schema)

@@ -2065,9 +2065,10 @@ def tx15_bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
         .localCheckpoint(eager=False)
     )
+    # lazy scalar subquery (the j29/a21 pattern): no temp-view side
+    # effect on the session catalog, no driver barrier
     toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
-    toks.createOrReplaceTempView("pypgsync_tx15_toks")
-    v = F.expr("(SELECT count(DISTINCT tok) FROM pypgsync_tx15_toks)")
+    v = toks.agg(F.count_distinct("tok")).scalar()
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     scored = (

@@ -425,6 +425,20 @@ def test_d14_semdedup_matches_python(spark, sf_small):
         g = got[cell]
         assert (g["n_vectors"], g["n_pairs"], g["n_dropped"]) == (nv, np_, nd)
         assert g["n_kept"] == nv - nd
+    # Threshold-margin canary (the a12b regime-bound pattern): the
+    # engine thresholds unrounded GEMM cosines while the oracle
+    # thresholds DuckDB's sequential fold — they agree to ~1e-15, so
+    # the oracle row is safe only while no fixture pair sits ON the
+    # 0.35 boundary. Measured margin: 8.4e-5 at sf0.01, 7.8e-6 at
+    # sf0.1; fail loudly if a fixture regeneration ever lands within
+    # 1e-9 instead of letting the driver row flake.
+    margin = min(
+        abs(seq_cosine(emb[a], emb[b]) - 0.35)
+        for vids in cells.values()
+        for i, a in enumerate(sorted(vids))
+        for b in sorted(vids)[i + 1 :]
+    )
+    assert margin > 1e-9
 
 
 def test_pipe3_matches_python_replay(spark, sf_small):
