@@ -1222,3 +1222,53 @@ def s9_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+@register(
+    "s10_xml_roundtrip",
+    bench=115,
+    survey="S7",
+    doc="XML destination round-trip (Spark 4's built-in XML source, "
+    "the former spark-xml): customer written as <rows><row>…</row> "
+    "with account balances carried as DECIMAL(12,2) — exact through "
+    "the text format, the same discipline the engine's float "
+    "aggregates use — then read back SCHEMA-EXPLICIT (inference would "
+    "scan the input twice; sources/files.py refuses it at scale) and "
+    "aggregated per market segment. The oracle states the aggregate "
+    "over the original table, so a green row proves the re-encode "
+    "preserved content exactly.",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+             AS bal_total
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def s10_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from pypgsync_spark.sources.files import read_table, write_table
+
+    src = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("c_acctbal"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"pypgsync_xml_{tag}")
+    write_table(src, dest, fmt="xml")
+    back = read_table(
+        spark,
+        dest,
+        fmt="xml",
+        schema="c_custkey long, c_mktsegment string, c_acctbal decimal(12,2)",
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+        F.sum("c_acctbal").cast("double").alias("bal_total"),
+    )

@@ -3,7 +3,7 @@
 The reference is JDBC-only (docker-compose Postgres, reference
 docker-compose.yml:4-13); the Spark engine's primary substrate is
 parquet (SURVEY §2.1 S7). This module rounds out the file-format
-surface — ORC, CSV, JSON, line-text — behind one pair of entry points
+surface — ORC, CSV, JSON, line-text, XML — behind one pair of entry points
 so every engine query can run over any of them.
 
 Scale notes (the reason this is an explicit layer, not ad-hoc
@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-FORMATS = ("parquet", "orc", "csv", "json", "text")
+FORMATS = ("parquet", "orc", "csv", "json", "text", "xml")
 
 # Formats whose reader performs full predicate/column pushdown and
 # vectorized decode — the recommended substrate at scale.
@@ -47,6 +47,9 @@ _TS_OPTS = {
 _READ_DEFAULTS: dict[str, dict[str, str]] = {
     "csv": {"header": "true", **_TS_OPTS},
     "json": {**_TS_OPTS},
+    # Spark 4 ships the (former spark-xml) XML source built in; the
+    # row/root tags must agree between writer and reader.
+    "xml": {"rowTag": "row", **_TS_OPTS},
 }
 
 _WRITE_DEFAULTS: dict[str, dict[str, str]] = {
@@ -54,6 +57,7 @@ _WRITE_DEFAULTS: dict[str, dict[str, str]] = {
     "orc": {"compression": "zstd"},
     "csv": {"header": "true", **_TS_OPTS},
     "json": {**_TS_OPTS},
+    "xml": {"rootTag": "rows", "rowTag": "row", **_TS_OPTS},
 }
 
 
@@ -67,15 +71,15 @@ def read_table(
 ) -> DataFrame:
     """Read ``path`` in any supported format.
 
-    csv/json demand an explicit ``schema`` (or ``infer=True`` to accept
-    the extra full-input inference pass — fixture-scale only).
+    csv/json/xml demand an explicit ``schema`` (or ``infer=True`` to
+    accept the extra full-input inference pass — fixture-scale only).
     """
     if fmt not in FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
     reader = spark.read.options(**{**_READ_DEFAULTS.get(fmt, {}), **options})
     if schema is not None:
         reader = reader.schema(schema)
-    elif fmt in ("csv", "json"):
+    elif fmt in ("csv", "json", "xml"):
         if not infer:
             raise ValueError(
                 f"{fmt} at scale needs an explicit schema "

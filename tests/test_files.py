@@ -18,7 +18,7 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json", "xml"])
 def test_roundtrip_preserves_rows_and_schema(spark, sf_small, tmp_path, fmt):
     src = load_table(spark, sf_small, "nation")
     path = str(tmp_path / f"nation_{fmt}")
@@ -33,7 +33,7 @@ def test_roundtrip_timestamps_and_decimals(spark, sf_small, tmp_path):
     src = load_table(spark, sf_small, "events").select(
         "event_id", "ts", "value"
     )
-    for fmt in ("csv", "json"):
+    for fmt in ("csv", "json", "xml"):
         path = str(tmp_path / f"ev_{fmt}")
         write_table(src, path, fmt=fmt)
         back = read_table(spark, path, fmt=fmt, schema=src.schema)
@@ -43,6 +43,8 @@ def test_roundtrip_timestamps_and_decimals(spark, sf_small, tmp_path):
 def test_schemaless_text_formats_refused(spark, tmp_path):
     with pytest.raises(ValueError, match="explicit schema"):
         read_table(spark, str(tmp_path / "x"), fmt="csv")
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_table(spark, str(tmp_path / "x"), fmt="xml")
     with pytest.raises(ValueError, match="unsupported format"):
         read_table(spark, str(tmp_path / "x"), fmt="avro")
 
