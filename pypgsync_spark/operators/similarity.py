@@ -578,3 +578,63 @@ def cell_cosine_pairs(
         n_blocks=n_blocks,
         group_cols=[cell_col],
     )
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means by cosine — the REAL IVF build step
+    (ivf_assign's docstring promises "at real scale they come from a
+    sampled k-means"; this is that trainer). Returns the k centroids.
+
+    Determinism is the design constraint, not an accident:
+
+    - seeds = the k lowest-``id_col`` vectors (no RNG);
+    - assignment = :func:`ivf_assign` (first-max-wins ties, the
+      sequential-fold cosine);
+    - means are ORDER-INDEPENDENT: each per-cell per-dimension sum
+      runs in ``decimal(38,18)`` (exact addition — no float
+      reassociation across partitions), and the division happens
+      driver-side on the collected k×d decimal sums. Re-running under
+      any partitioning yields bit-identical centroids, which is what
+      lets the trained build be golden-pinned (pytest asserts
+      repartition-invariance).
+
+    Per iteration: ONE assignment+posexplode aggregation job whose
+    shuffle carries (cell, dim, decimal partial) — k·d·partitions
+    rows, metadata-scale — and a k·d-row collect. Empty cells keep
+    their previous centroid. At 100 TB you fit on a deterministic
+    hash-sample (samp1 composes) and assign the full corpus once.
+    """
+    seed_rows = (
+        vectors.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    cents = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    for _ in range(n_iter):
+        assigned = ivf_assign(vectors, cents, id_col, vec_col)
+        sums = (
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col)).alias("dim", "val")
+            )
+            .groupBy("cell", "dim")
+            .agg(
+                F.sum(
+                    F.col("val").cast("double").cast("decimal(38,18)")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new = {(r["cell"], r["dim"]): float(r["s"] / r["n"]) for r in sums}
+        cents = [
+            [
+                new.get((c, d), cents[c][d])
+                for d in range(len(cents[c]))
+            ]
+            for c in range(k)
+        ]
+    return cents

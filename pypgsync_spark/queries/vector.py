@@ -581,3 +581,46 @@ def d14_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+@register(
+    "v11_ivf_kmeans_build",
+    bench=116,
+    survey="ext:similarity",
+    doc="Trained IVF build: deterministic Lloyd k-means by cosine "
+    "(operators/similarity.py::kmeans_fit — k lowest-id seeds, "
+    "first-max-wins assignment, decimal(38,18)-exact order-independent "
+    "means; 3 iterations) followed by one full assignment pass. Output "
+    "is the build census: per cell, member count and the mean cosine "
+    "to the trained centroid (the index-quality figure an ANN build "
+    "reports). Rows-only — the trainer is an iterative driver loop no "
+    "single SQL statement expresses — but bit-stable under any input "
+    "partitioning (pytest asserts repartition-invariance), so it is "
+    "golden-pinned like tx13/d3. At 100 TB: fit on a hash-sample "
+    "(samp1 composes), assign the corpus once, write partitioned by "
+    "cell (v5's persisted layout).",
+    oracle=None,
+)
+def v11_ivf_kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.operators.similarity import kmeans_fit
+
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_fit(emb, k=8, n_iter=3)
+    assigned = ivf_assign(emb, cents)
+    sims = F.array(
+        *[
+            cosine(F.col("embedding"), F.array(*[F.lit(float(x)) for x in c]))
+            for c in cents
+        ]
+    )
+    scored = assigned.select(
+        "cell", F.element_at(sims, F.col("cell") + 1).alias("cos_own")
+    )
+    return scored.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(
+            F.sum(F.col("cos_own").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_cos_to_centroid"),
+    )

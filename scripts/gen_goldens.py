@@ -42,6 +42,7 @@ def main() -> None:
         "v5_ivf_topk",
         "tx13_bpe_merges",
         "pipe3_bpe_tokenize_pack",
+        "v11_ivf_kmeans_build",
     ):
         rows = REGISTRY[name].fn(spark, SF).collect()
         golden[name] = {

@@ -40,6 +40,7 @@ def golden() -> dict:
         "v5_ivf_topk",
         "tx13_bpe_merges",
         "pipe3_bpe_tokenize_pack",
+        "v11_ivf_kmeans_build",
     ],
 )
 def test_rows_only_family_exact_golden(spark, sf_small, golden, name):

@@ -482,3 +482,44 @@ def test_pipe3_matches_python_replay(spark, sf_small):
         for r in pipe3_bpe_tokenize_pack(spark, sf_small).collect()
     }
     assert got == want
+
+
+def test_kmeans_fit_partition_invariant(spark, sf_small):
+    """kmeans_fit's decimal-exact means make the trained centroids
+    BIT-identical under any input partitioning — the property that
+    lets v11 be golden-pinned."""
+    from pypgsync_spark.catalog import load_table
+    from pypgsync_spark.operators.similarity import kmeans_fit
+
+    emb = load_table(spark, sf_small, "embeddings")
+    a = kmeans_fit(emb, k=8, n_iter=3)
+    b = kmeans_fit(emb.repartition(7), k=8, n_iter=3)
+    assert a == b  # element-wise float equality, no tolerance
+
+
+def test_kmeans_fit_improves_over_seeds(spark, sf_small):
+    """Three Lloyd iterations must not make the index worse than the
+    raw lowest-id seeds: mean cosine of members to their assigned
+    centroid is at least the seed assignment's."""
+    from pypgsync_spark.catalog import load_table
+    from pypgsync_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_fit,
+        seq_cosine,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    rows = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    seeds = [rows[i] for i in sorted(rows) if i < 8]
+    fitted = kmeans_fit(emb, k=8, n_iter=3)
+
+    def quality(cents):
+        tot = 0.0
+        for v in rows.values():
+            tot += max(seq_cosine(v, c) for c in cents)
+        return tot / len(rows)
+
+    assert quality(fitted) >= quality(seeds) - 1e-12
