@@ -614,6 +614,7 @@ def kmeans_fit(
         vectors.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
     cents = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    k = len(cents)  # fewer vectors than requested cells: fit what exists
     for _ in range(n_iter):
         assigned = ivf_assign(vectors, cents, id_col, vec_col)
         sums = (
