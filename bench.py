@@ -67,11 +67,23 @@ def main() -> None:
             warm.append(time.time() - t0)
         times[name] = round(min(warm), 3)
 
-    # sync throughput: rows merged per second through the upsert pipeline
+    # sync throughput: rows merged per second through the upsert
+    # pipeline. This is THE headline figure vs the reference baseline,
+    # derived from one sub-second query — min-of-2 leaves it with a
+    # ±2x ambient band this box demonstrated within a single r8
+    # afternoon (141k-305k rows/s on identical code). Give the probe
+    # extra warm samples: min-of-8 on a deterministic workload
+    # converges on capability (co-tenant load only ever adds time).
     from pypgsync_spark.catalog import load_table
 
     n_events = load_table(spark, SF_DIR, "events").count()
-    sync_rps = round(n_events / max(times["s3_upsert_merge"], 1e-9))
+    s3_fn = REGISTRY["s3_upsert_merge"].fn
+    s3_warm = [times["s3_upsert_merge"]]
+    for _ in range(6):
+        t0 = time.time()
+        materialize(s3_fn(spark, SF_DIR))
+        s3_warm.append(time.time() - t0)
+    sync_rps = round(n_events / max(min(s3_warm), 1e-9))
 
     # Streaming throughput (r7 verdict #7): the reference's second
     # headline number is continuous-mode sync rows/s (cli.py:80-97,
