@@ -1272,3 +1272,58 @@ def s10_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_custkey").cast("long").alias("key_sum"),
         F.sum("c_acctbal").cast("double").alias("bal_total"),
     )
+
+
+@register(
+    "s11_compaction_roundtrip",
+    bench=117,
+    survey="S4,ext:layout",
+    doc="Small-file compaction (lakehouse OPTIMIZE) + vacuum on the "
+    "sync store: events written through the alternating-directory "
+    "parquet store (32 shuffle-partition files), compacted to "
+    "target-size files via a map-only coalesce rewrite committed "
+    "through the same atomic _CURRENT pointer flip as every sync "
+    "write, superseded generation vacuumed, then read back and "
+    "aggregated. The oracle states the aggregate over the original "
+    "events, so a green row proves the rewrite byte-preserved the "
+    "table. The file-count and vacuum mechanics are pytest-asserted "
+    "(tests/test_sync.py); at 100 TB compaction is what keeps scan "
+    "cost at row-group-pruning cost instead of file-open cost after "
+    "thousands of incremental syncs.",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(max(epoch_ms(ts)) AS BIGINT) AS max_ms
+    FROM events GROUP BY event_type
+    """,
+)
+def s11_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from pypgsync_spark.sync import (
+        ParquetSyncedTable,
+        compact_store,
+        vacuum_store,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", to_millis("ts").alias("updated_ms")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    store = ParquetSyncedTable(
+        spark, os.path.join(tempfile.gettempdir(), f"pypgsync_compact_{tag}")
+    )
+    # repartition(32) models the post-merge shuffle layout that makes
+    # every synced generation a pile of small files
+    store.write(ev.repartition(32))
+    compact_store(store, target_file_bytes=256 << 20)
+    vacuum_store(store)
+    back = store.read()
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        F.max("updated_ms").cast("long").alias("max_ms"),
+    )

@@ -300,3 +300,80 @@ def sync_continuous(
         if i + 1 < iterations:
             sleep(delay_seconds)
     return out
+
+
+def compact_store(
+    store: "ParquetSyncedTable", target_file_bytes: int = 128 << 20
+) -> dict:
+    """Small-file compaction (the lakehouse OPTIMIZE): rewrite the
+    store's current generation into ``ceil(bytes / target_file_bytes)``
+    files and flip the ``_CURRENT`` pointer through the same atomic
+    commit every sync write uses — readers never observe a torn table.
+
+    Why it exists: every incremental sync rewrites the merge output
+    with shuffle-partition-many files regardless of size, so a
+    frequently-synced small table accumulates hundreds of KB-scale
+    files and scan cost becomes file-open cost (the classic small-file
+    problem; at 100 TB the same arithmetic picks ~128 MB targets so
+    row-group pruning still has room to work inside each file).
+    ``coalesce`` (not ``repartition``) does the rewrite — a map-only
+    merge of existing partitions, no shuffle of table data.
+
+    Returns ``{"files_before", "files_after", "bytes", "compacted"}``;
+    a store already at or below the target count is left untouched.
+    """
+    import math
+
+    cur = store._current()
+    if cur is None:
+        return {"files_before": 0, "files_after": 0, "bytes": 0, "compacted": False}
+    p = store._jpath(cur)
+    fs = store._fs(p)
+    parts = [
+        s
+        for s in fs.listStatus(p)
+        if s.getPath().getName().endswith(".parquet")
+    ]
+    total = sum(s.getLen() for s in parts)
+    n_target = max(1, math.ceil(total / target_file_bytes))
+    if len(parts) <= n_target:
+        return {
+            "files_before": len(parts),
+            "files_after": len(parts),
+            "bytes": total,
+            "compacted": False,
+        }
+    store.write(store.read().coalesce(n_target))
+    new = store._jpath(store._current())
+    n_after = sum(
+        1
+        for s in store._fs(new).listStatus(new)
+        if s.getPath().getName().endswith(".parquet")
+    )
+    return {
+        "files_before": len(parts),
+        "files_after": n_after,
+        "bytes": total,
+        "compacted": True,
+    }
+
+
+def vacuum_store(store: "ParquetSyncedTable") -> list[str]:
+    """Delete the superseded generation directory (the lakehouse
+    VACUUM): the alternating a/b commit keeps exactly one stale copy —
+    useful as a crash-recovery fallback, pure storage cost once the
+    pointer flip is durable. Never touches the current generation or
+    the pointer; returns the deleted paths."""
+    cur = store._current()
+    if cur is None:
+        return []
+    keep = {cur.rsplit("/", 1)[-1], "_CURRENT"}
+    root = store._jpath(store.path)
+    fs = store._fs(root)
+    deleted: list[str] = []
+    for s in fs.listStatus(root):
+        name = s.getPath().getName()
+        if s.isDirectory() and name not in keep:
+            fs.delete(s.getPath(), True)
+            deleted.append(name)
+    return deleted

@@ -289,3 +289,75 @@ def test_pointer_flip_rename_failure_propagates(spark, sf_small, tmp_path, monke
     monkeypatch.setattr(store, "_jpath", real_jpath)
     assert store._current().endswith("/a")
     assert store.read().count() == src.count()
+
+
+def _parquet_files(store):
+    cur = store._current()
+    p = store._jpath(cur)
+    return [
+        s.getPath().getName()
+        for s in store._fs(p).listStatus(p)
+        if s.getPath().getName().endswith(".parquet")
+    ]
+
+
+def test_compact_reduces_files_and_preserves_rows(spark, sf_small, tmp_path):
+    from pypgsync_spark.catalog import load_table
+    from pypgsync_spark.sync import ParquetSyncedTable, compact_store
+
+    src = load_table(spark, sf_small, "events").select(
+        "event_id", "event_type", "value"
+    )
+    store = ParquetSyncedTable(spark, str(tmp_path / "dst"))
+    store.write(src.repartition(16))
+    assert len(_parquet_files(store)) >= 16
+    before = sorted(map(tuple, store.read().collect()))
+    stats = compact_store(store, target_file_bytes=256 << 20)
+    assert stats["compacted"] is True
+    assert stats["files_before"] >= 16
+    assert stats["files_after"] < stats["files_before"]
+    assert len(_parquet_files(store)) == stats["files_after"]
+    assert sorted(map(tuple, store.read().collect())) == before
+
+
+def test_compact_noop_when_already_compact(spark, sf_small, tmp_path):
+    from pypgsync_spark.catalog import load_table
+    from pypgsync_spark.sync import ParquetSyncedTable, compact_store
+
+    src = load_table(spark, sf_small, "events").select("event_id", "value")
+    store = ParquetSyncedTable(spark, str(tmp_path / "dst"))
+    store.write(src.coalesce(1))
+    cur_before = store._current()
+    stats = compact_store(store, target_file_bytes=256 << 20)
+    assert stats["compacted"] is False
+    assert stats["files_before"] == stats["files_after"]
+    # no-op must not rewrite or flip the pointer
+    assert store._current() == cur_before
+
+
+def test_vacuum_deletes_only_superseded_generation(spark, sf_small, tmp_path):
+    from pypgsync_spark.catalog import load_table
+    from pypgsync_spark.sync import (
+        ParquetSyncedTable,
+        compact_store,
+        vacuum_store,
+    )
+
+    src = load_table(spark, sf_small, "events").select(
+        "event_id", "event_type", "value"
+    )
+    store = ParquetSyncedTable(spark, str(tmp_path / "dst"))
+    store.write(src.repartition(8))   # generation a
+    compact_store(store, target_file_bytes=256 << 20)  # flips to b
+    rows = sorted(map(tuple, store.read().collect()))
+    root = store._jpath(store.path)
+    fs = store._fs(root)
+    names = {s.getPath().getName() for s in fs.listStatus(root)}
+    assert {"a", "b"} <= names
+    deleted = vacuum_store(store)
+    cur_name = store._current().rsplit("/", 1)[-1]
+    assert deleted == [n for n in ("a", "b") if n != cur_name]
+    assert sorted(map(tuple, store.read().collect())) == rows
+    # empty store: vacuum is a no-op
+    empty = ParquetSyncedTable(spark, str(tmp_path / "empty"))
+    assert vacuum_store(empty) == []
