@@ -660,14 +660,21 @@ def _argmax_assign_arrow(
     from pyspark.sql import types as T
 
     c = np.asarray(centroids, dtype=np.float64)
-    cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+    c_norm = np.linalg.norm(c, axis=1, keepdims=True)
+    cn = c / np.where(c_norm == 0, 1.0, c_norm)
     in_field = vectors.schema[vec_col]
     schema = T.StructType([in_field, T.StructField("cell", T.IntegerType())])
 
     def assign(batches):
         for pdf in batches:
             m = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            # zero-norm guard: ivf_assign documents zero vectors as
+            # assumed-absent; here a division by zero would propagate
+            # NaN cosines into argmax (arbitrary cell) and from there
+            # into kmeans_fit centroids. Norm 0 -> divide by 1 instead:
+            # all cosines 0, argmax deterministically cell 0.
+            norm = np.linalg.norm(m, axis=1, keepdims=True)
+            m /= np.where(norm == 0, 1.0, norm)
             cell = np.argmax(m @ cn.T, axis=1).astype(np.int32)
             yield pd.DataFrame({vec_col: pdf[vec_col], "cell": cell})
 

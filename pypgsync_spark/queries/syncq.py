@@ -1258,7 +1258,9 @@ def s10_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.col("c_acctbal").cast("decimal(12,2)").alias("c_acctbal"),
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # per-process discriminator: two processes on the same fixture
+    # (a sweep plus an ad-hoc run) must not race on one XML directory
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8] + f"_{os.getpid()}"
     dest = os.path.join(tempfile.gettempdir(), f"pypgsync_xml_{tag}")
     write_table(src, dest, fmt="xml")
     back = read_table(
@@ -1312,7 +1314,9 @@ def s11_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value", to_millis("ts").alias("updated_ms")
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # per-process discriminator: concurrent runs on the same fixture
+    # must not share one ParquetSyncedTable (torn reads / corrupt rows)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8] + f"_{os.getpid()}"
     store = ParquetSyncedTable(
         spark, os.path.join(tempfile.gettempdir(), f"pypgsync_compact_{tag}")
     )

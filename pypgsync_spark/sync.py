@@ -359,21 +359,35 @@ def compact_store(
 
 
 def vacuum_store(store: "ParquetSyncedTable") -> list[str]:
-    """Delete the superseded generation directory (the lakehouse
+    """Delete superseded generation directories (the lakehouse
     VACUUM): the alternating a/b commit keeps exactly one stale copy —
     useful as a crash-recovery fallback, pure storage cost once the
     pointer flip is durable. Never touches the current generation or
-    the pointer; returns the deleted paths."""
+    the pointer; returns the deleted paths.
+
+    Single-writer assumption (same as the store's commit protocol):
+    one process writes a given store at a time. As a belt-and-braces
+    guard for an interrupted writer, directories at least as new as
+    the current generation are SKIPPED — a crashed write that produced
+    a generation but never flipped ``_CURRENT`` is newer than the
+    current one and therefore never reclaimed here; only generations
+    the pointer has durably superseded (strictly older) are deleted.
+    """
     cur = store._current()
     if cur is None:
         return []
     keep = {cur.rsplit("/", 1)[-1], "_CURRENT"}
     root = store._jpath(store.path)
     fs = store._fs(root)
+    cur_mtime = fs.getFileStatus(store._jpath(cur)).getModificationTime()
     deleted: list[str] = []
     for s in fs.listStatus(root):
         name = s.getPath().getName()
-        if s.isDirectory() and name not in keep:
+        if (
+            s.isDirectory()
+            and name not in keep
+            and s.getModificationTime() < cur_mtime
+        ):
             fs.delete(s.getPath(), True)
             deleted.append(name)
     return deleted

@@ -60,6 +60,19 @@ def main() -> None:
         "zero_distance_pairs": sorted([r["id_a"], r["id_b"]] for r in d4 if r["hamming"] == 0),
     }
 
+    # Pin each query's closure fingerprint alongside its rows: the
+    # goldens are the ONLY correctness artifact rows-only queries have,
+    # so a kernel edit that forgets to regenerate this file must fail
+    # loudly (tests/test_goldens.py::test_golden_fingerprints_current),
+    # not ship silently behind stale pinned rows (r8 verdict #8).
+    from pypgsync_spark.queries.fingerprint import spec_fingerprint
+
+    golden["_fingerprints"] = {
+        name: spec_fingerprint(REGISTRY[name].fn, REGISTRY[name].oracle)
+        for name in golden
+        if name in REGISTRY
+    }
+
     path = os.path.join(OUT, "rows_only_families.json")
     with open(path, "w") as f:
         json.dump(golden, f, indent=1, sort_keys=True)

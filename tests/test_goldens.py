@@ -51,6 +51,30 @@ def test_rows_only_family_exact_golden(spark, sf_small, golden, name):
     assert got == golden[name]["rows"]
 
 
+def test_golden_fingerprints_current(golden):
+    """The goldens are the ONLY correctness artifact the rows-only
+    queries have (no SQL oracle, driver row-count-checks only). If a
+    query's closure fingerprint changed since the golden file was last
+    written, the pinned rows may describe code that no longer exists —
+    fail loudly and demand a regeneration (r8 verdict #8). Cheap: pure
+    static analysis, no Spark session."""
+    from pypgsync_spark.queries.fingerprint import spec_fingerprint
+
+    pinned = golden["_fingerprints"]
+    for name, fp in sorted(pinned.items()):
+        spec = REGISTRY[name]
+        cur = spec_fingerprint(spec.fn, spec.oracle)
+        assert cur == fp, (
+            f"{name}: closure fingerprint changed since the golden file "
+            "was written — if the algorithm change is intentional, "
+            "regenerate with scripts/gen_goldens.py (and say so in the "
+            "commit); if not, you just changed a rows-only kernel "
+            "without noticing."
+        )
+    # and the pin set itself tracks the golden's query set
+    assert set(pinned) == {k for k in golden if k in REGISTRY}
+
+
 def test_d4_simhash_golden_histogram(spark, sf_small, golden):
     rows = REGISTRY["d4_simhash_pairs"].fn(spark, sf_small).collect()
     g = golden["d4_simhash_pairs"]

@@ -193,3 +193,85 @@ def test_ivf_persisted_index_prunes_partitions(spark, sf_small, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cell" in m.group(1), plan[:500]
+
+
+def test_cell_gemm_bounds_hot_cell_and_matches_exact(spark):
+    """r8 verdict #5 — the j8 hot-key pattern applied to SemDeDup's
+    cell-blocked GEMM (d14): on a power-law fixture where ONE cell
+    holds 50% of all vectors, the block-nested grouping must split the
+    hot cell into n_blocks*(n_blocks+1)/2 bounded GEMM tasks instead
+    of one n_hot^2 task, and the result must still equal the numpy
+    ground truth exactly. Data-level complement of the plan-shape
+    assertion in test_plans.py: this measures the ACTUAL per-group row
+    counts on the same hash the kernel shuffles on."""
+    import math
+
+    import numpy as np
+
+    from pypgsync_spark.operators.similarity import cell_cosine_pairs
+
+    rng = np.random.default_rng(7)
+    n_hot, n_cold_cells, n_cold_each, d, B = 1000, 7, 143, 8, 8
+    cells = [0] * n_hot + [
+        1 + i % n_cold_cells for i in range(n_cold_cells * n_cold_each)
+    ]
+    n = len(cells)
+    mat = rng.standard_normal((n, d))
+    rows = [
+        (i, int(cells[i]), [float(x) for x in mat[i]]) for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, cell int, embedding array<double>"
+    )
+
+    # numpy ground truth per cell; threshold placed mid-gap between the
+    # 200th and 201st largest same-cell cosine so no ULP difference
+    # between BLAS paths can flip a pair across the boundary (the d14
+    # margin-canary discipline)
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    carr = np.asarray(cells)
+    per_pair = []  # (cos, cell, id_a, id_b)
+    for c in sorted(set(cells)):
+        idx = np.nonzero(carr == c)[0]
+        sims = normed[idx] @ normed[idx].T
+        iu, ju = np.triu_indices(len(idx), k=1)
+        for a, b, s in zip(idx[iu], idx[ju], sims[iu, ju]):
+            per_pair.append((float(s), c, int(a), int(b)))
+    per_pair.sort(reverse=True)
+    gap = per_pair[199][0] - per_pair[200][0]
+    assert gap > 1e-9, f"fixture margin too thin: {gap}"
+    threshold = (per_pair[199][0] + per_pair[200][0]) / 2
+    expected = {(c, a, b): s for s, c, a, b in per_pair[:200]}
+
+    got = cell_cosine_pairs(df, threshold, n_blocks=B).collect()
+    got_keys = {(r["cell"], r["id_a"], r["id_b"]) for r in got}
+    assert got_keys == set(expected)
+    for r in got:
+        want = expected[(r["cell"], r["id_a"], r["id_b"])]
+        assert abs(r["cos_sim"] - round(want, 6)) < 1e-9
+
+    # Block-size bound, measured on the SAME hash the kernel groups by:
+    # per (cell, bp, bq) group rows = |blk==bp| + |blk==bq| within the
+    # cell (diagonal: |blk==bp|). The hot cell's largest group must be
+    # ~2*n_hot/B, not n_hot — 2x headroom over the uniform-hash ideal,
+    # the j8 bound style.
+    blk = {
+        (r["cell"], r["b"]): r["n"]
+        for r in df.select(
+            "cell",
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(B)).cast("int").alias("b"),
+        )
+        .groupBy("cell", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    group_sizes = [
+        blk.get((c, p), 0) + (blk.get((c, q), 0) if q != p else 0)
+        for c in sorted(set(cells))
+        for p in range(B)
+        for q in range(p, B)
+    ]
+    max_group = max(group_sizes)
+    ideal = 2 * math.ceil(n_hot / B)
+    assert max_group <= 2 * ideal, (max_group, ideal)
+    assert max_group < n_hot / 2  # the hot cell really was split
