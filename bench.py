@@ -124,19 +124,113 @@ def main() -> None:
         from pypgsync_spark.streaming.gated import gated_balance
 
         schema = _events_stream_source(spark, SF_DIR)
-        work = tempfile.mkdtemp(prefix="bench_t8_rocksdb_")
-        t0 = time.time()
-        gated_balance(
-            spark,
-            source_path=table_path(SF_DIR, "events"),
-            schema=schema,
-            contrib_dir=f"{work}/contrib",
-            checkpoint_dir=f"{work}/ckpt",
-            store_provider="rocksdb",
-        ).write.format("noop").mode("overwrite").save()
-        t8_rocksdb = {"sec": round(time.time() - t0, 3)}
+
+        def run_rocksdb() -> float:
+            # fresh work dir per run: each is a full from-scratch drain
+            # of the fixture through the RocksDB-backed state store
+            work = tempfile.mkdtemp(prefix="bench_t8_rocksdb_")
+            t0 = time.time()
+            gated_balance(
+                spark,
+                source_path=table_path(SF_DIR, "events"),
+                schema=schema,
+                contrib_dir=f"{work}/contrib",
+                checkpoint_dir=f"{work}/ckpt",
+                store_provider="rocksdb",
+            ).write.format("noop").mode("overwrite").save()
+            return time.time() - t0
+
+        cold_sec = run_rocksdb()  # pays the one-time JNI/native load
+        sec = min(run_rocksdb() for _ in range(2))
+        t8_rocksdb = {
+            "sec": round(sec, 3),
+            "cold_sec": round(cold_sec, 3),
+            "rows_per_sec": round(n_events / max(sec, 1e-9)),
+        }
     else:
         t8_rocksdb = {"skipped": "set SPARK_GRAFT_ROCKSDB=1 to bench the RocksDB state store"}
+
+    # Continuous-mode soak (r8 verdict #4): the reference's second
+    # headline is the infinite re-run loop (cli.py:80-97). Model it as
+    # an APPENDING landing zone: the events fixture is split into 5
+    # version-ordered arrival waves, each iteration drops one more
+    # wave file into the source dir and runs a full sync_table pass
+    # (watermark -> delta -> merge -> atomic store commit: the
+    # T1/T2/T4 composition), plus one final no-new-data iteration that
+    # must converge. Env-gated so the driver's headline total stays
+    # comparable round-over-round.
+    if os.environ.get("SPARK_GRAFT_SOAK") == "1":
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+        from pyspark.sql import Window
+
+        from pypgsync_spark.catalog import load_table
+        from pypgsync_spark.functions.time import to_millis
+        from pypgsync_spark.sync import ParquetSyncedTable, sync_table
+
+        ev = load_table(spark, SF_DIR, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            to_millis("ts").alias("updated_ms"),
+        )
+        n_waves = 5
+        waved = ev.withColumn(
+            "__wave",
+            F.ntile(n_waves).over(
+                Window.orderBy("updated_ms", "event_id")
+            ),
+        )
+        base = tempfile.mkdtemp(prefix="bench_soak_")
+        for w in range(1, n_waves + 1):
+            waved.filter(F.col("__wave") == w).drop("__wave").coalesce(
+                4
+            ).write.parquet(f"{base}/waves/w{w}")
+        incoming = f"{base}/incoming"
+        os.makedirs(incoming)
+        store = ParquetSyncedTable(spark, f"{base}/dst")
+
+        def src_loader():
+            return spark.read.parquet(incoming)
+
+        iterations = []
+        for w in range(1, n_waves + 2):
+            if w <= n_waves:  # wave w arrives; last pass sees no new data
+                for f in os.listdir(f"{base}/waves/w{w}"):
+                    if f.endswith(".parquet"):
+                        shutil.copy(f"{base}/waves/w{w}/{f}", f"{incoming}/w{w}_{f}")
+            t0 = time.time()
+            st = sync_table(src_loader(), store, ["event_id"], "updated_ms")
+            sec = time.time() - t0
+            iterations.append(
+                {
+                    "delta_rows": st.delta_rows,
+                    "sec": round(sec, 3),
+                    "rows_per_sec": round(st.delta_rows / max(sec, 1e-9)),
+                }
+            )
+        final_rows = store.read().count()
+        # The final pass sees no new files; its delta is ONLY the
+        # low-watermark boundary rows (the closed-range re-read the
+        # reference uses, session.py:129-132 — harmless because the
+        # merge is idempotent). Convergence = destination holds exactly
+        # the fixture, and the idle pass's delta collapsed to the
+        # boundary.
+        boundary_rows = iterations[-1]["delta_rows"]
+        wave_rows = sum(i["delta_rows"] for i in iterations[:-1])
+        soak = {
+            "iterations": iterations,
+            "final_rows": final_rows,
+            "idle_pass_boundary_rows": boundary_rows,
+            "converged": final_rows == n_events and wave_rows >= n_events,
+            "total_sec": round(sum(i["sec"] for i in iterations), 3),
+        }
+        shutil.rmtree(base, ignore_errors=True)
+    else:
+        soak = {"skipped": "set SPARK_GRAFT_SOAK=1 to run the continuous-mode soak"}
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     out = {
@@ -152,6 +246,7 @@ def main() -> None:
         "n_events": n_events,
         "d5_cc_stats": dict(D5_CC_STATS),
         "t8_rocksdb": t8_rocksdb,
+        "continuous_soak": soak,
         "notes": {
             "r8_catalog_growth": "the r8 catalog grew 97->114 benched "
             "ranks (tx12-16, d14, pipe3, j30/j31 and the earlier r8 "
@@ -179,6 +274,22 @@ def main() -> None:
             "CC round checkpoints are now LAZY (the convergence-sum "
             "scan materializes them) — 35->33 jobs per pipe2 run, one "
             "barrier saved per Pregel/star round.",
+            "r9_rank_retirement": "j15/j16 bench ranks retired (r8 "
+            "verdict #7): redundant TPC-H shapes already covered by "
+            "j12/j27/j28; both stay oracle-checked catalog rows. The "
+            "committed bench_local_r09.json still includes them (run "
+            "before retirement); driver BENCH_r09 onward will not.",
+            "r9_v2b_variance": "the r7->r8 v2b +38% (1.53->2.10 s) is "
+            "AMBIENT, proven two ways: (1) v2b's closure fingerprint "
+            "at r9 HEAD equals the round-5 record (FINGERPRINTS.json) "
+            "- the code is bit-unchanged since r5, and the suspected "
+            "r8 GEMM-kernel consolidation (68d419a) never touches "
+            "cosine_pairs_lsh_gated, which has its own bucket kernel; "
+            "(2) isolated fresh-session min-of-5 at r9 start measured "
+            "v2b 2.15 s AND the equally-unchanged j14 1.45 s (r7: "
+            "0.84) and d2 3.78 s - every untouched multi-second query "
+            "drifts together with box load (load avg 1.6-3.7 with no "
+            "Spark running). Same verdict as r8_pipe2_variance.",
             "r7_small_query_variance": "sub-second queries swing +-0.2 s "
             "between runs (min-of-2 on a shared box); the conditional "
             "spread check also adds one plan->RDD partition probe per "

@@ -639,7 +639,9 @@ def j14_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j15_large_orders",
-    bench=24,
+    # bench rank retired r9 (verdict #7): j27/j28 cover the
+    # agg-before-join TPC-H family in the bench; j15 stays
+    # oracle-checked in the sweep.
     survey="§2.3,A4",
     doc="Large-order lookup (TPC-H Q18 flavor): aggregate lineitem by "
     "orderkey FIRST (map-side-combined, the fact table collapses "
@@ -682,7 +684,8 @@ def j15_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j16_small_quantity_revenue",
-    bench=32,
+    # bench rank retired r9 (verdict #7): same Q17 decorrelated shape
+    # as j12; j16 stays oracle-checked in the sweep.
     survey="§2.3,A4",
     doc="Correlated-aggregate filter (TPC-H Q17 flavor): yearly "
     "revenue from lineitems whose quantity is below half their part's "

@@ -361,3 +361,43 @@ def test_vacuum_deletes_only_superseded_generation(spark, sf_small, tmp_path):
     # empty store: vacuum is a no-op
     empty = ParquetSyncedTable(spark, str(tmp_path / "empty"))
     assert vacuum_store(empty) == []
+
+
+def test_vacuum_spares_interrupted_writer_generation(spark, sf_small, tmp_path):
+    """r9 advisor fix: a writer that produced a generation but crashed
+    before flipping _CURRENT leaves a directory NEWER than the current
+    generation. vacuum_store must never reclaim it (it may hold the
+    only copy of in-flight data); only generations the pointer has
+    durably superseded — strictly older than current — are deleted."""
+    import os
+    import time
+
+    from pypgsync_spark.catalog import load_table
+    from pypgsync_spark.sync import (
+        ParquetSyncedTable,
+        compact_store,
+        vacuum_store,
+    )
+
+    src = load_table(spark, sf_small, "events").select(
+        "event_id", "event_type", "value"
+    )
+    store = ParquetSyncedTable(spark, str(tmp_path / "dst"))
+    store.write(src.repartition(4))                    # generation a
+    compact_store(store, target_file_bytes=256 << 20)  # flips to b
+    cur_name = store._current().rsplit("/", 1)[-1]
+    old_name = "a" if cur_name == "b" else "b"
+
+    # simulate an interrupted writer: a generation directory newer than
+    # the current one, pointer never flipped (mtime granularity on
+    # local fs is fine, but sleep past 1s to be filesystem-agnostic)
+    time.sleep(1.1)
+    crashed = tmp_path / "dst" / "zz_inflight"
+    crashed.mkdir()
+    (crashed / "part-00000.parquet").write_bytes(b"in-flight bytes")
+
+    deleted = vacuum_store(store)
+    assert deleted == [old_name]
+    assert crashed.exists() and (crashed / "part-00000.parquet").exists()
+    # idempotent: a second vacuum with nothing older deletes nothing
+    assert vacuum_store(store) == []
