@@ -274,6 +274,16 @@ def main() -> None:
             "CC round checkpoints are now LAZY (the convergence-sum "
             "scan materializes them) — 35->33 jobs per pipe2 run, one "
             "barrier saved per Pregel/star round.",
+            "r9_ambient_day": "the r9 bench day was persistently noisy "
+            "(co-tenant load 1.5-6.0 all afternoon): three full runs "
+            "totalled 139.8/161.0/152.5 s on the shared keys vs r8's "
+            "110.7, with a DIFFERENT set of queries inflated each run "
+            "and scripts/bench_diff.py classifying every >1.3x flag "
+            "AMBIENT (closure fingerprint identical to the recorded "
+            "green round). Spot isolated min-of-3 re-measures landed "
+            "in-band: s5 1.62, s6 1.45, s1 0.60, pack1 0.97, d14 2.70, "
+            "v11 2.95, pipe3 1.83. Compare per-query medians across "
+            "rounds, not this day's totals.",
             "r9_rank_retirement": "j15/j16 bench ranks retired (r8 "
             "verdict #7): redundant TPC-H shapes already covered by "
             "j12/j27/j28; both stay oracle-checked catalog rows. The "
