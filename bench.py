@@ -178,6 +178,10 @@ def main() -> None:
             to_millis("ts").alias("updated_ms"),
         )
         n_waves = 5
+        # global-window ntile = one task — fine HERE because this is
+        # one-time fixture STAGING (building the arrival waves), not
+        # the measured sync path; the measured loop below is the
+        # ordinary distributed watermark -> delta -> merge pipeline
         waved = ev.withColumn(
             "__wave",
             F.ntile(n_waves).over(

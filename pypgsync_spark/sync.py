@@ -372,6 +372,10 @@ def vacuum_store(store: "ParquetSyncedTable") -> list[str]:
     a generation but never flipped ``_CURRENT`` is newer than the
     current one and therefore never reclaimed here; only generations
     the pointer has durably superseded (strictly older) are deleted.
+    On stores without meaningful directory mtimes (S3A reports 0 for
+    synthesized directory entries) the guard degrades in the SAFE
+    direction: nothing compares strictly older, so vacuum becomes a
+    no-op rather than ever reclaiming an in-flight write.
     """
     cur = store._current()
     if cur is None:
