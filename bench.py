@@ -65,6 +65,16 @@ def main() -> None:
             t0 = time.time()
             materialize(fn(spark, SF_DIR))
             warm.append(time.time() - t0)
+        # r9: a third warm sample when the first two disagree by >25% —
+        # exactly the co-tenant-spike signature that inflated four r9
+        # runs in four different places (r9_ambient_day note). Costs
+        # nothing on a quiet box, halves the spike's leverage on a
+        # noisy one; min-of-k only ever converges downward, so this is
+        # a strictly better estimate of the same quantity.
+        if max(warm) > 1.25 * min(warm):
+            t0 = time.time()
+            materialize(fn(spark, SF_DIR))
+            warm.append(time.time() - t0)
         times[name] = round(min(warm), 3)
 
     # sync throughput: rows merged per second through the upsert
