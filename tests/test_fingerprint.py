@@ -146,3 +146,42 @@ def test_is_stale_decision_table():
     assert _is_stale("x", spec, 5, {"x": {"fp": "dead", "round": 5}})
     # fresh
     assert not _is_stale("x", spec, 5, {"x": {"fp": good, "round": 5}})
+
+
+def test_registry_invariants():
+    """Registry-wide structural invariants the sweep and bench depend
+    on: bench ranks are unique (ordering ambiguity would make
+    round-over-round per-query comparison unstable), every rows-only
+    query (no oracle) is either golden-pinned or explicitly a
+    plumbing/streaming shape, and names are globally unique by
+    construction of the dict."""
+    import json
+    import os
+
+    from pypgsync_spark.queries import REGISTRY
+
+    ranks = {}
+    for n, s in REGISTRY.items():
+        b = getattr(s, "bench", None)
+        if b is not None:
+            assert b not in ranks, f"duplicate bench rank {b}: {ranks[b]} vs {n}"
+            ranks[b] = n
+
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "goldens", "rows_only_families.json"
+    )
+    with open(golden_path) as f:
+        golden = set(json.load(f))
+    no_oracle = {n for n, s in REGISTRY.items() if s.oracle is None}
+    unpinned = no_oracle - golden
+    # every unpinned rows-only query must carry its own pytest cover;
+    # keep this list EXPLICIT so a new oracle-less query without a
+    # golden is a conscious decision, not an accident
+    allowed_unpinned = {
+        # bound-tested vs exact a7 within rsd (tests/test_oracle.py)
+        "a7b_approx_distinct_users",
+    }
+    assert unpinned <= allowed_unpinned, (
+        f"rows-only queries with neither golden nor explicit allowance: "
+        f"{sorted(unpinned - allowed_unpinned)}"
+    )
