@@ -199,10 +199,13 @@ def main() -> None:
             ),
         )
         base = tempfile.mkdtemp(prefix="bench_soak_")
-        for w in range(1, n_waves + 1):
-            waved.filter(F.col("__wave") == w).drop("__wave").coalesce(
-                4
-            ).write.parquet(f"{base}/waves/w{w}")
+        # ONE partitioned write stages all waves (one sort, not one
+        # re-scan + re-sort per wave); the data files inside each
+        # __wave=w directory carry exactly the data columns, so copying
+        # them into the landing zone reproduces plain arrivals
+        waved.repartition(4).write.partitionBy("__wave").parquet(
+            f"{base}/waves"
+        )
         incoming = f"{base}/incoming"
         os.makedirs(incoming)
         store = ParquetSyncedTable(spark, f"{base}/dst")
@@ -213,9 +216,10 @@ def main() -> None:
         iterations = []
         for w in range(1, n_waves + 2):
             if w <= n_waves:  # wave w arrives; last pass sees no new data
-                for f in os.listdir(f"{base}/waves/w{w}"):
+                wave_dir = f"{base}/waves/__wave={w}"
+                for f in os.listdir(wave_dir):
                     if f.endswith(".parquet"):
-                        shutil.copy(f"{base}/waves/w{w}/{f}", f"{incoming}/w{w}_{f}")
+                        shutil.copy(f"{wave_dir}/{f}", f"{incoming}/w{w}_{f}")
             t0 = time.time()
             st = sync_table(src_loader(), store, ["event_id"], "updated_ms")
             sec = time.time() - t0
@@ -300,9 +304,9 @@ def main() -> None:
             "rounds, not this day's totals.",
             "r9_rank_retirement": "j15/j16 bench ranks retired (r8 "
             "verdict #7): redundant TPC-H shapes already covered by "
-            "j12/j27/j28; both stay oracle-checked catalog rows. The "
-            "committed bench_local_r09.json still includes them (run "
-            "before retirement); driver BENCH_r09 onward will not.",
+            "j12/j27/j28; both stay oracle-checked catalog rows. All "
+            "r9 artifacts from the final committed run onward carry "
+            "115 ranks without them; r8 carried 117.",
             "r9_v2b_variance": "the r7->r8 v2b +38% (1.53->2.10 s) is "
             "AMBIENT, proven two ways: (1) v2b's closure fingerprint "
             "at r9 HEAD equals the round-5 record (FINGERPRINTS.json) "

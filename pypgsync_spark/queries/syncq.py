@@ -23,6 +23,38 @@ from pypgsync_spark.queries import register
 MS_JAN10 = 1704844800000  # delta low watermark
 MS_JAN20 = 1705708800000  # stale-destination high cutoff
 
+
+def _pid_scratch_dir(prefix: str, sf_dir: str) -> str:
+    """Per-(fixture, process) scratch path for queries that must write
+    real files (s10 XML round-trip, s11 sync store): the pid suffix
+    keeps two live processes on the same fixture from racing on one
+    directory (torn reads), and siblings left by DEAD pids are reaped
+    here so repeated sweeps/benches don't grow /tmp without bound (the
+    returned DataFrame reads the directory lazily, so the OWNING
+    process can never clean up inline)."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = tempfile.gettempdir()
+    for old in glob.glob(os.path.join(base, f"{prefix}_{tag}_*")):
+        try:
+            pid = int(old.rsplit("_", 1)[-1])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # probe: raises if the owner is gone
+        except ProcessLookupError:
+            shutil.rmtree(old, ignore_errors=True)
+        except PermissionError:
+            pass  # pid reused by another user's live process — leave it
+    return os.path.join(base, f"{prefix}_{tag}_{os.getpid()}")
+
 _SLICE_SCHEMA = T.StructType(
     [
         T.StructField("slice_id", T.IntegerType(), False),
@@ -1247,10 +1279,6 @@ def s9_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def s10_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
-
     from pypgsync_spark.sources.files import read_table, write_table
 
     src = load_table(spark, sf_dir, "customer").select(
@@ -1259,9 +1287,9 @@ def s10_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").cast("decimal(12,2)").alias("c_acctbal"),
     )
     # per-process discriminator: two processes on the same fixture
-    # (a sweep plus an ad-hoc run) must not race on one XML directory
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8] + f"_{os.getpid()}"
-    dest = os.path.join(tempfile.gettempdir(), f"pypgsync_xml_{tag}")
+    # (a sweep plus an ad-hoc run) must not race on one XML directory;
+    # dead-pid siblings reaped so /tmp stays bounded across runs
+    dest = _pid_scratch_dir("pypgsync_xml", sf_dir)
     write_table(src, dest, fmt="xml")
     back = read_table(
         spark,
@@ -1301,10 +1329,6 @@ def s10_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def s11_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
-
     from pypgsync_spark.sync import (
         ParquetSyncedTable,
         compact_store,
@@ -1315,11 +1339,9 @@ def s11_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value", to_millis("ts").alias("updated_ms")
     )
     # per-process discriminator: concurrent runs on the same fixture
-    # must not share one ParquetSyncedTable (torn reads / corrupt rows)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8] + f"_{os.getpid()}"
-    store = ParquetSyncedTable(
-        spark, os.path.join(tempfile.gettempdir(), f"pypgsync_compact_{tag}")
-    )
+    # must not share one ParquetSyncedTable (torn reads / corrupt
+    # rows); dead-pid siblings reaped so /tmp stays bounded
+    store = ParquetSyncedTable(spark, _pid_scratch_dir("pypgsync_compact", sf_dir))
     # repartition(32) models the post-merge shuffle layout that makes
     # every synced generation a pile of small files
     store.write(ev.repartition(32))

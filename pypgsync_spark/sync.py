@@ -373,9 +373,13 @@ def vacuum_store(store: "ParquetSyncedTable") -> list[str]:
     current one and therefore never reclaimed here; only generations
     the pointer has durably superseded (strictly older) are deleted.
     On stores without meaningful directory mtimes (S3A reports 0 for
-    synthesized directory entries) the guard degrades in the SAFE
-    direction: nothing compares strictly older, so vacuum becomes a
-    no-op rather than ever reclaiming an in-flight write.
+    synthesized directory entries) — or whose mtime granularity is
+    coarser than the write-to-write gap, making the timestamps equal —
+    the strict comparison degrades in the SAFE direction: nothing
+    compares strictly older, so vacuum becomes a no-op rather than
+    ever reclaiming an in-flight write. A dangling pointer (current
+    generation directory missing — the state ``read()`` tolerates by
+    returning None) is likewise a no-op, not a crash.
     """
     cur = store._current()
     if cur is None:
@@ -383,7 +387,12 @@ def vacuum_store(store: "ParquetSyncedTable") -> list[str]:
     keep = {cur.rsplit("/", 1)[-1], "_CURRENT"}
     root = store._jpath(store.path)
     fs = store._fs(root)
-    cur_mtime = fs.getFileStatus(store._jpath(cur)).getModificationTime()
+    try:
+        cur_mtime = fs.getFileStatus(store._jpath(cur)).getModificationTime()
+    except Exception:
+        # dangling pointer: nothing is provably superseded — do not
+        # guess which directory is safe to delete
+        return []
     deleted: list[str] = []
     for s in fs.listStatus(root):
         name = s.getPath().getName()

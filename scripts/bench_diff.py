@@ -55,7 +55,10 @@ def main() -> None:
 
     flagged = []
     for k in shared:
-        if old[k] < args.min_sec:
+        # skip only when BOTH sides sit in the jitter band — a query
+        # that LEAVES the band (0.45s -> 30s, the r7 HOF-trap shape)
+        # is exactly what this tool must flag
+        if old[k] < args.min_sec and new[k] < args.min_sec:
             continue
         ratio = new[k] / old[k] if old[k] else float("inf")
         if ratio < args.threshold:

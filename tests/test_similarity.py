@@ -275,3 +275,32 @@ def test_cell_gemm_bounds_hot_cell_and_matches_exact(spark):
     ideal = 2 * math.ceil(n_hot / B)
     assert max_group <= 2 * ideal, (max_group, ideal)
     assert max_group < n_hot / 2  # the hot cell really was split
+
+
+def test_argmax_assign_guards_zero_norm_vectors(spark):
+    """r9 advisor fix, pinned: a zero embedding (and a zero centroid)
+    must not propagate NaN cosines into the k-means assignment — the
+    guard divides by 1 instead, giving the zero vector cosine 0
+    against every centroid and deterministically cell 0 (np.argmax
+    first-max-wins). Reverting to a plain `m /= norm` regresses this
+    test, not the training run's centroids."""
+    from pypgsync_spark.operators.similarity import _argmax_assign_arrow
+
+    rows = [
+        ([0.0, 0.0, 0.0, 0.0],),        # zero vector -> cell 0
+        ([1.0, 0.0, 0.0, 0.0],),        # aligned with centroid 1
+        ([0.0, 0.0, 1.0, 0.0],),        # aligned with centroid 2
+    ]
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    cents = [
+        [0.0, 0.0, 0.0, 0.0],           # zero CENTROID: guarded too
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+    ]
+    got = {
+        tuple(r["embedding"]): r["cell"]
+        for r in _argmax_assign_arrow(df, cents, "embedding").collect()
+    }
+    assert got[(0.0, 0.0, 0.0, 0.0)] == 0   # all-zero cosines, first max
+    assert got[(1.0, 0.0, 0.0, 0.0)] == 1
+    assert got[(0.0, 0.0, 1.0, 0.0)] == 2
