@@ -164,6 +164,27 @@ def _is_unsupported_filesystem(exc: Exception) -> bool:
     return False
 
 
+def _is_file_not_found(exc: Exception) -> bool:
+    """True iff a Py4J-surfaced exception (or any link in its cause
+    chain) is a FileNotFoundException — the dangling-pointer case
+    ``vacuum_store`` tolerates as a no-op. Anything else (auth failure,
+    transient IO, misconfigured path) must propagate: silently turning
+    those into a no-op vacuum lets storage grow unboundedly with no
+    signal (ADVICE r9). Same chain-walk discipline as
+    ``_is_unsupported_filesystem`` above."""
+    j = getattr(exc, "java_exception", None)
+    if j is None:
+        return "FileNotFoundException" in str(exc)
+    while j is not None:
+        try:
+            if j.getClass().getName().endswith("FileNotFoundException"):
+                return True
+            j = j.getCause()
+        except Exception:
+            return "FileNotFoundException" in str(exc)
+    return False
+
+
 class ParquetSyncedTable:
     """Parquet-backed destination store for the sync loop.
 
@@ -389,10 +410,15 @@ def vacuum_store(store: "ParquetSyncedTable") -> list[str]:
     fs = store._fs(root)
     try:
         cur_mtime = fs.getFileStatus(store._jpath(cur)).getModificationTime()
-    except Exception:
-        # dangling pointer: nothing is provably superseded — do not
-        # guess which directory is safe to delete
-        return []
+    except Exception as e:
+        if _is_file_not_found(e):
+            # dangling pointer: nothing is provably superseded — do not
+            # guess which directory is safe to delete
+            return []
+        # Any OTHER failure (auth, transient IO, misconfiguration) must
+        # surface — a silent no-op here means storage grows unboundedly
+        # with no signal (ADVICE r9).
+        raise
     deleted: list[str] = []
     for s in fs.listStatus(root):
         name = s.getPath().getName()

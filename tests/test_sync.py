@@ -335,6 +335,22 @@ def test_compact_noop_when_already_compact(spark, sf_small, tmp_path):
     assert store._current() == cur_before
 
 
+def _backdate_superseded_generation(store, dst_dir) -> None:
+    """Make the superseded generation STRICTLY older than the current
+    one regardless of filesystem mtime granularity (ADVICE r9: on a 1s
+    granularity fs, back-to-back write/compact can land both
+    generations on the same mtime, which makes vacuum's safe strict-<
+    comparison a no-op and the test flaky). Explicit ``os.utime``
+    backdating beats sleeping: deterministic and free."""
+    import os
+
+    cur_name = store._current().rsplit("/", 1)[-1]
+    old_name = "a" if cur_name == "b" else "b"
+    cur_mtime = (dst_dir / cur_name).stat().st_mtime
+    past = cur_mtime - 5
+    os.utime(dst_dir / old_name, (past, past))
+
+
 def test_vacuum_deletes_only_superseded_generation(spark, sf_small, tmp_path):
     from pypgsync_spark.catalog import load_table
     from pypgsync_spark.sync import (
@@ -349,6 +365,7 @@ def test_vacuum_deletes_only_superseded_generation(spark, sf_small, tmp_path):
     store = ParquetSyncedTable(spark, str(tmp_path / "dst"))
     store.write(src.repartition(8))   # generation a
     compact_store(store, target_file_bytes=256 << 20)  # flips to b
+    _backdate_superseded_generation(store, tmp_path / "dst")
     rows = sorted(map(tuple, store.read().collect()))
     root = store._jpath(store.path)
     fs = store._fs(root)
@@ -387,6 +404,10 @@ def test_vacuum_spares_interrupted_writer_generation(spark, sf_small, tmp_path):
     compact_store(store, target_file_bytes=256 << 20)  # flips to b
     cur_name = store._current().rsplit("/", 1)[-1]
     old_name = "a" if cur_name == "b" else "b"
+    # ADVICE r9: don't rely on write->compact landing on distinct
+    # mtimes (1s-granularity filesystems make that a coin flip) —
+    # explicitly backdate the superseded generation
+    _backdate_superseded_generation(store, tmp_path / "dst")
 
     # simulate an interrupted writer: a generation directory newer than
     # the current one, pointer never flipped (mtime granularity on
@@ -401,3 +422,59 @@ def test_vacuum_spares_interrupted_writer_generation(spark, sf_small, tmp_path):
     assert crashed.exists() and (crashed / "part-00000.parquet").exists()
     # idempotent: a second vacuum with nothing older deletes nothing
     assert vacuum_store(store) == []
+
+
+def test_vacuum_dangling_pointer_is_noop(spark, sf_small, tmp_path):
+    """_CURRENT naming a missing generation (crash between delete and
+    pointer write under a buggy external cleaner) must be a quiet no-op:
+    nothing is provably superseded, so vacuum deletes nothing."""
+    import shutil
+
+    from pypgsync_spark.sync import ParquetSyncedTable, vacuum_store
+
+    src = load_table(spark, sf_small, "events").select("event_id", "value")
+    store = ParquetSyncedTable(spark, str(tmp_path / "dst"))
+    store.write(src)
+    cur_name = store._current().rsplit("/", 1)[-1]
+    shutil.rmtree(tmp_path / "dst" / cur_name)
+    assert vacuum_store(store) == []
+
+
+def test_vacuum_propagates_non_fnf_errors(spark, sf_small, tmp_path):
+    """ADVICE r9: only the dangling-pointer FileNotFoundException is a
+    legitimate no-op. Any other filesystem failure (auth, transient IO)
+    must propagate — a silent no-op hides unbounded storage growth."""
+    import pytest
+
+    from pypgsync_spark.sync import ParquetSyncedTable, vacuum_store
+
+    src = load_table(spark, sf_small, "events").select("event_id", "value")
+    store = ParquetSyncedTable(spark, str(tmp_path / "dst"))
+    store.write(src)
+
+    class _FailingFS:
+        def __init__(self, real):
+            self._real = real
+
+        def getFileStatus(self, p):  # the probe vacuum makes
+            raise RuntimeError("simulated auth failure")
+
+        def __getattr__(self, name):  # everything else passes through
+            return getattr(self._real, name)
+
+    real_fs = store._fs
+    store._fs = lambda jpath: _FailingFS(real_fs(jpath))
+    with pytest.raises(RuntimeError, match="simulated auth failure"):
+        vacuum_store(store)
+
+
+def test_is_file_not_found_string_probe():
+    """Python-side fallback classification (no java_exception chain)."""
+    from pypgsync_spark.sync import _is_file_not_found
+
+    assert _is_file_not_found(
+        Exception("java.io.FileNotFoundException: File dst/a does not exist")
+    )
+    assert not _is_file_not_found(
+        Exception("org.apache.hadoop.security.AccessControlException: denied")
+    )
