@@ -39,9 +39,24 @@ def main() -> None:
     args = ap.parse_args()
 
     with open(os.path.join(ROOT, args.old)) as f:
-        old = json.load(f)["queries"]
+        old_doc = json.load(f)
     with open(os.path.join(ROOT, args.new)) as f:
-        new = json.load(f)["queries"]
+        new_doc = json.load(f)
+    old, new = old_doc["queries"], new_doc["queries"]
+
+    # r9 verdict #3: each artifact carries its own ambient-load
+    # evidence — print it next to the CODE/AMBIENT verdicts so the
+    # triage is self-contained (this box's co-tenant load swings
+    # 1.5-6.0 and moves every untouched multi-second query together).
+    def _load(doc, label):
+        la = doc.get("load_avg")
+        return (
+            f"{label} load_avg {la['start']}->{la['end']}"
+            if la
+            else f"{label} load_avg not recorded (pre-r10 artifact)"
+        )
+
+    print(f"{_load(old_doc, args.old)}  |  {_load(new_doc, args.new)}")
 
     from pypgsync_spark.queries import REGISTRY, _recorded_fingerprints
     from pypgsync_spark.queries.fingerprint import spec_fingerprint

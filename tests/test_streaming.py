@@ -1,0 +1,171 @@
+"""Streaming checkpoint-restart resilience (r9 verdict #5).
+
+The reference's headline resilience claim is "we can always stop and
+start the program again" (reference README.md:90). The batch side has
+replay/idempotency tests (test_sync.py); this is the streaming twin:
+kill the transition-gated balance stream MID-DRAIN with an injected
+foreachBatch crash, restart from the same checkpoint, and assert
+exactly-once convergence to the batch oracle — on both the default
+in-memory (HDFS-backed) and RocksDB state-store providers.
+
+Two crash points, because they fail differently when recovery is
+wrong:
+
+- crash BEFORE the epoch's files land → the restart must REPLAY the
+  uncommitted epoch (losing it under-counts);
+- crash AFTER the files land but before the checkpoint commit → the
+  replayed epoch re-writes its output; per-epoch OVERWRITE mode must
+  dedupe it (a plain append would double-count — foreachBatch is only
+  at-least-once).
+
+Gate state rolls back with the failed epoch (state commits with the
+batch), so the replayed rows must re-pass the gate rather than being
+suppressed by half-committed state — the oracle compare catches both
+the under- and over-count direction.
+"""
+
+from __future__ import annotations
+
+import glob
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pypgsync_spark.catalog import ensure_events_ts, load_table, table_path
+
+N_FILES = 6
+CRASH_EPOCH = 3  # epochs 0..2 commit, the drain dies inside epoch 3
+
+
+def _stage_incoming(spark, sf_small, tmp_path):
+    """Split the events fixture into N_FILES arrival files, landed flat
+    (the file stream lists top-level files only). event_id is unique in
+    the fixture, so any row→file split preserves the gate's semantics
+    and the batch oracle is the plain qualifying aggregate."""
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(table_path(sf_small, "events"))
+    staging = tmp_path / "_stage"
+    raw.repartition(N_FILES).write.parquet(str(staging))
+    parts = sorted(glob.glob(str(staging / "part-*.parquet")))
+    assert len(parts) == N_FILES
+    for i, p in enumerate(parts):
+        shutil.copy(p, incoming / f"f{i}.parquet")
+    return incoming, raw.schema
+
+
+def _writer(contrib_dir, crash_epoch=None, crash_after_write=False):
+    """The per-epoch overwrite writer gated_balance uses
+    (streaming/gated.py:280-285), with an optional injected crash."""
+
+    def write(batch, epoch_id):
+        if crash_epoch is not None and epoch_id == crash_epoch and not crash_after_write:
+            raise RuntimeError("injected crash before write")
+        batch.write.mode("overwrite").parquet(f"{contrib_dir}/epoch={epoch_id}")
+        if crash_epoch is not None and epoch_id == crash_epoch and crash_after_write:
+            raise RuntimeError("injected crash after write")
+
+    return write
+
+
+def _run_gate(spark, incoming, schema, ckpt, provider, writer):
+    """One availableNow drain of the gated contribution stream — the
+    same wiring as gated_balance (streaming/gated.py:244), with
+    maxFilesPerTrigger=1 so the drain is many micro-batches and a
+    mid-drain crash point exists."""
+    from pypgsync_spark.streaming.balance import (
+        state_store_provider,
+        stream_shuffle_partitions,
+    )
+    from pypgsync_spark.streaming.gated import (
+        gated_contributions_stream,
+        pin_num_buckets,
+    )
+
+    src = ensure_events_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(incoming)),
+        event_time=True,
+    )
+    pinned = pin_num_buckets(
+        spark, ckpt, "auto", spark.sparkContext.defaultParallelism
+    )
+    contrib = gated_contributions_stream(src, num_buckets=pinned)
+    with stream_shuffle_partitions(spark, "auto"), state_store_provider(
+        spark, provider
+    ):
+        q = (
+            contrib.writeStream.foreachBatch(writer)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()  # raises StreamingQueryException on crash
+
+
+def _balance_from_log(spark, contrib_dir):
+    # same aggregate gated_balance computes from its contribution log
+    return (
+        spark.read.parquet(str(contrib_dir))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("balance"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def _skip_unless_rocksdb(spark):
+    from pypgsync_spark.streaming.balance import ROCKSDB_PROVIDER
+
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(ROCKSDB_PROVIDER)
+    except Exception:
+        pytest.skip("RocksDB state store provider not in this Spark build")
+
+
+@pytest.mark.parametrize("provider", [None, "rocksdb"])
+@pytest.mark.parametrize("crash_after_write", [False, True])
+def test_gate_checkpoint_restart_exactly_once(
+    spark, sf_small, tmp_path, provider, crash_after_write
+):
+    if provider == "rocksdb":
+        _skip_unless_rocksdb(spark)
+
+    incoming, schema = _stage_incoming(spark, sf_small, tmp_path)
+    contrib = tmp_path / "contrib"
+    ckpt = str(tmp_path / "ckpt")
+
+    # run 1: dies inside epoch CRASH_EPOCH — a real mid-drain failure,
+    # surfaced through awaitTermination
+    with pytest.raises(Exception, match="injected crash"):
+        _run_gate(
+            spark,
+            incoming,
+            schema,
+            ckpt,
+            provider,
+            _writer(contrib, crash_epoch=CRASH_EPOCH, crash_after_write=crash_after_write),
+        )
+
+    # the crash really was mid-drain: ≥1 epoch committed, < all files
+    landed = {p.name for p in contrib.glob("epoch=*")} if contrib.exists() else set()
+    expected_landed = CRASH_EPOCH + (1 if crash_after_write else 0)
+    assert len(landed) == expected_landed
+    assert 0 < len(landed) < N_FILES
+
+    # run 2: restart from the SAME checkpoint with a healthy writer —
+    # must replay the uncommitted epoch and drain the rest
+    _run_gate(spark, incoming, schema, ckpt, provider, _writer(contrib))
+
+    from pypgsync_spark.streaming.balance import batch_balance
+
+    got = sorted(map(tuple, _balance_from_log(spark, contrib).collect()))
+    want = sorted(
+        map(tuple, batch_balance(load_table(spark, sf_small, "events")).collect())
+    )
+    assert got == want  # exactly-once: no lost epoch, no double-write
