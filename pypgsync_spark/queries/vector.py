@@ -647,3 +647,139 @@ def v11_ivf_kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_cos_to_centroid"),
     )
+
+
+_DUCK_TOKENS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+@register(
+    "pipe4_curation_pipeline",
+    bench=118,
+    survey="ext:quality,ext:dedup,ext:similarity,ext:text",
+    doc="End-to-end curation pipeline (r9 verdict #6): Gopher "
+    "structural-quality filter -> SemDeDup within k-means cells -> "
+    "token-budget packing, composing tx14 + d14 + pack1 (each green "
+    "individually) into the shape a real pretraining-data build runs. "
+    "Stage 1 keeps documents passing the four STRUCTURAL Gopher rules "
+    "(word count in [50,100000], mean word length in [3,10], "
+    "symbol-to-word <= 0.1, >= 80% alphabetic words; the fifth "
+    "'required stopwords' rule is deliberately omitted — the synthetic "
+    "fixture corpus is stopword-free word soup, so including it keeps "
+    "zero documents and the pipeline would be untestable; tx14 still "
+    "reports all five flags). Stage 2 drops the higher-id member of "
+    "every same-cell cosine>0.35 pair among SURVIVORS' embeddings "
+    "(d14's centroid/tie conventions; docs without an embedding pass "
+    "through — the realistic partial-coverage case). Stage 3 packs "
+    "the kept stream into 2048-token chunks per source via the "
+    "distributed two-level prefix sum. Scale: stage 1 is map-only "
+    "over one let-bound token array; stage 2 is the bounded per-cell "
+    "block GEMM (work after filtering is SMALLER than d14's); stage 3 "
+    "never plans a global window. The gopher metrics are "
+    "lazily checkpointed so the anti-join and the embedding semi-join "
+    "read ONE materialization.",
+    oracle=f"""
+    WITH tkd AS (SELECT doc_id, source, {_DUCK_TOKENS} AS tk FROM documents),
+    m AS (
+      SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tokens,
+             round(list_sum(list_transform(tk, w -> length(w))) * 1.0
+                   / greatest(len(tk), 1), 6) AS mwl,
+             round(len(list_filter(tk, w -> regexp_matches(w, '#|\\.\\.\\.'))) * 1.0
+                   / greatest(len(tk), 1), 6) AS swr,
+             round(len(list_filter(tk, w -> regexp_matches(w, '[a-z]'))) * 1.0
+                   / greatest(len(tk), 1), 6) AS awf
+      FROM tkd
+    ),
+    surv AS (
+      SELECT doc_id, source, n_tokens FROM m
+      WHERE n_tokens BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+        AND swr <= 0.1 AND awf >= 0.8
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    se AS (SELECT e.vec_id, e.v FROM e JOIN surv s ON e.vec_id = s.doc_id),
+    a AS (
+      SELECT vec_id, cid FROM (
+        SELECT se.vec_id, c.cid,
+               row_number() OVER (PARTITION BY se.vec_id ORDER BY
+                 list_dot_product(se.v, c.cv)
+                 / (sqrt(list_dot_product(se.v, se.v))
+                    * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                 c.cid) AS rn
+        FROM se CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    mm AS (SELECT se.vec_id, se.v, a.cid AS cell FROM se JOIN a USING (vec_id)),
+    p AS (
+      SELECT y.vec_id AS id_b
+      FROM mm x JOIN mm y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE list_dot_product(x.v, y.v)
+            / (sqrt(list_dot_product(x.v, x.v))
+               * sqrt(list_dot_product(y.v, y.v))) > 0.35
+    ),
+    kept AS (
+      SELECT s.* FROM surv s
+      WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.id_b = s.doc_id)
+    ),
+    off AS (
+      SELECT source, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM kept
+    )
+    SELECT source, CAST(off // 2048 AS BIGINT) AS chunk_id,
+           count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
+    FROM off GROUP BY source, chunk_id
+    """,
+)
+def pipe4_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.functions.text import tokens
+    from pypgsync_spark.operators.packing import pack_chunks
+    from pypgsync_spark.operators.similarity import cell_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    # token array aliased in its own select (tx6 CollapseProject
+    # discipline): the split runs once for all four derived metrics
+    tkd = docs.select("doc_id", "source", tokens(F.col("text")).alias("tk"))
+    tk = F.col("tk")
+    n = F.greatest(F.size(tk), F.lit(1))
+    m = tkd.select(
+        "doc_id",
+        "source",
+        F.size(tk).cast("long").alias("n_tokens"),
+        F.round(
+            F.aggregate(tk, F.lit(0), lambda a, w: a + F.length(w)) / n, 6
+        ).alias("mwl"),
+        F.round(F.size(F.filter(tk, lambda w: w.rlike(r"#|\.\.\."))) / n, 6).alias(
+            "swr"
+        ),
+        F.round(F.size(F.filter(tk, lambda w: w.rlike("[a-z]"))) / n, 6).alias("awf"),
+    )
+    # survivors materialized once (lazy checkpoint): read by BOTH the
+    # embedding semi-join and the final anti-join — without it the
+    # interpreted HOF metrics above would run twice
+    surv = (
+        m.filter(
+            F.col("n_tokens").between(50, 100000)
+            & F.col("mwl").between(3.0, 10.0)
+            & (F.col("swr") <= 0.1)
+            & (F.col("awf") >= 0.8)
+        )
+        .select("doc_id", "source", "n_tokens")
+        .localCheckpoint(eager=False)
+    )
+
+    emb = _emb(spark, sf_dir)
+    # d14's centroid convention: the 8 lowest-id vectors of the FULL
+    # table (a fixed reference frame, independent of the text filter)
+    cent_rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    centroids = [list(r["embedding"]) for r in cent_rows]
+    semb = emb.join(surv.select(F.col("doc_id").alias("vec_id")), "vec_id").select(
+        "vec_id", "embedding"
+    )
+    assigned = ivf_assign(semb, centroids)
+    pairs = cell_cosine_pairs(assigned, threshold=0.35)
+    # min-id keeper: any doc that is the HIGHER id of a near-dup pair
+    # is dropped; docs with no embedding never appear in pairs → kept
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = surv.join(dropped, "doc_id", "left_anti")
+    return pack_chunks(kept, "source", "doc_id", "n_tokens", budget=2048, bucket_size=1000)
