@@ -36,6 +36,13 @@ rows = df.count()
 print(f"entry(): {rows} rows, schema={df.columns}, {time.time()-t0:.1f}s")
 assert rows > 0
 
+print(
+    "note: 'WindowExec: No Partition Defined' warnings below come from "
+    "reference-literal W1/W2 global row_number shapes and tiny-row "
+    "queries; scale-path ranks are guarded against SinglePartition by "
+    "tests/test_plans.py"
+)
+
 qs = e.queries()
 if only:
     unknown = only - set(qs)
