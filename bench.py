@@ -440,9 +440,13 @@ def main() -> None:
         "queries_note": "slowest 10 of %d; full map in full_results" % len(times),
         "full_results": os.path.basename(local_path),
     }
-    print(json.dumps(summary, separators=(",", ":")))
 
+    # stop the JVM FIRST: its stderr (progress bars, shutdown chatter)
+    # interleaves by time with stdout in a merged capture, and the
+    # summary must be the LAST thing this process emits so a tail
+    # capture always ends on the parseable line.
     spark.stop()
+    print(json.dumps(summary, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

@@ -137,8 +137,51 @@ def v4_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "v5_ivf_topk",
     survey="ext:similarity",
     doc="IVF-style cell-probed top-10 (8 deterministic centroids, "
-    "2 probes). Rows-only; recall pytest-asserted.",
-    oracle=None,
+    "2 probes). Oracle-checked as of r10 (was rows-only): every step "
+    "is deterministic — first-max-wins assignment (d14's oracle CTE), "
+    "probe ranking by centroid cosine with lowest-cell-id ties "
+    "(driver-side seq_cosine, the math.sqrt/DuckDB-sqrt bit-parity "
+    "kernel), exact re-rank ordered by the ROUNDED similarity then "
+    "vec_id (brute_force_topk's exact sort key). Recall vs brute "
+    "force additionally pytest-asserted.",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    probe AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               row_number() OVER (ORDER BY
+                 list_dot_product(c.cv, q.qv)
+                 / (sqrt(list_dot_product(c.cv, c.cv))
+                    * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                 c.cid) AS rn
+        FROM c, q
+      ) WHERE rn <= 2
+    ),
+    a AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                 c.cid) AS rn
+        FROM e CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT e.vec_id, e.v FROM e JOIN a USING (vec_id)
+      WHERE a.cid IN (SELECT cid FROM probe)
+    )
+    SELECT vec_id,
+           round(list_dot_product(cand.v, q.qv)
+                 / (sqrt(list_dot_product(cand.v, cand.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+    FROM cand, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
 )
 def v5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)

@@ -414,3 +414,17 @@ def test_pipe3_encoder_is_arrow_batched_map(spark, sf_small):
     assert "ArrowEvalPython" in p
     assert "SinglePartition" not in p
     assert "BatchEvalPython" not in p  # never the row-at-a-time path
+
+
+def test_pipe4_plan_shape(spark, sf_small):
+    """pipe4 composes three scale contracts in one plan: the SemDeDup
+    GEMM stays keyed by (cell, block-pair) — a hot cell splits into
+    bounded sub-block tasks; the packing keeps pack1's
+    no-stream-wide-window contract; and no per-row Python anywhere
+    (the gopher stage is pure Column HOFs, the GEMM is Arrow-batched
+    applyInPandas)."""
+    p = plan_of(spark, sf_small, "pipe4_curation_pipeline")
+    assert "FlatMapGroupsInPandas" in p
+    assert "__bp" in p and "__bq" in p  # sub-block keys in the grouping
+    assert "SinglePartition" not in p
+    assert "BatchEvalPython" not in p  # never the row-at-a-time path
