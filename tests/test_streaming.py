@@ -158,6 +158,14 @@ def test_gate_checkpoint_restart_exactly_once(
     assert len(landed) == expected_landed
     assert 0 < len(landed) < N_FILES
 
+    # Force-unload every loaded state-store provider before the
+    # restart: within one JVM the provider cache would otherwise serve
+    # the gate's state from MEMORY, and the test would not prove the
+    # claim it exists for — that state is recovered from the CHECKPOINT
+    # on disk, the process-restart path. With the unload, run 2's first
+    # batch must reload its state maps from the checkpoint files.
+    spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+
     # run 2: restart from the SAME checkpoint with a healthy writer —
     # must replay the uncommitted epoch and drain the rest
     _run_gate(spark, incoming, schema, ckpt, provider, _writer(contrib))
