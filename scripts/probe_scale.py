@@ -1,29 +1,44 @@
-"""Linear-scaling probe for the headline sync merge (SCALE.md evidence).
+"""Linear-scaling probes for the headline operator families (SCALE.md
+evidence).
 
-The bench's headline figure (rows merged per second) is measured on
-the sf0.1 fixture — ~10⁵ rows, small enough that fixed per-job costs
-are a visible fraction. This probe stages the SAME events table at
-larger multipliers (id-shifted copies; timestamps unchanged, so the
-stale/delta split keeps its exact selectivity) and times the SAME
-upsert merge the bench probe runs (stale destination + fresh delta →
-last-writer-wins, queries/syncq.py::s3_upsert_merge's shape). If
-rows/s HOLDS OR GROWS as rows grow 10×, the merge is linear in this
-range — the plan properties SCALE.md claims (shuffle ~|keys|,
-WindowGroupLimit pre-shuffle top-1, no driver-side work proportional
-to rows) are being measured, not asserted.
+The bench measures at sf0.1 — ~10⁵ rows, small enough that fixed
+per-job costs are a visible fraction of every figure. These probes
+stage the SAME fixture tables at larger multipliers (id-shifted
+copies) and time the SAME operators the bench runs, so the scaling
+claims in SCALE.md are measured, not asserted. Throughput that holds
+or grows with input is the fixed-cost-amortization signature; the
+data-proportional part of each plan is what a 1000-executor cluster
+actually pays.
 
-Staged inputs live under a tempdir and are deleted afterwards; the
-fixture itself is never duplicated on disk inside the repo.
+Ops:
+  merge  — the headline upsert merge (stale dst + fresh delta →
+           last-writer-wins; queries/syncq.py::s3_upsert_merge shape).
+           Copies shift event_id; timestamps unchanged, so stale/delta
+           selectivity is exact.
+  dedup  — exact dedup (min-id keeper per content fingerprint,
+           operators/dedup.py::dedup_exact). Copies share text, so
+           group size GROWS with the multiplier — the dup-heavy-corpus
+           case, one keeper per content across all copies.
+  pack   — token-budget prefix sum (operators/packing.py::pack_chunks)
+           over pre-counted tokens: times the two-level scan machinery
+           itself, not tokenization.
+  gate   — the transition-gated streaming drain (streaming/gated.py::
+           gated_balance), each run a full from-scratch availableNow
+           drain with a fresh checkpoint.
+
+Staged inputs live under a tempdir and are deleted afterwards.
 
 Usage:
-    python scripts/probe_scale.py             # multipliers 1 10
-    python scripts/probe_scale.py 1 10 30     # up to ~18M rows at 30x
+    python scripts/probe_scale.py                 # merge at 1x, 10x
+    python scripts/probe_scale.py --op dedup 1 10 30
+    python scripts/probe_scale.py --op gate 1 10
 
 Prints one JSON line per multiplier plus a scaling summary.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import shutil
@@ -45,31 +60,29 @@ from pypgsync_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def stage(spark, mult: int, base: str) -> tuple[str, int]:
-    """Write events×mult (event_id shifted per copy) as 32 parquet
-    files; one staging job, excluded from the timed region."""
+def _multiply(df, mult: int, id_col: str, shift: int):
+    """mult id-shifted copies of df (one staging job; not timed)."""
+    if mult == 1:
+        return df
+    return (
+        df.withColumn("__c", F.explode(F.array(*[F.lit(i) for i in range(mult)])))
+        .withColumn(id_col, F.col(id_col) + F.col("__c").cast("long") * F.lit(shift))
+        .drop("__c")
+    )
+
+
+def stage_events(spark, mult: int, base: str) -> str:
     ev = (
         load_table(spark, SF_DIR, "events")
         .withColumn("updated_ms", to_millis("ts"))
         .select("event_id", "updated_ms", "user_id", "event_type", "value", "props")
     )
-    if mult > 1:
-        ev = (
-            ev.withColumn(
-                "__c", F.explode(F.array(*[F.lit(i) for i in range(mult)]))
-            )
-            .withColumn(
-                "event_id",
-                F.col("event_id") + F.col("__c").cast("long") * F.lit(10**9),
-            )
-            .drop("__c")
-        )
     path = f"{base}/events_x{mult}"
-    ev.repartition(32).write.parquet(path)
-    return path, spark.read.parquet(path).count()
+    _multiply(ev, mult, "event_id", 10**9).repartition(32).write.parquet(path)
+    return path
 
 
-def merge_once(spark, path: str) -> None:
+def run_merge(spark, path: str) -> None:
     df = spark.read.parquet(path)
     stale = df.filter(F.col("updated_ms") < MS_JAN20).select(
         "event_id",
@@ -85,25 +98,104 @@ def merge_once(spark, path: str) -> None:
     ).write.format("noop").mode("overwrite").save()
 
 
+def stage_docs(spark, mult: int, base: str) -> str:
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    path = f"{base}/docs_x{mult}"
+    _multiply(d, mult, "doc_id", 10**7).repartition(32).write.parquet(path)
+    return path
+
+
+def run_dedup(spark, path: str) -> None:
+    from pypgsync_spark.operators.dedup import dedup_exact
+
+    dedup_exact(spark.read.parquet(path)).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
+def stage_tokens(spark, mult: int, base: str) -> str:
+    from pypgsync_spark.functions.text import token_count
+
+    d = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    path = f"{base}/tokens_x{mult}"
+    _multiply(d, mult, "doc_id", 10**7).repartition(32).write.parquet(path)
+    return path
+
+
+def run_pack(spark, path: str) -> None:
+    from pypgsync_spark.operators.packing import pack_chunks
+
+    pack_chunks(
+        spark.read.parquet(path), "source", "doc_id", "n_tokens", budget=2048
+    ).write.format("noop").mode("overwrite").save()
+
+
+def stage_gate(spark, mult: int, base: str) -> str:
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    path = f"{base}/gate_events_x{mult}"
+    _multiply(ev, mult, "event_id", 10**9).repartition(32).write.parquet(path)
+    return path
+
+
+def make_run_gate(base: str):
+    from pypgsync_spark.streaming.gated import gated_balance
+
+    counter = {"n": 0}
+
+    def run(spark, path: str) -> None:
+        # fresh checkpoint + contrib per run: every sample is a full
+        # from-scratch drain (the bench's RocksDB-runner convention)
+        counter["n"] += 1
+        work = f"{base}/gate_work_{counter['n']}"
+        schema = spark.read.parquet(path).schema
+        gated_balance(
+            spark,
+            source_path=path,
+            schema=schema,
+            contrib_dir=f"{work}/contrib",
+            checkpoint_dir=f"{work}/ckpt",
+        ).write.format("noop").mode("overwrite").save()
+
+    return run
+
+
 def main() -> None:
-    mults = [int(a) for a in sys.argv[1:]] or [1, 10]
-    spark = get_spark(app_name="pypgsync_spark_probe_scale")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--op", default="merge", choices=["merge", "dedup", "pack", "gate"])
+    ap.add_argument("multipliers", nargs="*", type=int, default=[1, 10])
+    args = ap.parse_args()
+    mults = args.multipliers or [1, 10]
+
+    spark = get_spark(app_name=f"pypgsync_spark_probe_{args.op}")
     spark.sparkContext.setLogLevel("ERROR")
-    base = tempfile.mkdtemp(prefix="probe_scale_")
+    base = tempfile.mkdtemp(prefix=f"probe_{args.op}_")
+    stage, run, n_warm = {
+        "merge": (stage_events, run_merge, 3),
+        "dedup": (stage_docs, run_dedup, 3),
+        "pack": (stage_tokens, run_pack, 3),
+        "gate": (stage_gate, make_run_gate(base), 2),  # drains are slow
+    }[args.op]
+
     results = []
     try:
         for m in mults:
-            path, n = stage(spark, m, base)
+            path = stage(spark, m, base)
+            n = spark.read.parquet(path).count()
             t0 = time.time()
-            merge_once(spark, path)  # cold: codegen + footer reads
+            run(spark, path)  # cold: codegen + footer reads (+ JNI for gate)
             cold = time.time() - t0
             warm = []
-            for _ in range(3):
+            for _ in range(n_warm):
                 t0 = time.time()
-                merge_once(spark, path)
+                run(spark, path)
                 warm.append(time.time() - t0)
             sec = min(warm)
             r = {
+                "op": args.op,
                 "multiplier": m,
                 "rows": n,
                 "cold_sec": round(cold, 3),
@@ -122,8 +214,8 @@ def main() -> None:
         print(
             json.dumps(
                 {
-                    "summary": f"{b['multiplier']}x/{a['multiplier']}x "
-                    "throughput ratio",
+                    "op": args.op,
+                    "summary": f"{b['multiplier']}x/{a['multiplier']}x throughput ratio",
                     "ratio": round(ratio, 3),
                     "linear_or_better": ratio >= 0.9,
                 }
