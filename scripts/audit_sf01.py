@@ -72,6 +72,12 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=SF01)
     args = ap.parse_args()
 
+    # driver_sim's positional parsing treats an argv[0] WITHOUT a '/'
+    # as a query name — absolutize so `--sf-dir sf0.1`-style relative
+    # values route to the sf_dir slot instead of failing as an unknown
+    # query.
+    args.sf_dir = os.path.abspath(args.sf_dir)
+
     names = audit_names()
     if args.list:
         print("\n".join(names))

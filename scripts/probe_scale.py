@@ -170,6 +170,11 @@ def main() -> None:
     args = ap.parse_args()
     mults = args.multipliers or [1, 10]
 
+    # ambient-load evidence (CLAUDE.md's uptime rule): sample BEFORE
+    # any Spark work — the per-line load_avg values below include the
+    # probe's own local[32] usage and cannot distinguish co-tenant load
+    load_avg_start = [round(x, 2) for x in os.getloadavg()]
+    print(json.dumps({"load_avg_start": load_avg_start}))
     spark = get_spark(app_name=f"pypgsync_spark_probe_{args.op}")
     spark.sparkContext.setLogLevel("ERROR")
     base = tempfile.mkdtemp(prefix=f"probe_{args.op}_")
@@ -209,7 +214,10 @@ def main() -> None:
         shutil.rmtree(base, ignore_errors=True)
         spark.stop()
     if len(results) >= 2:
-        a, b = results[0], results[-1]
+        # compare smallest vs largest MULTIPLIER, not argument order —
+        # `--op merge 10 1` must not report an inverted ratio
+        by_mult = sorted(results, key=lambda r: r["multiplier"])
+        a, b = by_mult[0], by_mult[-1]
         ratio = (b["rows_per_sec"] / a["rows_per_sec"]) if a["rows_per_sec"] else 0
         print(
             json.dumps(
