@@ -337,6 +337,10 @@ def main() -> None:
         "t8_rocksdb": t8_rocksdb,
         "continuous_soak": soak,
         "notes": {
+            "r10_catalog_growth": "r10 adds pipe4_curation_pipeline "
+            "at rank 118 (115 -> 116 benched ranks); compare "
+            "round-over-round on shared keys (bench_diff.py), not "
+            "totals.",
             "r10_bench_output": "stdout now ends with ONE compact "
             "summary JSON line (r9 verdict #1 - BENCH_r08/r09 landed "
             "parsed:null); the full artifact is this file. Soak and "
