@@ -16,9 +16,12 @@ Two physical formulations, both shuffle-once on the merge key:
   works for any column set, scales to arbitrarily many duplicates per
   key. This is the default.
 - ``coalesce_merge``: ``full_outer`` join + per-column ``coalesce`` —
-  the MERGE INTO shape; useful when the delta is small enough to
-  broadcast (Catalyst will pick broadcast-hash automatically under the
-  threshold, or callers can hint).
+  the MERGE INTO shape (delta wins unconditionally; see its docstring
+  for the version-ordering precondition that makes it equivalent);
+  useful when the delta is small enough to broadcast (Catalyst will
+  pick broadcast-hash automatically under the threshold, or callers
+  can hint). ``join_merge`` is the version-GUARDED join form for
+  bucketed destinations.
 
 At 100 TB the winning strategy is to keep the destination bucketed (or
 Delta/Iceberg-partitioned) on the merge key so the union-window shuffle
@@ -78,7 +81,19 @@ def coalesce_merge(
 ) -> DataFrame:
     """``MERGE INTO``-shaped full-outer merge: delta column wins where
     present, else destination. Assumes ``delta`` has at most one row per
-    key (pre-dedup with ``latest_per_key`` otherwise)."""
+    key (pre-dedup with ``latest_per_key`` otherwise).
+
+    CONTRACT (r10 review): this is MERGE INTO semantics — the delta row
+    wins UNCONDITIONALLY, with no version comparison. It converges to
+    :func:`upsert_merge`'s table only under the sync protocol's
+    invariant: the delta is latest-per-key AND every delta version is
+    >= the destination's for that key (exactly what the low-watermark
+    read guarantees, and what the s3b oracle exercises). A replayed or
+    out-of-order STALE delta regresses newer destination rows here —
+    use :func:`upsert_merge` or :func:`join_merge` (version-guarded)
+    when that can happen. Also inherent to the coalesce shape: a NULL
+    in a delta column resurrects the destination value, so it cannot
+    express set-to-NULL updates."""
     cols = dst.columns
     d = F.broadcast(delta) if broadcast_delta else delta
     joined = dst.alias("d").join(d.alias("s"), on=list(keys), how="full_outer")

@@ -32,8 +32,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-import os
-
 from pypgsync_spark.catalog import ensure_events_ts
 
 
@@ -101,11 +99,20 @@ def state_store_provider(spark: SparkSession, provider: str | None):
 def _file_stream(spark: SparkSession, schema: "T.StructType", source_path: str):
     """Parquet file-stream source. Spark's file source needs a
     *directory*; when handed a single file, stream its parent with a
-    pathGlobFilter restricted to that file name."""
+    pathGlobFilter restricted to that file name.
+
+    The is-it-a-file probe goes through the Hadoop FileSystem for the
+    URI's scheme (r10 review): ``os.path.isfile`` is always False for
+    hdfs://, s3a:// and explicit file: URIs, which would silently skip
+    the single-file workaround exactly where it is needed. A path that
+    does not exist yet (a landing zone created later) streams as a
+    directory, the previous behavior."""
     reader = spark.readStream.schema(schema)
-    if os.path.isfile(source_path):
-        reader = reader.option("pathGlobFilter", os.path.basename(source_path))
-        source_path = os.path.dirname(source_path)
+    jp = spark._jvm.org.apache.hadoop.fs.Path(source_path)
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jp) and fs.getFileStatus(jp).isFile():
+        reader = reader.option("pathGlobFilter", jp.getName())
+        source_path = str(jp.getParent())
     return reader.parquet(source_path)
 
 
@@ -115,16 +122,20 @@ def drain_to_memory(
     query_name: str,
     state_partitions: int | str | None = "auto",
     store_provider: str | None = None,
+    output_mode: str = "complete",
 ) -> DataFrame:
-    """Drain a streaming aggregate through a complete-mode memory sink
-    with an availableNow trigger and return the sink table — the ONE
-    place the drain idiom lives, so trigger/output-mode changes apply
-    once instead of in every stateful query (five copies before r8)."""
+    """Drain a streaming DataFrame through a memory sink with an
+    availableNow trigger and return the sink table — the ONE place the
+    drain idiom lives, so trigger/output-mode changes apply once
+    instead of in every stateful query (five copies before r8; the r10
+    review found three append-mode re-implementations, now folded in
+    via ``output_mode``: "complete" for running aggregates, "append"
+    for watermarked dedup / stream-stream joins / screens)."""
     with stream_shuffle_partitions(spark, state_partitions), state_store_provider(
         spark, store_provider
     ):
         q = (
-            agg.writeStream.outputMode("complete")
+            agg.writeStream.outputMode(output_mode)
             .format("memory")
             .queryName(query_name)
             .trigger(availableNow=True)

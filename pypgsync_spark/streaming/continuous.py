@@ -25,6 +25,37 @@ from pypgsync_spark.operators.merge import latest_per_key
 from pypgsync_spark.sync import ParquetSyncedTable, upsert_merge
 
 
+def _merge_stream_writer(
+    src: DataFrame,
+    store: ParquetSyncedTable,
+    keys: list[str],
+    version_col: str,
+    checkpoint_dir: str,
+    trigger: dict | None,
+    batch_rows: list[int] | None = None,
+):
+    """The ONE foreachBatch merge body both streaming syncs share (r10
+    review: it was duplicated verbatim between stream_sync and
+    stream_sync_cdc, the copy-with-slight-variation drift shape).
+    Dedup inside the batch first (a batch may carry several versions of
+    one key), then LWW-merge onto the store — idempotent, so epoch
+    replays after a crash are safe. ``batch_rows`` optionally collects
+    per-epoch input row counts (test/observability hook)."""
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch_rows is not None:
+            batch_rows.append(batch.count())
+        delta = latest_per_key(batch, keys, version_col)
+        dst = store.read()
+        merged = delta if dst is None else upsert_merge(dst, delta, keys, version_col)
+        store.write(merged)
+
+    writer = src.writeStream.foreachBatch(merge_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    return writer.trigger(**(trigger or {"availableNow": True})).start()
+
+
 def stream_sync(
     spark: SparkSession,
     source_path: str,
@@ -42,21 +73,7 @@ def stream_sync(
     default cadence) or ``{"availableNow": True}`` to drain and stop.
     """
     src = spark.readStream.schema(schema).parquet(source_path)
-
-    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
-        # Dedup inside the batch first (a batch may carry several
-        # versions of one key), then merge onto the store — idempotent,
-        # so epoch replays after a crash are safe.
-        delta = latest_per_key(batch, keys, version_col)
-        dst = store.read()
-        merged = delta if dst is None else upsert_merge(dst, delta, keys, version_col)
-        store.write(merged)
-
-    writer = src.writeStream.foreachBatch(merge_batch).option(
-        "checkpointLocation", checkpoint_dir
-    )
-    writer = writer.trigger(**(trigger or {"availableNow": True}))
-    return writer.start()
+    return _merge_stream_writer(src, store, keys, version_col, checkpoint_dir, trigger)
 
 
 def stream_sync_cdc(
@@ -89,17 +106,6 @@ def stream_sync_cdc(
     src = read_cdc_stream(
         spark, table_path, partition_column, num_partitions=num_partitions
     )
-
-    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
-        if batch_rows is not None:
-            batch_rows.append(batch.count())
-        delta = latest_per_key(batch, keys, version_col)
-        dst = store.read()
-        merged = delta if dst is None else upsert_merge(dst, delta, keys, version_col)
-        store.write(merged)
-
-    writer = src.writeStream.foreachBatch(merge_batch).option(
-        "checkpointLocation", checkpoint_dir
+    return _merge_stream_writer(
+        src, store, keys, version_col, checkpoint_dir, trigger, batch_rows=batch_rows
     )
-    writer = writer.trigger(**(trigger or {"availableNow": True}))
-    return writer.start()

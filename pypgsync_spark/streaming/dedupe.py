@@ -49,18 +49,15 @@ def dedup_within_watermark(
     deduped = src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(id_cols)
     )
-    from pypgsync_spark.streaming.balance import stream_shuffle_partitions
+    from pypgsync_spark.streaming.balance import drain_to_memory
 
-    with stream_shuffle_partitions(spark, state_partitions):
-        q = (
-            deduped.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(query_name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(query_name)
+    return drain_to_memory(
+        spark,
+        deduped,
+        query_name,
+        state_partitions=state_partitions,
+        output_mode="append",
+    )
 
 
 def stream_corpus_screen(
@@ -86,19 +83,16 @@ def stream_corpus_screen(
     Drains via availableNow into a memory sink and returns the result.
     """
     from pypgsync_spark.functions.text import content_fingerprint
-    from pypgsync_spark.streaming.balance import stream_shuffle_partitions
+    from pypgsync_spark.streaming.balance import drain_to_memory
 
     fp = content_fingerprint(text_col)
     screened = stream.withColumn("__fp", fp).join(
         corpus.select(fp.alias("__fp")), on="__fp", how="left_anti"
     ).drop("__fp")
-    with stream_shuffle_partitions(spark, state_partitions):
-        q = (
-            screened.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(query_name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(query_name)
+    return drain_to_memory(
+        spark,
+        screened,
+        query_name,
+        state_partitions=state_partitions,
+        output_mode="append",
+    )

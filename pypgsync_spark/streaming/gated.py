@@ -300,9 +300,16 @@ def gated_balance(
             .start()
         )
         q.awaitTermination()
-    import os
 
-    if not os.path.isdir(contrib_dir):
+    # Existence probe through the Hadoop FileSystem for the URI's
+    # scheme — NOT os.path: a remote contrib_dir (hdfs://, s3a://, or
+    # even an explicit file: URI) is invisible to the local-FS check,
+    # which would silently return an EMPTY balance after every epoch
+    # wrote its contributions remotely (r10 review). Same discipline
+    # as pin_num_buckets above.
+    jp = spark._jvm.org.apache.hadoop.fs.Path(contrib_dir)
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jp):
         # no epoch emitted anything (empty / fully-blocked source)
         contrib_empty = spark.createDataFrame([], CONTRIB_SCHEMA)
         return contrib_empty.groupBy("user_id").agg(

@@ -75,15 +75,27 @@ class _GateProcessor:
         )
 
     def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
         if self._seen.exists():
+            # refresh-on-touch (r10 review): re-writing the flag resets
+            # the native TTL, matching gated.py's retention model — an
+            # id stays in the contributed set while it keeps arriving;
+            # without this the TTL runs from FIRST contribution and a
+            # still-live id re-contributes when it expires.
+            self._seen.update((True,))
             return iter([])
-        first = None
-        for pdf in rows:
-            if len(pdf):
-                first = pdf.iloc[[0]][["event_id", "user_id", "value"]]
-                break
-        if first is None:
+        chunks = [pdf for pdf in rows if len(pdf)]
+        if not chunks:
             return iter([])
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        # earliest-ts qualifying version, stable sort — gated.py:117's
+        # exact semantics (r10 review: Arrow chunk order is arbitrary,
+        # so emitting the first row seen was nondeterministic when one
+        # batch carried two qualifying versions of an id)
+        first = pdf.sort_values("ts", kind="mergesort").iloc[[0]][
+            ["event_id", "user_id", "value"]
+        ]
         self._seen.update((True,))
         return iter([first])
 
@@ -122,7 +134,13 @@ def gated_balance_tws(
     proc_cls = type("GateProcessor", (StatefulProcessor,), dict(_GateProcessor.__dict__))
     src = ensure_events_ts(_file_stream(spark, schema, source_path), event_time=True)
     qualifying = src.filter(F.col("event_type") != blocked).select(
-        "event_id", "user_id", "value"
+        "event_id",
+        "user_id",
+        "value",
+        # micros, not cast("long") — same tie-break resolution as
+        # gated.py:231; the gate sorts on this to emit the EARLIEST
+        # qualifying version deterministically
+        F.unix_micros(F.col("ts")).alias("ts"),
     )
     contrib = qualifying.groupBy("event_id").transformWithStateInPandas(
         statefulProcessor=proc_cls(ttl_ms),

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pypgsync_spark.catalog import ensure_events_ts
-from pypgsync_spark.streaming.balance import _file_stream, stream_shuffle_partitions
+from pypgsync_spark.streaming.balance import _file_stream, drain_to_memory
 
 
 def interval_join_events(
@@ -68,13 +68,10 @@ def interval_join_events(
         & (F.col("click_ts") <= F.col("error_ts")),
         "inner",
     ).select("error_id", "click_id")
-    with stream_shuffle_partitions(spark, state_partitions):
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(query_name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(query_name)
+    return drain_to_memory(
+        spark,
+        joined,
+        query_name,
+        state_partitions=state_partitions,
+        output_mode="append",
+    )

@@ -350,9 +350,20 @@ def compact_store(
         return {"files_before": 0, "files_after": 0, "bytes": 0, "compacted": False}
     p = store._jpath(cur)
     fs = store._fs(p)
+    try:
+        statuses = list(fs.listStatus(p))
+    except Exception as e:
+        if _is_file_not_found(e):
+            # dangling pointer (current generation directory missing) —
+            # the state read() tolerates as None and vacuum_store as a
+            # no-op; compaction likewise has nothing to rewrite (r10
+            # review: this previously crashed while its siblings
+            # degraded gracefully)
+            return {"files_before": 0, "files_after": 0, "bytes": 0, "compacted": False}
+        raise
     parts = [
         s
-        for s in fs.listStatus(p)
+        for s in statuses
         if s.getPath().getName().endswith(".parquet")
     ]
     total = sum(s.getLen() for s in parts)

@@ -209,3 +209,90 @@ def test_tws_gate_runs_or_is_cleanly_gated(spark, sf_small):
         qualifying(load_table(spark, sf_small, "events"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_gated_balance_scheme_qualified_uris(spark, tmp_path):
+    """r10 review: the contrib-dir existence probe and _file_stream's
+    single-file probe go through the Hadoop FileSystem for the URI's
+    scheme. With os.path probes, an explicit file: URI (the closest a
+    sandbox gets to hdfs://s3a://) silently produced an EMPTY balance
+    (contrib dir 'missing') and skipped the single-file pathGlobFilter
+    workaround."""
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    _land(spark, incoming, "b1", [
+        (1, 100 * NS, 1, "error", 50.0, "{}"),
+        (2, 100 * NS, 1, "click", 10.0, "{}"),
+    ])
+    src_file = next(incoming.glob("*.parquet"))
+    bal = gated_balance(
+        spark,
+        f"file:{src_file}",                 # single FILE, scheme-qualified
+        SCHEMA,
+        f"file:{tmp_path}/contrib",         # scheme-qualified contrib dir
+        f"file:{tmp_path}/ckpt",
+    )
+    got = {(r["user_id"], r["balance"], r["n_events"]) for r in bal.collect()}
+    assert got == {(1, 10.0, 1)}
+
+
+def test_tws_gate_handler_exact_semantics():
+    """The transformWithState runtime cannot execute in this container
+    (no protobuf), but the handler is plain pandas — unit-test it with
+    a fake ValueState. r10 review found two divergences from gated.py:
+    arbitrary-first-row emission (nondeterministic when one batch holds
+    two qualifying versions) and no TTL refresh-on-touch."""
+    import pandas as pd
+
+    from pypgsync_spark.streaming.gated_tws import _GateProcessor
+
+    class FakeState:
+        def __init__(self):
+            self.value = None
+            self.updates = 0
+
+        def exists(self):
+            return self.value is not None
+
+        def update(self, v):
+            self.value = v
+            self.updates += 1
+
+    p = _GateProcessor(ttl_ms=None)
+    p._seen = FakeState()
+    # two qualifying versions of id 7 in ONE batch, later-ts row first
+    # in the Arrow chunk AND an earlier-ts row in a LATER chunk — the
+    # earliest ts across all chunks must win
+    chunk1 = pd.DataFrame(
+        {"event_id": [7], "user_id": [1], "value": [99.0], "ts": [200]}
+    )
+    chunk2 = pd.DataFrame(
+        {"event_id": [7], "user_id": [1], "value": [10.0], "ts": [100]}
+    )
+    out = list(p.handleInputRows((7,), iter([chunk1, chunk2]), None))
+    assert len(out) == 1
+    assert out[0]["value"].iloc[0] == 10.0  # earliest-ts version, not first-seen
+    assert p._seen.exists() and p._seen.updates == 1
+
+    # re-delivery: suppressed, and the flag is REFRESHED (TTL reset)
+    out2 = list(p.handleInputRows((7,), iter([chunk1]), None))
+    assert out2 == []
+    assert p._seen.updates == 2  # refresh-on-touch
+
+
+def test_compact_store_dangling_pointer_noop(spark, sf_small, tmp_path):
+    """r10 review: _CURRENT naming a missing generation must be a
+    compacted=False no-op like its siblings (read() -> None,
+    vacuum_store -> []), not a FileNotFoundException crash."""
+    import shutil
+
+    from pypgsync_spark.catalog import load_table
+    from pypgsync_spark.sync import ParquetSyncedTable, compact_store
+
+    src = load_table(spark, sf_small, "events").select("event_id", "value")
+    store = ParquetSyncedTable(spark, str(tmp_path / "dst"))
+    store.write(src)
+    cur_name = store._current().rsplit("/", 1)[-1]
+    shutil.rmtree(tmp_path / "dst" / cur_name)
+    stats = compact_store(store)
+    assert stats == {"files_before": 0, "files_after": 0, "bytes": 0, "compacted": False}
