@@ -110,9 +110,15 @@ def asof_join(
     )
     unioned = r.withColumn(_LEFT, F.lit(None).cast(l.schema[_LEFT].dataType)).unionByName(l)
 
-    order = [F.col(_TS).asc(), F.col(_SIDE).asc()]
+    # NULLS FIRST in BOTH directions (r10 review): a left row with a
+    # NULL timestamp has no position on the axis and must match
+    # nothing (SQL/DuckDB ASOF semantics). Ascending order defaults to
+    # nulls-first, but descending defaults to nulls-LAST — which
+    # placed NULL-ts left rows after every right row, and
+    # last(ignorenulls) handed them the smallest-ts payload.
+    order = [F.col(_TS).asc_nulls_first(), F.col(_SIDE).asc()]
     if direction == "forward":
-        order = [F.col(_TS).desc(), F.col(_SIDE).asc()]
+        order = [F.col(_TS).desc_nulls_first(), F.col(_SIDE).asc()]
     w = (
         Window.partitionBy(*[F.col(k) for k in keys])
         .orderBy(*order)

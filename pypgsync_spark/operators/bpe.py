@@ -254,7 +254,13 @@ def bpe_tokens(text_col: str, merges: list[tuple[str, str]]):
     import re
 
     ranks = {pair: i for i, pair in enumerate(merges)}
-    pattern = re.compile(BPE_ISH_PATTERN)
+    # re.ASCII (r10 review): Java regex (training/counting side) and
+    # RE2 (the DuckDB oracles) both read \s as ASCII whitespace, while
+    # Python's default is Unicode — a U+00A0 in scraped text would be
+    # a punctuation-run WORD to the trainer but invisible whitespace
+    # to this encoder, silently diverging the encoded stream from the
+    # trained vocabulary's distribution.
+    pattern = re.compile(BPE_ISH_PATTERN, re.ASCII)
 
     @F.pandas_udf("array<string>")
     def enc(texts: pd.Series) -> pd.Series:

@@ -94,6 +94,54 @@ def spread_if_underpartitioned(df: DataFrame) -> DataFrame:
     return df.repartition(par)
 
 
+def ppjoin_prefixes(
+    ex: DataFrame,
+    freq: DataFrame,
+    threshold: float,
+    id_col: str = "id",
+    sz_col: str = "sz",
+    sh_col: str = "sh",
+) -> DataFrame:
+    """AllPairs/PPJoin prefix build — THE shared numerically/logically
+    sensitive kernel of every exact near-dup join here (r10 review: it
+    had drifted into two inline copies, the forked-kernel shape
+    similarity.py's GEMM note warns about).
+
+    Given the exploded ``(id, sz, sh)`` stream and a ``(sh, __freq)``
+    canonical-frequency table, keep each doc's
+    ``(size − ⌈θ·size⌉ + 1)``-prefix under the one total order
+    (ascending frequency, ties by shingle value — rarest first, so
+    distinct documents rarely collide on their prefixes).
+
+    Prefix-filter lemma: J(A,B) > θ ⟹ |A∩B| > θ·max(|A|,|B|), so
+    overlap t ≥ ⌈θ·|A|⌉ — and two sets sorted by one total order with
+    overlap ≥ t must collide within their (size − t + 1)-prefixes.
+    Partitioning the rank window by doc id is skew-free (per-doc
+    shingle counts are bounded by doc length).
+    """
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__freq").asc(), F.col(sh_col).asc()
+    )
+    return (
+        ex.join(freq, on=sh_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(
+            F.col("__rk")
+            <= F.col(sz_col) - F.ceil(F.lit(threshold) * F.col(sz_col)) + 1
+        )
+        .select(id_col, sz_col, sh_col)
+    )
+
+
+def ppjoin_length_filter(sz_a: str, sz_b: str, threshold: float) -> Column:
+    """PPJoin length filter: J ≤ min/max ⟹ any qualifying pair has
+    θ·|A| < |B| AND θ·|B| < |A| — applied inside the candidate
+    equi-join to prune cross-size collisions."""
+    return (F.col(sz_a) * threshold < F.col(sz_b)) & (
+        F.col(sz_b) * threshold < F.col(sz_a)
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two distinct-element arrays.
 
@@ -196,23 +244,9 @@ def ngram_jaccard_pairs(
             F.explode("shingles").alias("sh"),
         )
         freq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("__freq"))
-        w = Window.partitionBy("id").orderBy(F.col("__freq").asc(), F.col("sh").asc())
-        # Prefix-filter lemma: J(A,B) > θ ⟹ |A∩B| > θ·max(|A|,|B|), so
-        # overlap t ≥ ⌈θ·|A|⌉ — and two sets sorted by one total order
-        # with overlap ≥ t must collide within their (size − t + 1)-
-        # prefixes. Partitioning the rank window by doc id is skew-free
-        # (per-doc shingle counts are bounded by doc length).
-        pref = (
-            ex.join(freq, on="sh")
-            .withColumn("__rk", F.row_number().over(w))
-            .filter(
-                F.col("__rk")
-                <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-            )
-            .select("id", "sz", "sh")
-        )
-        # PPJoin length filter inside the equi-join: J ≤ min/max ⟹ any
-        # qualifying pair has θ·|A| < |B| and θ·|B| < |A|.
+        # shared AllPairs/PPJoin kernel — see ppjoin_prefixes /
+        # ppjoin_length_filter for the lemmas
+        pref = ppjoin_prefixes(ex, freq, threshold)
         cand = (
             pref.select(
                 F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "sh"
@@ -225,8 +259,7 @@ def ngram_jaccard_pairs(
             )
             .filter(
                 (F.col("id_a") < F.col("id_b"))
-                & (F.col("sz_a") * threshold < F.col("sz_b"))
-                & (F.col("sz_b") * threshold < F.col("sz_a"))
+                & ppjoin_length_filter("sz_a", "sz_b", threshold)
             )
             .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])

@@ -123,29 +123,20 @@ def cross_jaccard_pairs(
         # partitions
         freq = freq.localCheckpoint(eager=False)
 
+    # shared AllPairs/PPJoin kernel (r10 review: this was a second
+    # inline copy of the prefix build; a bound/tie-order fix in one
+    # place would have silently left the other incomplete)
+    from pypgsync_spark.operators.dedup import ppjoin_length_filter, ppjoin_prefixes
+
     def prefixes(ex: DataFrame, side: str) -> DataFrame:
-        w = Window.partitionBy(f"id_{side}").orderBy(
-            F.col("__freq").asc(), F.col("sh").asc()
-        )
-        return (
-            ex.join(freq, on="sh")
-            .withColumn("__rk", F.row_number().over(w))
-            .filter(
-                F.col("__rk")
-                <= F.col(f"sz_{side}")
-                - F.ceil(F.lit(threshold) * F.col(f"sz_{side}"))
-                + 1
-            )
-            .select(f"id_{side}", f"sz_{side}", "sh")
+        return ppjoin_prefixes(
+            ex, freq, threshold, id_col=f"id_{side}", sz_col=f"sz_{side}"
         )
 
     cand = (
         prefixes(ed, "d")
         .join(prefixes(ec, "c"), on="sh")
-        .filter(
-            (F.col("sz_d") * threshold < F.col("sz_c"))
-            & (F.col("sz_c") * threshold < F.col("sz_d"))
-        )
+        .filter(ppjoin_length_filter("sz_d", "sz_c", threshold))
         .select("id_d", "id_c")
         .dropDuplicates(["id_d", "id_c"])
     )

@@ -17,11 +17,11 @@ Two physical formulations, both shuffle-once on the merge key:
   key. This is the default.
 - ``coalesce_merge``: ``full_outer`` join + per-column ``coalesce`` —
   the MERGE INTO shape (delta wins unconditionally; see its docstring
-  for the version-ordering precondition that makes it equivalent);
-  useful when the delta is small enough to broadcast (Catalyst will
-  pick broadcast-hash automatically under the threshold, or callers
-  can hint). ``join_merge`` is the version-GUARDED join form for
-  bucketed destinations.
+  for the version-ordering precondition that makes it equivalent, and
+  for why there is NO broadcast fast path — full-outer joins cannot
+  broadcast). ``join_merge`` is the version-GUARDED join form whose
+  full-outer sort-merge exploits a bucketed destination (only the
+  delta shuffles).
 
 At 100 TB the winning strategy is to keep the destination bucketed (or
 Delta/Iceberg-partitioned) on the merge key so the union-window shuffle
@@ -77,7 +77,6 @@ def coalesce_merge(
     dst: DataFrame,
     delta: DataFrame,
     keys: Sequence[str],
-    broadcast_delta: bool = False,
 ) -> DataFrame:
     """``MERGE INTO``-shaped full-outer merge: delta column wins where
     present, else destination. Assumes ``delta`` has at most one row per
@@ -93,10 +92,16 @@ def coalesce_merge(
     use :func:`upsert_merge` or :func:`join_merge` (version-guarded)
     when that can happen. Also inherent to the coalesce shape: a NULL
     in a delta column resurrects the destination value, so it cannot
-    express set-to-NULL updates."""
+    express set-to-NULL updates.
+
+    No broadcast path: Spark cannot broadcast either side of a
+    FULL OUTER join (the hint is ignored with a warning and the plan
+    stays SortMergeJoin — r10 review, plan-probed on 4.1.2), so the
+    former ``broadcast_delta`` flag was a silent no-op and is gone.
+    Small-delta fast paths belong to :func:`join_merge` on a bucketed
+    destination (no dst shuffle) or plain :func:`upsert_merge`."""
     cols = dst.columns
-    d = F.broadcast(delta) if broadcast_delta else delta
-    joined = dst.alias("d").join(d.alias("s"), on=list(keys), how="full_outer")
+    joined = dst.alias("d").join(delta.alias("s"), on=list(keys), how="full_outer")
     picked = [
         F.coalesce(F.col(f"s.{c}"), F.col(f"d.{c}")).alias(c)
         for c in cols

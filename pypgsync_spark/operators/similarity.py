@@ -251,9 +251,15 @@ def cosine_pairs_lsh_gated(
         )
 
     pairs = banded.groupBy("band", "val").applyInPandas(gemm_bucket, _pair_schema())
-    # A pair that agrees on k bands is emitted k times with identical
-    # rounded cos_sim — one distinct dedupes across bands.
-    return pairs.distinct()
+    # A pair agreeing on k bands is emitted k times; dedupe by the PAIR
+    # KEY with a deterministic max over the scores — NOT distinct() on
+    # the rounded float (r10 review): each bucket's GEMM runs on a
+    # different-shaped sub-matrix, so the same pair's cosine can differ
+    # in the last ulp across bands, and if that straddles a 1e-6
+    # rounding boundary distinct() would keep BOTH rows (this repo's
+    # r8 history shows 1-ulp float divergences are real). Same shuffle
+    # cost — the hit set is the only thing moving either way.
+    return pairs.groupBy("id_a", "id_b").agg(F.max("cos_sim").alias("cos_sim"))
 
 
 def cosine_pairs_expr(
@@ -450,11 +456,20 @@ def knn_join(
         def emit(a_idx: np.ndarray, b_idx: np.ndarray, same: bool) -> None:
             if len(a_idx) == 0 or len(b_idx) == 0:
                 return
+            # b-side columns in ascending nbr_id order, then a STABLE
+            # descending-cos argsort: the local top-k is selected by
+            # exactly the oracle's (cos DESC, nbr_id ASC) order. The
+            # previous argpartition broke boundary ties arbitrarily
+            # (r10 review): with k+1 equal-cosine neighbors in one
+            # block — duplicate embeddings, routine in near-dup
+            # corpora — it could drop the lowest-nbr_id candidate the
+            # global window needs, nondeterministically across runs.
+            b_idx = b_idx[np.argsort(ids[b_idx], kind="stable")]
             sims = mat[a_idx] @ mat[b_idx].T
             if same:
                 sims[ids[a_idx][:, None] == ids[b_idx][None, :]] = -np.inf
             kk = min(k, sims.shape[1])
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            part = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
             rows = np.repeat(np.arange(len(a_idx)), kk)
             cols = part.ravel()
             cand = pd.DataFrame(

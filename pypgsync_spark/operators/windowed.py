@@ -105,7 +105,11 @@ def distributed_row_number(
     off_map = F.create_map(*map_lits) if map_lits else F.create_map(F.lit(0), F.lit(0))
     return (
         ranged.mapInPandas(local_index, schema)
-        .withColumn(out, (F.col("__lrn") + off_map[F.col("__pid")]).cast("int"))
+        # long, not int (r10 review): past 2^31 rows an int cast throws
+        # CAST_OVERFLOW under ANSI (or wraps negative without it) — the
+        # exact scale this two-pass rank exists for; DuckDB/ANSI
+        # row_number is BIGINT anyway
+        .withColumn(out, (F.col("__lrn") + off_map[F.col("__pid")]).cast("long"))
         .drop("__pid", "__lrn")
     )
 

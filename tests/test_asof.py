@@ -107,3 +107,25 @@ def test_asof_null_keys_never_match(spark):
         key=str,
     )
     assert got == sorted([(None, 10, None), (1, 10, "real")], key=str)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_null_left_ts_matches_nothing(spark, direction):
+    """r10 review: a left row with a NULL timestamp has no position on
+    the time axis and must match nothing (SQL/DuckDB ASOF semantics).
+    The forward path previously ordered ts DESC with Spark's default
+    nulls-LAST, which handed NULL-ts left rows the smallest-ts right
+    payload."""
+    from pyspark.sql import types as T
+
+    l_schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("ts", T.LongType())]
+    )
+    l = spark.createDataFrame([(1, None), (1, 5)], l_schema)
+    r = spark.createDataFrame([(1, 3, "x"), (1, 7, "y")], ["k", "ts", "v"])
+    got = {
+        (row["k"], row["ts"], row["v"])
+        for row in asof_join(l, r, ["k"], "ts", direction=direction).collect()
+    }
+    want_matched = (1, 5, "x") if direction == "backward" else (1, 5, "y")
+    assert got == {(1, None, None), want_matched}
