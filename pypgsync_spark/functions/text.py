@@ -118,12 +118,17 @@ def lang_id(text: Column | str) -> Column:
     """Pick the language whose marker-stopword count is highest;
     deterministic tie-break by language-code order; 'und' when no
     marker hits at all (word-soup docs land here often — fine, the
-    oracle computes the identical function)."""
+    oracle computes the identical function); NULL text → NULL label
+    (r10 review: with NULL scores every WHEN condition skips, so the
+    otherwise() branch was silently labeling NULL docs as the last
+    language in code order)."""
     t = tokens(text)
     scores = lang_scores(t)
     langs = sorted(scores)  # fixed order => deterministic ties
     m = F.greatest(*[scores[lang] for lang in langs])
-    expr = F.when(m == 0, F.lit("und"))
+    expr = F.when(t.isNull(), F.lit(None).cast("string")).when(
+        m == 0, F.lit("und")
+    )
     for lang in langs[:-1]:
         expr = expr.when(scores[lang] == m, F.lit(lang))
     return expr.otherwise(F.lit(langs[-1]))

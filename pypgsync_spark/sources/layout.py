@@ -37,6 +37,19 @@ from pyspark.sql import functions as F
 
 def _interleave(grids: list[Column], bits: int) -> Column:
     n = len(grids)
+    # A signed-long z key has 63 usable bit positions: position
+    # i*n + j must stay < 63, or bit 63 (the SIGN bit) flips rows in
+    # the upper half of a column's range to NEGATIVE z — sorting them
+    # FIRST and breaking the curve — and positions >= 64 wrap mod 64
+    # (Java <<), aliasing high bits onto low ones (r10 review: the
+    # default bits=16 already overflows at 4 columns). Auto-reduce to
+    # the usable precision, dropping each grid's LEAST significant
+    # bits — the high bits carry the coarse spatial structure min/max
+    # skipping uses, so this degrades resolution, never correctness.
+    usable = 63 // n
+    if bits > usable:
+        grids = [F.shiftrightunsigned(g, bits - usable) for g in grids]
+        bits = usable
     z = F.lit(0).cast("long")
     for i in range(bits):
         for j, g in enumerate(grids):

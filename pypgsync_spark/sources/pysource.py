@@ -87,12 +87,30 @@ _TYPE_MAP = {
 }
 
 
-def _sql_literal(v) -> str:
+def _sql_literal(v) -> str | None:
+    """Render a pushed filter value as a SQL literal, or None when the
+    type cannot be rendered faithfully — the caller then DECLINES the
+    pushdown and Spark evaluates the filter post-scan (r10 review:
+    str(date(2024,1,1)) produced the unquoted 2024-01-01, which DuckDB
+    binds as integer arithmetic = 2022)."""
+    import datetime
+    import math
+
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
-    if isinstance(v, bool):
+    if isinstance(v, bool):  # before int: bool is an int subclass
         return "TRUE" if v else "FALSE"
-    return str(v)
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return str(v) if math.isfinite(v) else None
+    if isinstance(v, datetime.datetime):  # before date: datetime subclasses it
+        if v.tzinfo is not None:
+            return None  # tz-aware semantics differ per engine — decline
+        return "TIMESTAMP '" + v.isoformat(sep=" ") + "'"
+    if isinstance(v, datetime.date):
+        return "DATE '" + v.isoformat() + "'"
+    return None  # Decimal, bytes, lists, ... — decline, never str(v)
 
 
 def _compile_filter(f: Filter) -> str | None:
@@ -103,16 +121,17 @@ def _compile_filter(f: Filter) -> str | None:
     if not attr or len(attr) != 1:
         return None
     col = '"' + attr[0].replace('"', '""') + '"'
-    if isinstance(f, EqualTo):
-        return f"{col} = {_sql_literal(f.value)}"
-    if isinstance(f, GreaterThan):
-        return f"{col} > {_sql_literal(f.value)}"
-    if isinstance(f, GreaterThanOrEqual):
-        return f"{col} >= {_sql_literal(f.value)}"
-    if isinstance(f, LessThan):
-        return f"{col} < {_sql_literal(f.value)}"
-    if isinstance(f, LessThanOrEqual):
-        return f"{col} <= {_sql_literal(f.value)}"
+    ops = {
+        EqualTo: "=",
+        GreaterThan: ">",
+        GreaterThanOrEqual: ">=",
+        LessThan: "<",
+        LessThanOrEqual: "<=",
+    }
+    for cls, op in ops.items():
+        if isinstance(f, cls):
+            lit = _sql_literal(f.value)
+            return None if lit is None else f"{col} {op} {lit}"
     if isinstance(f, IsNotNull):
         return f"{col} IS NOT NULL"
     if isinstance(f, IsNull):
@@ -189,13 +208,7 @@ class SqlSliceReader(DataSourceReader):
         return parts
 
     def read(self, partition):
-        import duckdb
-
-        reader = duckdb.connect().execute(partition.sql).fetch_record_batch(
-            rows_per_batch=self.fetch_size
-        )
-        for batch in reader:
-            yield batch
+        yield from _read_arrow_slices(partition.sql, self.fetch_size)
 
 
 class SqlSliceDataSource(DataSource):
@@ -341,13 +354,7 @@ class SqlCdcStreamReader(DataSourceStreamReader):
         )
 
     def read(self, partition):
-        import duckdb
-
-        reader = duckdb.connect().execute(partition.sql).fetch_record_batch(
-            rows_per_batch=self.fetch_size
-        )
-        for batch in reader:
-            yield batch
+        yield from _read_arrow_slices(partition.sql, self.fetch_size)
 
     def commit(self, end: dict) -> None:
         # offset durability is the checkpoint's job; the source keeps
@@ -403,6 +410,53 @@ class _StagedFile(WriterCommitMessage):
     rows: int
 
 
+def _stage_arrow(staging_dir: str, iterator) -> _StagedFile:
+    """Stage one task's Arrow batches as a parquet cursor file — THE
+    task-side half of every sink here (r10 review: it had drifted into
+    three near-identical copies). Empty partitions stage nothing and
+    report zero rows."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(staging_dir, exist_ok=True)
+    path = f"{staging_dir}/task-{uuid.uuid4().hex}.parquet"
+    writer = None
+    rows = 0
+    for batch in iterator:
+        if writer is None:
+            writer = pq.ParquetWriter(path, batch.schema)
+        writer.write_batch(batch)
+        rows += batch.num_rows
+    if writer is None:
+        return _StagedFile(path="", rows=0)
+    writer.close()
+    return _StagedFile(path=path, rows=rows)
+
+
+def _read_arrow_slices(sql: str, fetch_size: int):
+    """Execute one slice's SQL and stream Arrow record batches — the
+    shared cursor body of the batch and CDC readers."""
+    import duckdb
+
+    reader = duckdb.connect().execute(sql).fetch_record_batch(
+        rows_per_batch=fetch_size
+    )
+    for batch in reader:
+        yield batch
+
+
+def _message_staging_dirs(messages) -> set[str]:
+    """The staging directories the commit messages actually name —
+    cleanup scoped to THESE, never a destination-wide glob (r10
+    review: a glob sweep could reap a CONCURRENT writer's staging for
+    the same destination while its tasks were still running)."""
+    import os
+
+    return {os.path.dirname(m.path) for m in messages if m and m.path}
+
+
 class SqlBatchArrowWriter(DataSourceArrowWriter):
     """S4 — batched executor-side writes with a real two-phase commit.
 
@@ -427,28 +481,7 @@ class SqlBatchArrowWriter(DataSourceArrowWriter):
         self.staging = f"{self.dest}/_staging_{uuid.uuid4().hex}"
 
     def write(self, iterator):
-        import os
-        import uuid
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        os.makedirs(self.staging, exist_ok=True)
-        path = f"{self.staging}/task-{uuid.uuid4().hex}.parquet"
-        writer = None
-        rows = 0
-        for batch in iterator:
-            if writer is None:
-                writer = pq.ParquetWriter(path, batch.schema)
-            writer.write_batch(batch)
-            rows += batch.num_rows
-        if writer is not None:
-            writer.close()
-        else:
-            # empty partition still stages an empty marker-less file?
-            # no — stage nothing, report zero rows
-            return _StagedFile(path="", rows=0)
-        return _StagedFile(path=path, rows=rows)
+        return _stage_arrow(self.staging, iterator)
 
     def commit(self, messages):
         import glob
@@ -459,15 +492,25 @@ class SqlBatchArrowWriter(DataSourceArrowWriter):
         if self.overwrite:
             for old in glob.glob(f"{self.dest}/*.parquet"):
                 os.remove(old)
+            # a fresh overwritten destination must not inherit a prior
+            # streaming query's idempotency markers — they would make a
+            # NEW stream to this dest silently drop its early batches
+            # (r10 review)
+            for marker in glob.glob(f"{self.dest}/_committed_*"):
+                os.remove(marker)
         for m in messages:
             if m and m.path:
                 shutil.move(m.path, f"{self.dest}/{os.path.basename(m.path)}")
         shutil.rmtree(self.staging, ignore_errors=True)
+        for d in _message_staging_dirs(messages):
+            shutil.rmtree(d, ignore_errors=True)
 
     def abort(self, messages):
         import shutil
 
         shutil.rmtree(self.staging, ignore_errors=True)
+        for d in _message_staging_dirs(messages):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 class SqlBatchSinkDataSource(DataSource):
@@ -510,30 +553,21 @@ class SqlBatchStreamArrowWriter(DataSourceStreamArrowWriter):
         import uuid
 
         self.dest = options["path"]
+        # marker namespace: distinct streaming queries writing the SAME
+        # destination must not share idempotency markers (r10 review: a
+        # new query starting at batchId 0 would see the old query's
+        # _committed_0 and silently drop its first batches). The tag
+        # must be stable across RESTARTS of one query, so it cannot be
+        # a uuid — callers set query_tag per logical query; the default
+        # keeps the single-query-per-destination contract.
+        self.tag = options.get("query_tag", "q0")
         self.staging = f"{self.dest}/_staging_stream_{uuid.uuid4().hex}"
 
     def write(self, iterator):
-        import os
-        import uuid
-
-        import pyarrow.parquet as pq
-
-        os.makedirs(self.staging, exist_ok=True)
-        path = f"{self.staging}/task-{uuid.uuid4().hex}.parquet"
-        writer = None
-        rows = 0
-        for batch in iterator:
-            if writer is None:
-                writer = pq.ParquetWriter(path, batch.schema)
-            writer.write_batch(batch)
-            rows += batch.num_rows
-        if writer is None:
-            return _StagedFile(path="", rows=0)
-        writer.close()
-        return _StagedFile(path=path, rows=rows)
+        return _stage_arrow(self.staging, iterator)
 
     def _marker(self, batch_id: int) -> str:
-        return f"{self.dest}/_committed_{batch_id}"
+        return f"{self.dest}/_committed_{self.tag}_{batch_id}"
 
     def commit(self, messages, batchId):  # noqa: N803 (Spark API name)
         import os
@@ -542,33 +576,36 @@ class SqlBatchStreamArrowWriter(DataSourceStreamArrowWriter):
         os.makedirs(self.dest, exist_ok=True)
         if os.path.exists(self._marker(batchId)):
             # replayed micro-batch: already published — drop the stage
-            self._clean_staging()
+            self._clean_staging(messages)
             return
-        for m in messages:
+        # DETERMINISTIC publish names keyed by (tag, batchId, message
+        # index) — messages arrive indexed by partition id, so a replay
+        # after a crash MID-publish rewrites the same names instead of
+        # accreting a second copy of the partially-published files
+        # (r10 review: task-uuid basenames made replays duplicate rows).
+        for i, m in enumerate(messages):
             if m and m.path:
                 shutil.move(
                     m.path,
-                    f"{self.dest}/batch={batchId}-{os.path.basename(m.path)}",
+                    f"{self.dest}/batch={self.tag}-{batchId}-part-{i:05d}.parquet",
                 )
         with open(self._marker(batchId), "w") as f:
             f.write("")
-        self._clean_staging()
+        self._clean_staging(messages)
 
-    def _clean_staging(self) -> None:
-        # the driver-side instance and the pickled task-side copies may
-        # not share one staging uuid (Spark can construct the committer
-        # separately from the writer) — staged files are MOVED before
-        # cleanup, so sweeping every stream-staging dir of this
-        # destination is safe under the one-writer-per-destination
-        # contract streaming queries already have
-        import glob
+    def _clean_staging(self, messages) -> None:
         import shutil
 
-        for d in glob.glob(f"{self.dest}/_staging_stream_*"):
+        # scoped to THIS writer's dir plus the dirs the messages name
+        # (driver and pickled task copies may not share one staging
+        # uuid) — never a destination-wide glob, which could reap a
+        # concurrent writer's staging (r10 review)
+        shutil.rmtree(self.staging, ignore_errors=True)
+        for d in _message_staging_dirs(messages):
             shutil.rmtree(d, ignore_errors=True)
 
     def abort(self, messages, batchId):  # noqa: N803
-        self._clean_staging()
+        self._clean_staging(messages)
 
 
 class SqlUpsertArrowWriter(DataSourceArrowWriter):
@@ -603,30 +640,12 @@ class SqlUpsertArrowWriter(DataSourceArrowWriter):
         self.staging = f"{staging_root}_{uuid.uuid4().hex}"
 
     def write(self, iterator):
-        import os
-        import uuid
-
-        import pyarrow.parquet as pq
-
-        os.makedirs(self.staging, exist_ok=True)
-        path = f"{self.staging}/task-{uuid.uuid4().hex}.parquet"
-        writer = None
-        rows = 0
-        for batch in iterator:
-            if writer is None:
-                writer = pq.ParquetWriter(path, batch.schema)
-            writer.write_batch(batch)
-            rows += batch.num_rows
-        if writer is None:
-            return _StagedFile(path="", rows=0)
-        writer.close()
-        return _StagedFile(path=path, rows=rows)
+        return _stage_arrow(self.staging, iterator)
 
     def _q(self, name: str) -> str:
         return '"' + name.replace('"', '""') + '"'
 
     def commit(self, messages):
-        import glob
         import shutil
 
         import duckdb
@@ -661,6 +680,10 @@ class SqlUpsertArrowWriter(DataSourceArrowWriter):
                 f"{self._q(c)} = excluded.{self._q(c)}" for c in non_keys
             )
             pk_list = ", ".join(self._q(k) for k in self.keys)
+            # explicit column lists (r10 review): INSERT ... SELECT *
+            # binds POSITIONALLY, so a later batch whose column order
+            # differs from the table silently swaps same-typed values
+            col_list = ", ".join(self._q(n) for n, _ in cols)
             if self.version_col:
                 # deterministic intra-batch collapse: version first,
                 # then every remaining column — two rows carrying the
@@ -683,23 +706,36 @@ class SqlUpsertArrowWriter(DataSourceArrowWriter):
             else:
                 order = ", ".join(f"{self._q(n)} DESC" for n, _ in cols)
                 guard = ""
+            # all-columns-are-keys: 'DO UPDATE SET' with an empty list
+            # is a parse error — degrade to DO NOTHING, the same shape
+            # jdbc.upsert_sql emits for this case (a duplicate key with
+            # no payload columns has nothing to update)
+            conflict = (
+                f"DO UPDATE SET {set_clause}{guard}" if non_keys else "DO NOTHING"
+            )
             con.execute(
-                f"INSERT INTO {self._q(self.table)} "
-                f"SELECT * FROM {src} "
+                f"INSERT INTO {self._q(self.table)} ({col_list}) "
+                f"SELECT {col_list} FROM {src} "
                 f"QUALIFY row_number() OVER "
                 f"(PARTITION BY {pk_list} ORDER BY {order}) = 1 "
-                f"ON CONFLICT ({pk_list}) DO UPDATE SET {set_clause}{guard}"
+                f"ON CONFLICT ({pk_list}) {conflict}"
             )
         finally:
             con.close()
         shutil.rmtree(self.staging, ignore_errors=True)
-        for d in glob.glob(f"{self.db_path}_staging_*"):
+        # cleanup scoped to the staging dirs the messages actually name
+        # (r10 review: the old destination-wide glob could reap a
+        # CONCURRENT writer's staging for the same warehouse file while
+        # its tasks were still running)
+        for d in _message_staging_dirs(messages):
             shutil.rmtree(d, ignore_errors=True)
 
     def abort(self, messages):
         import shutil
 
         shutil.rmtree(self.staging, ignore_errors=True)
+        for d in _message_staging_dirs(messages):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 class SqlUpsertSinkDataSource(DataSource):

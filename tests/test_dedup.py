@@ -469,3 +469,16 @@ def test_fixture_documents_text_never_null():
             )
     finally:
         con.close()
+
+
+def test_lang_id_null_text_is_null(spark):
+    """r10 review: a NULL document made every marker score NULL, every
+    WHEN condition skip, and the otherwise() branch label it as the
+    last language in code order. NULL text → NULL label."""
+    from pypgsync_spark.functions.text import lang_id
+
+    df = spark.createDataFrame(
+        [("the of and to a in is it",), (None,)], ["text"]
+    )
+    got = [r["lang"] for r in df.select(lang_id("text").alias("lang")).collect()]
+    assert got == ["en", None]

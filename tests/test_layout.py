@@ -85,3 +85,24 @@ def test_zorder_key_monotone_in_each_dim(spark):
     z = zorder_key_fixed([("a", 0, 1000), ("b", 0, 1000)], bits=8)
     got = [r[0] for r in df.select(z.alias("z")).orderBy(F.col("a")).collect()]
     assert got == sorted(got)
+
+
+def test_zorder_many_columns_stays_in_sign_safe_range(spark):
+    """r10 review: bits=16 with 4 columns put bit 15*4+3 = 63 — the
+    SIGN bit — so upper-range rows went negative and sorted first;
+    5+ columns wrapped shifts mod 64, aliasing high bits onto low
+    positions. The interleave now auto-reduces per-column precision to
+    63 // n_cols, keeping each grid's HIGH bits."""
+    from pypgsync_spark.sources.layout import zorder_key_fixed
+
+    for n_cols in (4, 5):
+        cols = [(f"c{i}", 0.0, 100.0) for i in range(n_cols)]
+        rows = [tuple([0.0] * n_cols), tuple([50.0] * n_cols), tuple([100.0] * n_cols)]
+        df = spark.createDataFrame(rows, [c for c, _, _ in cols])
+        z = [
+            r["z"]
+            for r in df.select(zorder_key_fixed(cols, bits=16).alias("z")).collect()
+        ]
+        assert all(v >= 0 for v in z), f"negative z at n_cols={n_cols}: {z}"
+        # the curve still orders corner points coarsely: all-lo < all-mid < all-hi
+        assert z[0] < z[1] < z[2]

@@ -628,3 +628,141 @@ def test_upsert_sink_random_sequences_equal_model(spark, tmp_path):
             ).fetchall()
         }
         assert got == model, f"seed {seed}: sink diverged from model"
+
+
+def test_filter_literal_rendering_and_decline():
+    """r10 review: str(date(2024,1,1)) rendered the unquoted 2024-01-01
+    (integer arithmetic to DuckDB). Dates/datetimes now render as typed
+    literals; unrenderable types DECLINE pushdown (None) so Spark
+    evaluates them post-scan instead of executing wrong SQL."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from pypgsync_spark.sources.pysource import EqualTo, _compile_filter
+
+    def eq(v):
+        return _compile_filter(EqualTo(attribute=("d",), value=v))
+
+    assert eq(dt.date(2024, 1, 2)) == "\"d\" = DATE '2024-01-02'"
+    assert (
+        eq(dt.datetime(2024, 1, 2, 3, 4, 5))
+        == "\"d\" = TIMESTAMP '2024-01-02 03:04:05'"
+    )
+    assert eq(5) == '"d" = 5'
+    assert eq(True) == '"d" = TRUE'
+    assert eq(Decimal("1.5")) is None           # decline, don't str()
+    assert eq([1, 2]) is None                   # decline
+    assert eq(float("inf")) is None             # decline non-finite
+    assert eq(dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc)) is None
+
+
+def test_pushdown_date_filter_end_to_end(spark, tmp_path):
+    """A DATE-typed pushed filter returns correct rows through the
+    Python source (pre-fix it compiled to integer arithmetic and
+    returned zero rows / binder errors)."""
+    import datetime as dt
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from pypgsync_spark.sources.pysource import read_sql_table
+
+    p = str(tmp_path / "dated.parquet")
+    duckdb.connect().execute(
+        "COPY (SELECT i AS id, DATE '2024-01-01' + i::INT AS d "
+        "FROM range(10) t(i)) TO '" + p + "' (FORMAT PARQUET)"
+    )
+    df = read_sql_table(spark, p, "id", num_partitions=2)
+    got = df.filter(F.col("d") == F.lit(dt.date(2024, 1, 3))).collect()
+    assert [(r["id"], r["d"]) for r in got] == [(2, dt.date(2024, 1, 3))]
+
+
+def test_upsert_sink_all_columns_are_keys(spark, tmp_path):
+    """r10 review: an all-key table made the merge SQL end in
+    'DO UPDATE SET ' (parse error at commit). Degrades to DO NOTHING —
+    re-inserting known keys is a no-op, new keys land."""
+    import duckdb
+
+    from pypgsync_spark.sources.pysource import register_upsert_sink
+
+    register_upsert_sink(spark)
+    db = str(tmp_path / "edges.duckdb")
+
+    def upsert(rows):
+        df = spark.createDataFrame(rows, "a long, b long")
+        (
+            df.write.format("pypgsync_upsert")
+            .option("db_path", db)
+            .option("table", "edges")
+            .option("keys", "a,b")
+            .mode("append")
+            .save()
+        )
+
+    upsert([(1, 2), (3, 4)])
+    upsert([(1, 2), (5, 6)])  # replayed key + new key
+    got = duckdb.connect(db).execute(
+        "SELECT a, b FROM edges ORDER BY a"
+    ).fetchall()
+    assert got == [(1, 2), (3, 4), (5, 6)]
+
+
+def test_stream_sink_partial_publish_replay_does_not_duplicate(tmp_path):
+    """r10 review: publish names are deterministic per (tag, batchId,
+    message index), so a replay after a crash MID-publish (some files
+    moved, marker never written) rewrites the same names instead of
+    accreting a second copy of the partially published files."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+
+    from pypgsync_spark.sources.pysource import SqlBatchStreamArrowWriter
+
+    dest = str(tmp_path / "crash_dst")
+    batch = pa.record_batch({"x": pa.array([1, 2, 3], type=pa.int64())})
+
+    # attempt 1 "crashes mid-publish": simulate by publishing the files
+    # manually with the writer's naming and NOT writing the marker
+    w1 = SqlBatchStreamArrowWriter({"path": dest})
+    m1 = w1.write(iter([batch]))
+    os.makedirs(dest, exist_ok=True)
+    import shutil
+
+    shutil.move(m1.path, f"{dest}/batch={w1.tag}-3-part-00000.parquet")
+
+    # attempt 2: full replay of batch 3 through commit()
+    w2 = SqlBatchStreamArrowWriter({"path": dest})
+    m2 = w2.write(iter([batch]))
+    w2.commit([m2], batchId=3)
+
+    files = [f for f in os.listdir(dest) if f.endswith(".parquet")]
+    assert files == ["batch=q0-3-part-00000.parquet"]
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{dest}/*.parquet')"
+    ).fetchone()[0]
+    assert n == 3  # rows exactly once, not 6
+
+
+def test_stream_sink_query_tag_namespaces_markers(tmp_path):
+    """r10 review: markers keyed only by batchId made a NEW query to a
+    reused destination silently drop its early batches (old markers
+    suppressed them). Distinct query_tags keep both queries' batches."""
+    import duckdb
+    import pyarrow as pa
+
+    from pypgsync_spark.sources.pysource import SqlBatchStreamArrowWriter
+
+    dest = str(tmp_path / "reuse_dst")
+    batch = pa.record_batch({"x": pa.array([1], type=pa.int64())})
+
+    a = SqlBatchStreamArrowWriter({"path": dest, "query_tag": "qa"})
+    a.commit([a.write(iter([batch]))], batchId=0)
+    b = SqlBatchStreamArrowWriter({"path": dest, "query_tag": "qb"})
+    b.commit([b.write(iter([batch]))], batchId=0)
+
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{dest}/*.parquet')"
+    ).fetchone()[0]
+    assert n == 2  # the second query's batch 0 was NOT suppressed
