@@ -337,6 +337,15 @@ def main() -> None:
         "t8_rocksdb": t8_rocksdb,
         "continuous_soak": soak,
         "notes": {
+            "r10_kernel_fixes": "late r10 changed four kernels (knn "
+            "stable-argsort tie-break, LSH pair dedup via max-agg, "
+            "streaming drain consolidation, lang_id NULL guard); a "
+            "same-day A/B at final HEAD showed every closure-changed "
+            "query drifting at or below the ambient cohort - no "
+            "measurable code cost (see bench_local_r10.json "
+            "r10_kernel_fixes_provenance). Isolated fresh-session "
+            "probes are ~2x warm-bench steadies; compare "
+            "like-for-like runs only.",
             "r10_catalog_growth": "r10 adds pipe4_curation_pipeline "
             "at rank 118 (115 -> 116 benched ranks); compare "
             "round-over-round on shared keys (bench_diff.py), not "
