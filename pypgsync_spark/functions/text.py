@@ -114,24 +114,57 @@ def lang_scores(toks: Column) -> dict[str, Column]:
     return {lang: stopword_count(toks, markers) for lang, markers in LANG_MARKERS.items()}
 
 
-def lang_id(text: Column | str) -> Column:
-    """Pick the language whose marker-stopword count is highest;
-    deterministic tie-break by language-code order; 'und' when no
-    marker hits at all (word-soup docs land here often — fine, the
-    oracle computes the identical function); NULL text → NULL label
-    (r10 review: with NULL scores every WHEN condition skips, so the
-    otherwise() branch was silently labeling NULL docs as the last
-    language in code order)."""
-    t = tokens(text)
-    scores = lang_scores(t)
+def gopher_metrics(tk: Column) -> dict[str, Column]:
+    """The four STRUCTURAL Gopher document-quality metrics (Rae et al.
+    2021 appendix A1.1) over a pre-tokenized array — THE one
+    formulation (r10 review: tx14 and pipe4 carried character-level
+    copies of these lambdas; a regex or rounding tweak to one would
+    silently diverge pipe4's stage-1 survivors from tx14's flags).
+    Ratios round to 6 BEFORE thresholding on both engines so no
+    boundary ULP divergence can flip a flag. The caller aliases ``tk``
+    in its own select (tx6 CollapseProject discipline)."""
+    n = F.greatest(F.size(tk), F.lit(1))
+    return {
+        "n_words": F.size(tk).cast("long"),
+        "mean_word_len": F.round(
+            F.aggregate(tk, F.lit(0), lambda a, w: a + F.length(w)) / n, 6
+        ),
+        "symbol_word_ratio": F.round(
+            F.size(F.filter(tk, lambda w: w.rlike(r"#|\.\.\."))) / n, 6
+        ),
+        "alpha_word_frac": F.round(
+            F.size(F.filter(tk, lambda w: w.rlike("[a-z]"))) / n, 6
+        ),
+    }
+
+
+def lang_id_tokens(toks: Column) -> Column:
+    """:func:`lang_id` over a PRE-TOKENIZED array — use this form when
+    the caller already aliased the token array in its own select (the
+    tx6 CollapseProject discipline): lang_id(text) embeds one split
+    per marker scan, so a projection computing several token-derived
+    columns re-tokenizes every row repeatedly (r10 review: pipe1 paid
+    ~7 splits/row)."""
+    scores = lang_scores(toks)
     langs = sorted(scores)  # fixed order => deterministic ties
     m = F.greatest(*[scores[lang] for lang in langs])
-    expr = F.when(t.isNull(), F.lit(None).cast("string")).when(
+    # NULL tokens → NULL label (r10 review: with NULL scores every WHEN
+    # condition skips, so the otherwise() branch was silently labeling
+    # NULL docs as the last language in code order)
+    expr = F.when(toks.isNull(), F.lit(None).cast("string")).when(
         m == 0, F.lit("und")
     )
     for lang in langs[:-1]:
         expr = expr.when(scores[lang] == m, F.lit(lang))
     return expr.otherwise(F.lit(langs[-1]))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Pick the language whose marker-stopword count is highest;
+    deterministic tie-break by language-code order; 'und' when no
+    marker hits at all (word-soup docs land here often — fine, the
+    oracle computes the identical function); NULL text → NULL label."""
+    return lang_id_tokens(tokens(text))
 
 
 def content_fingerprint(text: Column | str) -> Column:

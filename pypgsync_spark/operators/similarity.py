@@ -395,10 +395,24 @@ def ivf_topk(
     """Probe the ``n_probe`` nearest cells to the query, exact re-rank.
     Cell ranking uses :func:`seq_cosine` (oracle-identical fold), with
     lowest cell id breaking ties — matching the oracle's row_number."""
-    sims = [seq_cosine(c, query_vec) for c in centroids]
-    probe = sorted(range(len(centroids)), key=lambda i: (-sims[i], i))[:n_probe]
+    probe = probe_cells(centroids, query_vec, n_probe)
     cand = assigned.filter(F.col(cell_col).isin(probe))
     return brute_force_topk(cand, query_vec, k, id_col, vec_col, sim_col)
+
+
+def probe_cells(
+    centroids: list[list[float]], query_vec: list[float], n_probe: int
+) -> list[int]:
+    """The ``n_probe`` cells nearest the query by :func:`seq_cosine`
+    (the oracle-identical sequential fold — numpy's pairwise np.dot
+    can flip near-tied centroid rankings vs list_dot_product), lowest
+    cell id breaking ties like the oracles' row_number. THE one probe
+    selector (r10 review: v8's recall audit carried a line-for-line
+    copy; a tie-break change in one copy would have made its candidate
+    census and its approx top-k disagree about which cells were
+    probed)."""
+    sims = [seq_cosine(c, query_vec) for c in centroids]
+    return sorted(range(len(centroids)), key=lambda i: (-sims[i], i))[:n_probe]
 
 
 def knn_join(

@@ -23,7 +23,9 @@ from pypgsync_spark.functions.text import (
     LANG_MARKERS,
     bpe_ish_token_count,
     content_fingerprint,
+    gopher_metrics,
     lang_id,
+    lang_id_tokens,
     quality_features,
     stopword_count,
     token_count,
@@ -343,14 +345,19 @@ def pipe1_curation_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id")
     )
     d = d.join(emb, on="doc_id", how="left_semi")
-    t = tokens(F.col("text"))
-    feat = d.select(
+    # token array aliased ONCE in its own select (tx6 CollapseProject
+    # discipline — r10 review: the previous projection embedded its own
+    # split per derived column and lang_id added four more marker-scan
+    # splits, ~7 re-tokenizations per row)
+    tkd = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    tk = F.col("tk")
+    feat = tkd.select(
         "doc_id",
-        token_count(F.col("text")).alias("n_tokens"),
+        F.size(tk).alias("n_tokens"),
         F.round(
-            stopword_count(t, EN_STOPWORDS) / F.greatest(F.size(t), F.lit(1)), 6
+            stopword_count(tk, EN_STOPWORDS) / F.greatest(F.size(tk), F.lit(1)), 6
         ).alias("stopword_ratio"),
-        lang_id(F.col("text")).alias("lang_pred"),
+        lang_id_tokens(tk).alias("lang_pred"),
     )
     kept = feat.filter(F.col("n_tokens") >= 20)
     w = (
@@ -421,7 +428,7 @@ def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, source
     FROM documents
     QUALIFY row_number() OVER (
-      PARTITION BY source ORDER BY md5(doc_id || text), doc_id
+      PARTITION BY source ORDER BY md5(doc_id || text) NULLS LAST, doc_id
     ) <= 25
     """,
 )
@@ -430,7 +437,11 @@ def samp1_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     h = F.md5(F.concat(F.col("doc_id").cast("string"), F.col("text")))
-    w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+    # explicit NULLS LAST (r10 review): Spark ascending sorts NULLS
+    # FIRST while DuckDB defaults to NULLS LAST — a NULL text (md5 of a
+    # NULL concat) would be sampled by one engine and excluded by the
+    # other
+    w = Window.partitionBy("source").orderBy(h.asc_nulls_last(), F.col("doc_id"))
     return (
         d.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= 25)
@@ -886,7 +897,7 @@ def pack2_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     w AS (
       SELECT lang, n_docs, n_tokens,
-             POWER(n_tokens * 1.0 / SUM(n_tokens) OVER (), 0.5) AS wt
+             sqrt(n_tokens * 1.0 / SUM(n_tokens) OVER ()) AS wt
       FROM s
     )
     SELECT lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -903,7 +914,10 @@ def samp3_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
     )
     w0 = Window.partitionBy()
-    wt = F.pow(F.col("n_tokens") / F.sum("n_tokens").over(w0), 0.5)
+    # sqrt, never pow(x, 0.5): libm pow is not correctly rounded and
+    # Java/DuckDB disagree within an ulp, while sqrt is IEEE-exact on
+    # both engines (the r8 seq_cosine lesson, CLAUDE.md)
+    wt = F.sqrt(F.col("n_tokens") / F.sum("n_tokens").over(w0))
     return s.select(
         "lang",
         "n_docs",
@@ -1222,6 +1236,49 @@ def tx7_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINNOW_MAXDF = 10  # drop fingerprints appearing in more docs (stopword runs)
 
 
+def _winnow_pair_index(spark, sf_dir):
+    """Shared winnowing pair index for d10/d11 (r10 review: the whole
+    fingerprint -> rare-df filter -> checkpoint -> self-join pipeline
+    was duplicated verbatim; a df-threshold or checkpoint change in
+    one copy would silently diverge the other). Returns ``(pairs, sa,
+    sb)``: shared>=2 fingerprint-collision pairs, and the per-doc
+    rare-fingerprint sizes aliased for the a/b join sides."""
+    from pypgsync_spark.functions.text import winnow_fingerprints
+    from pypgsync_spark.operators.dedup import spread_if_underpartitioned
+
+    d = spread_if_underpartitioned(_docs(spark, sf_dir))
+    f = d.select(
+        "doc_id",
+        winnow_fingerprints(F.col("text"), k=_WINNOW_K, w=_WINNOW_W).alias("fps"),
+    )
+    e = f.select("doc_id", F.explode("fps").alias("fp"))
+    rare = (
+        e.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= _WINNOW_MAXDF)
+        .select("fp")
+    )
+    # the df-filtered index feeds the size aggregate AND both self-join
+    # sides; localCheckpoint materializes the winnowing + df-join ONCE
+    # (same rationale as ngram_jaccard_pairs' materialize_shingles -
+    # the branches otherwise each re-run the interpreted fingerprinting
+    # over the full corpus; plan showed no ReusedExchange)
+    ee = e.join(rare, on="fp").localCheckpoint(eager=False)
+    sz = ee.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ee.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = ee.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, on="fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 2)
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("__na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("__nb"))
+    return pairs, sa, sb
+
+
 @register(
     "d10_winnow_substring_pairs",
     bench=60,
@@ -1258,39 +1315,7 @@ _WINNOW_MAXDF = 10  # drop fingerprints appearing in more docs (stopword runs)
     """,
 )
 def d10_winnow_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pypgsync_spark.functions.text import winnow_fingerprints
-    from pypgsync_spark.operators.dedup import spread_if_underpartitioned
-
-    d = spread_if_underpartitioned(_docs(spark, sf_dir))
-    f = d.select(
-        "doc_id",
-        winnow_fingerprints(F.col("text"), k=_WINNOW_K, w=_WINNOW_W).alias("fps"),
-    )
-    e = f.select("doc_id", F.explode("fps").alias("fp"))
-    rare = (
-        e.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") <= _WINNOW_MAXDF)
-        .select("fp")
-    )
-    # the df-filtered index feeds the size aggregate AND both self-join
-    # sides; localCheckpoint materializes the winnowing + df-join ONCE
-    # (same rationale as ngram_jaccard_pairs' materialize_shingles —
-    # the branches otherwise each re-run the interpreted fingerprinting
-    # over the full corpus; plan showed no ReusedExchange)
-    ee = e.join(rare, on="fp").localCheckpoint(eager=False)
-    sz = ee.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = ee.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = ee.select(F.col("doc_id").alias("doc_b"), "fp")
-    pairs = (
-        a.join(b, on="fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= 2)
-    )
-    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("__na"))
-    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("__nb"))
+    pairs, sa, sb = _winnow_pair_index(spark, sf_dir)
     return (
         pairs.join(sa, on="doc_a")
         .join(sb, on="doc_b")
@@ -1540,36 +1565,7 @@ def tx10_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d11_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pypgsync_spark.functions.text import winnow_fingerprints
-    from pypgsync_spark.operators.dedup import spread_if_underpartitioned
-
-    d = spread_if_underpartitioned(_docs(spark, sf_dir))
-    f = d.select(
-        "doc_id",
-        winnow_fingerprints(F.col("text"), k=_WINNOW_K, w=_WINNOW_W).alias("fps"),
-    )
-    e = f.select("doc_id", F.explode("fps").alias("fp"))
-    rare = (
-        e.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") <= _WINNOW_MAXDF)
-        .select("fp")
-    )
-    # one materialization feeds sizes and both self-join sides (the
-    # d10 rationale)
-    ee = e.join(rare, on="fp").localCheckpoint(eager=False)
-    sz = ee.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = ee.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = ee.select(F.col("doc_id").alias("doc_b"), "fp")
-    pairs = (
-        a.join(b, on="fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= 2)
-    )
-    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("__na"))
-    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("__nb"))
+    pairs, sa, sb = _winnow_pair_index(spark, sf_dir)
     ca = F.col("shared") / F.col("__na")
     cb = F.col("shared") / F.col("__nb")
     return (
@@ -1967,19 +1963,15 @@ def tx14_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tokens(F.col("text")).alias("tk")
     )
     tk = F.col("tk")
-    n = F.greatest(F.size(tk), F.lit(1))
+    # the ONE structural-metric formulation, shared with pipe4 (r10
+    # review: the lambdas had drifted into two character-level copies)
+    gm = gopher_metrics(tk)
     m = d.select(
         "doc_id",
-        F.size(tk).cast("long").alias("n_words"),
-        F.round(
-            F.aggregate(tk, F.lit(0), lambda a, w: a + F.length(w)) / n, 6
-        ).alias("mean_word_len"),
-        F.round(
-            F.size(F.filter(tk, lambda w: w.rlike(r"#|\.\.\."))) / n, 6
-        ).alias("symbol_word_ratio"),
-        F.round(
-            F.size(F.filter(tk, lambda w: w.rlike("[a-z]"))) / n, 6
-        ).alias("alpha_word_frac"),
+        gm["n_words"].alias("n_words"),
+        gm["mean_word_len"].alias("mean_word_len"),
+        gm["symbol_word_ratio"].alias("symbol_word_ratio"),
+        gm["alpha_word_frac"].alias("alpha_word_frac"),
         F.size(
             F.array_intersect(
                 F.array_distinct(tk),

@@ -58,8 +58,10 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
                  / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))),
                  6) AS cos_sim
     FROM e, q
-    ORDER BY list_dot_product(e.v, q.v)
-             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))) DESC,
+    -- rank by the ROUNDED similarity (r10 review): brute_force_topk's
+    -- sort key is the rounded cos_sim, so ordering by the raw value
+    -- here could pick a different top-10 at a 6-dp rounding tie
+    ORDER BY cos_sim DESC,
              e.vec_id
     LIMIT {_TOPK}
     """,
@@ -125,8 +127,10 @@ def v3_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "v4_lsh_ann_topk",
     survey="ext:similarity",
-    doc="Approximate top-10 via random-hyperplane LSH (12 bits, "
-    "multi-probe hamming ≤ 2). Rows-only; recall vs v1 pytest-asserted.",
+    doc="Approximate top-10 via random-hyperplane LSH "
+    "(lsh_ann_topk defaults: 10 bits, multi-probe hamming ≤ 4 — "
+    "~38% candidate fraction, see its docstring). Rows-only; recall "
+    "vs v1 pytest-asserted.",
     oracle=None,
 )
 def v4_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,16 +270,31 @@ def d6_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT label, CAST(pos - 1 AS INT) AS pos,
-           round(avg(CAST(v AS DOUBLE)), 6) AS centroid_val
+           round(CAST(SUM(CAST(v AS DECIMAL(18,12))) AS DOUBLE)
+                 / count(*), 6) AS centroid_val
     FROM e GROUP BY label, pos
     """,
 )
 def v6_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
+    # decimal-exact component sums (the CLAUDE.md float-aggregate
+    # rule, v3/v9's pattern — r10 review: plain avg() sums doubles in
+    # partition-dependent order, so a reassociation error straddling
+    # the 1e-6 rounding boundary could flip a component between
+    # engines or between Spark runs); the division happens in double
+    # on the identical exact sum on both sides.
     return (
         emb.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
-        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("double").cast("decimal(18,12)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid_val")
+        )
         .select(F.col("label"), F.col("pos").cast("int").alias("pos"), "centroid_val")
     )
 
@@ -356,12 +375,16 @@ def v7_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.vec_id, e.v FROM e JOIN a USING (vec_id)
       JOIN probes USING (cid)
     ),
+    -- approx/truth rank by the ROUNDED similarity (r10 review): the
+    -- Spark side (ivf_topk/brute_force_topk) sorts on the rounded
+    -- cos_sim, so a raw-value rank here could disagree at a 6-dp
+    -- rounding tie on the rank-{_TOPK} boundary
     approx AS (
       SELECT vec_id FROM (
         SELECT cand.vec_id, row_number() OVER (ORDER BY
-          list_dot_product(cand.v, q.qv)
+          round(list_dot_product(cand.v, q.qv)
           / (sqrt(list_dot_product(cand.v, cand.v))
-             * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+             * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
           cand.vec_id) AS rn
         FROM cand CROSS JOIN q
       ) WHERE rn <= {_TOPK}
@@ -369,9 +392,9 @@ def v7_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth AS (
       SELECT vec_id FROM (
         SELECT e.vec_id, row_number() OVER (ORDER BY
-          list_dot_product(e.v, q.qv)
+          round(list_dot_product(e.v, q.qv)
           / (sqrt(list_dot_product(e.v, e.v))
-             * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+             * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
           e.vec_id) AS rn
         FROM e CROSS JOIN q
       ) WHERE rn <= {_TOPK}
@@ -385,19 +408,16 @@ def v7_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def v8_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pypgsync_spark.operators.similarity import brute_force_topk, seq_cosine
+    from pypgsync_spark.operators.similarity import brute_force_topk, probe_cells
 
     emb = _emb(spark, sf_dir)
     cent_rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
     centroids = [list(r["embedding"]) for r in cent_rows]
     qvec = _query_vec(spark, sf_dir)
     assigned = ivf_assign(emb, centroids)
-    # probe choice mirrors ivf_topk exactly: seq_cosine is the
-    # oracle-identical sequential fold (numpy's pairwise np.dot can
-    # flip near-tied centroid rankings vs list_dot_product), lowest
-    # cid breaks ties like the oracle's row_number
-    sims = [seq_cosine(c, qvec) for c in centroids]
-    probe = sorted(range(len(centroids)), key=lambda i: (-sims[i], i))[:2]
+    # THE shared probe selector (similarity.probe_cells) — the census
+    # below and ivf_topk's internal probing must agree on the cells
+    probe = probe_cells(centroids, qvec, 2)
     approx = ivf_topk(assigned, centroids, qvec, k=_TOPK, n_probe=2).select(
         "vec_id"
     )
@@ -775,27 +795,24 @@ _DUCK_TOKENS = "string_split_regex(lower(trim(text)), '\\s+')"
     """,
 )
 def pipe4_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pypgsync_spark.functions.text import tokens
+    from pypgsync_spark.functions.text import gopher_metrics, tokens
     from pypgsync_spark.operators.packing import pack_chunks
     from pypgsync_spark.operators.similarity import cell_cosine_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     # token array aliased in its own select (tx6 CollapseProject
-    # discipline): the split runs once for all four derived metrics
+    # discipline): the split runs once for all four derived metrics,
+    # which come from THE shared formulation (gopher_metrics — r10
+    # review: an inline copy of tx14's lambdas would drift)
     tkd = docs.select("doc_id", "source", tokens(F.col("text")).alias("tk"))
-    tk = F.col("tk")
-    n = F.greatest(F.size(tk), F.lit(1))
+    gm = gopher_metrics(F.col("tk"))
     m = tkd.select(
         "doc_id",
         "source",
-        F.size(tk).cast("long").alias("n_tokens"),
-        F.round(
-            F.aggregate(tk, F.lit(0), lambda a, w: a + F.length(w)) / n, 6
-        ).alias("mwl"),
-        F.round(F.size(F.filter(tk, lambda w: w.rlike(r"#|\.\.\."))) / n, 6).alias(
-            "swr"
-        ),
-        F.round(F.size(F.filter(tk, lambda w: w.rlike("[a-z]"))) / n, 6).alias("awf"),
+        gm["n_words"].alias("n_tokens"),
+        gm["mean_word_len"].alias("mwl"),
+        gm["symbol_word_ratio"].alias("swr"),
+        gm["alpha_word_frac"].alias("awf"),
     )
     # survivors materialized once (lazy checkpoint): read by BOTH the
     # embedding semi-join and the final anti-join — without it the
