@@ -1127,8 +1127,10 @@ def w7_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def skew1_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    ev.createOrReplaceTempView("pypgsync_skew1_events")
-    total = F.expr("(SELECT count(*) FROM pypgsync_skew1_events)")
+    # lazy scalar subquery — the a21/j20/j29 idiom (r10 review: the
+    # previous temp-view + SQL-text form mutated session catalog state
+    # and maintained a second shape of the same plan)
+    total = ev.agg(F.count(F.lit(1))).scalar()
     return (
         ev.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1662,10 +1664,18 @@ def w10_session_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def o4_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events_ms(spark, sf_dir).select(
+    df = _events_ms(spark, sf_dir)
+    cur_ms, cur_id = 1705276800000, 0
+    # Redundant-but-PUSHABLE conjunct on the RAW ts column (r10
+    # review): the row-comparison predicate below sits on the derived
+    # updated_ms, which Catalyst cannot invert into a PushedFilter —
+    # without the range conjunct the scan reads every row group and
+    # the docstring's "prunes BEFORE the sort" claim is false. The
+    # keyset predicate implies ms >= cur_ms exactly, so adding it
+    # changes no rows (the p3 transposition pattern).
+    ev = df.filter(events_range_pred(df, lo_ms=cur_ms)).select(
         "event_id", F.col("updated_ms").alias("ms"), "event_type"
     )
-    cur_ms, cur_id = 1705276800000, 0
     return (
         ev.filter(
             (F.col("ms") > cur_ms)

@@ -24,8 +24,16 @@ from pypgsync_spark.streaming.balance import (
 def _events_stream_source(spark: SparkSession, sf_dir: str):
     """Raw file schema for the events streaming source (file streaming
     sources need an explicit schema; ts arrives as nanos BIGINT and is
-    normalized inside the streaming transforms)."""
+    normalized inside the streaming transforms).
+
+    Pins the session timezone to UTC like catalog.load_table does (r10
+    review: this path replicated only the nanosAsLong half of the
+    CLAUDE.md events-ts rule — on a caller session with a non-UTC zone
+    the NTZ->LTZ cast in ensure_events_ts(event_time=True) would shift
+    every unix_millis(window.start) by the zone offset and break
+    epoch-millis parity with the UTC-naive DuckDB oracles)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(table_path(sf_dir, "events")).schema
 
 
@@ -181,8 +189,19 @@ def t8_transition_gated_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pypgsync_spark.streaming.gated import gated_balance
 
+    import os
+
+    from pypgsync_spark.queries.syncq import _pid_scratch_dir
+
     schema = _events_stream_source(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="t8_gated_")
+    # fresh work dir PER CALL (each run must drain from scratch — a
+    # reused checkpoint would make reruns no-op reads of the old
+    # contribution log and falsify the bench's steady figure), nested
+    # under a pid-scoped parent so the r9 dead-pid reaper bounds the
+    # /tmp growth the old bare mkdtemp leaked every run (r10 review)
+    parent = _pid_scratch_dir("t8_gated", sf_dir)
+    os.makedirs(parent, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="run_", dir=parent)
     return gated_balance(
         spark,
         source_path=table_path(sf_dir, "events"),
@@ -267,7 +286,15 @@ def t11_cdc_stream_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
     )
-    ck = tempfile.mkdtemp(prefix="t11_cdc_ck_")
+    import os
+
+    from pypgsync_spark.queries.syncq import _pid_scratch_dir
+
+    # fresh checkpoint per call under a reaped pid-scoped parent (r10
+    # review — same rationale as t8's work dir)
+    parent = _pid_scratch_dir("t11_cdc_ck", sf_dir)
+    os.makedirs(parent, exist_ok=True)
+    ck = tempfile.mkdtemp(prefix="run_", dir=parent)
     with stream_shuffle_partitions(spark, 8):
         q = (
             agg.writeStream.outputMode("complete")

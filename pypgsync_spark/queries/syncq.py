@@ -238,7 +238,10 @@ def s3c_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the session warehouse
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     table = f"sync_dst_bucketed_{tag}"
-    path = os.path.join(tempfile.gettempdir(), f"pypgsync_bucketed_{tag}")
+    # pid-scoped scratch (r10 review: the tag-only path raced two live
+    # processes on the same fixture — the exact torn-read bug
+    # _pid_scratch_dir fixed for s10/s11 in r9)
+    path = _pid_scratch_dir("pypgsync_bucketed", sf_dir)
     write_bucketed(
         _stale_dst(df), table, ["event_id"], num_buckets=8, path=f"{path}/t"
     )
@@ -277,8 +280,8 @@ def s4b_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = with_event_date(_events_ms(spark, sf_dir).drop("ts_nanos"))
     # deterministic scratch path keyed on the fixture dir: reruns
     # overwrite rather than leak (round-5 advisor)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"pypgsync_partitioned_{tag}", "t")
+    # pid-scoped (r10 review — see s3c)
+    path = os.path.join(_pid_scratch_dir("pypgsync_partitioned", sf_dir), "t")
     write_date_partitioned(df, path)
     # incremental pass: rewrite just the newest date (delta-shaped write)
     newest = df.select(F.max(DATE_COL)).first()[0]
@@ -512,8 +515,8 @@ def s4c_pysink_batched_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pypgsync_spark.sources.pysource import register_sql_sink
 
     register_sql_sink(spark)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    dest = os.path.join(tempfile.gettempdir(), f"pypgsync_pysink_{tag}")
+    # pid-scoped (r10 review — see s3c)
+    dest = _pid_scratch_dir("pypgsync_pysink", sf_dir)
     src = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
@@ -558,8 +561,8 @@ def s7b_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("updated_ms").alias("hi"),
         F.max("user_id").alias("nu"),
     ).first()
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    dest = os.path.join(tempfile.gettempdir(), f"pypgsync_zorder_{tag}")
+    # pid-scoped (r10 review — see s3c)
+    dest = _pid_scratch_dir("pypgsync_zorder", sf_dir)
     write_zordered(
         df,
         dest,
@@ -911,8 +914,8 @@ def s8_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     df = _events_ms(spark, sf_dir)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"pypgsync_evolve_{tag}")
+    # pid-scoped (r10 review — see s3c)
+    base = _pid_scratch_dir("pypgsync_evolve", sf_dir)
     g1, g2 = f"{base}/gen1", f"{base}/gen2"
     df.filter(F.col("event_id") % 2 == 0).select(
         "event_id", "user_id", "updated_ms"
@@ -1240,10 +1243,8 @@ def s9_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     df = with_event_date(_events_ms(spark, sf_dir).drop("ts_nanos"))
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(
-        tempfile.gettempdir(), f"pypgsync_pruned_{tag}", "t"
-    )
+    # pid-scoped (r10 review — see s3c)
+    path = os.path.join(_pid_scratch_dir("pypgsync_pruned", sf_dir), "t")
     write_date_partitioned(df, path)
     back = read_date_partitioned(spark, path).filter(
         F.col(DATE_COL) == "2024-01-15"
