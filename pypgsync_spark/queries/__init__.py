@@ -68,6 +68,16 @@ def bench_queries() -> list[str]:
     return [name for _, name in sorted(tagged)]
 
 
+def _is_green_row(row) -> bool:
+    """THE definition of a green driver row (r10 review: it was
+    triplicated across __init__, record_fingerprints and backfill —
+    a driver schema change updating one copy would silently fork
+    staleness ordering from recording)."""
+    return isinstance(row, dict) and bool(
+        row.get("hash_match") or row.get("err") == "no_oracle"
+    )
+
+
 def _last_green_round() -> dict[str, int]:
     """Map query name -> the LATEST round number in which it had a
     green (or by-design rows-only) row in a CORRECTNESS_r*.json at the
@@ -90,9 +100,7 @@ def _last_green_round() -> dict[str, int]:
         except Exception:
             continue
         for name, row in data.items():
-            if isinstance(row, dict) and (
-                row.get("hash_match") or row.get("err") == "no_oracle"
-            ):
+            if _is_green_row(row):
                 last[name] = max(last.get(name, 0), rnd)
     return last
 
@@ -181,7 +189,10 @@ def _load_all() -> None:
     ordered = sorted(
         enumerate(REGISTRY.items()),
         key=lambda t: (
-            1 if t[1][1].oracle is None else 0,
+            # truthiness, matching oracle_sql()'s filter (r10 review:
+            # `is None` let an empty-string oracle claim a
+            # hash-checkable sweep slot the driver can never use)
+            0 if t[1][1].oracle else 1,
             0 if _is_stale(t[1][0], t[1][1], last.get(t[1][0], 0), recorded) else 1,
             0 if last.get(t[1][0], 0) > 0 else 1,
             t[1][1].bench if t[1][1].bench is not None else 10**9,

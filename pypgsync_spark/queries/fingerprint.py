@@ -44,6 +44,7 @@ checkout of the package without importing the current package.
 from __future__ import annotations
 
 import ast
+import functools
 import hashlib
 import inspect
 import json
@@ -53,10 +54,43 @@ import types
 
 PACKAGE = "pypgsync_spark"
 
-# Immutable scalar-ish constants whose VALUE participates in the hash.
-# Mutable containers (REGISTRY, caches) are skipped — their contents
-# are runtime state, not source.
-_CONST_TYPES = (str, bytes, int, float, bool, frozenset, tuple, type(None))
+def _const_payload(obj, depth: int = 0) -> str | None:
+    """Deterministic repr of a PURE-CONSTANT value, or None when the
+    object contains anything non-constant (DataFrames, QuerySpecs,
+    functions — runtime state, not source).
+
+    r10 review: plain containers were skipped entirely, so editing a
+    module-level CONFIG map (_TYPE_MAP, LANG_MARKERS, a placeholder
+    dict) changed behavior without staling any query — the old green
+    row kept vouching for code that no longer existed, the exact hole
+    the fingerprint system exists to close. Containers of constants
+    now hash by value (sets/dicts in sorted order, so iteration order
+    cannot perturb the fingerprint); containers holding runtime
+    objects (REGISTRY, caches) still contribute nothing."""
+    if isinstance(obj, (str, bytes, int, float, bool, type(None))):
+        return repr(obj)
+    if depth >= 5:
+        return None
+    if isinstance(obj, (tuple, list)):
+        parts = [_const_payload(x, depth + 1) for x in obj]
+        if any(p is None for p in parts):
+            return None
+        return f"{type(obj).__name__}[{','.join(parts)}]"
+    if isinstance(obj, (set, frozenset)):
+        parts = [_const_payload(x, depth + 1) for x in obj]
+        if any(p is None for p in parts):
+            return None
+        return f"{type(obj).__name__}[{','.join(sorted(parts))}]"
+    if isinstance(obj, dict):
+        items = []
+        for k, v in obj.items():
+            kp = _const_payload(k, depth + 1)
+            vp = _const_payload(v, depth + 1)
+            if kp is None or vp is None:
+                return None
+            items.append(f"{kp}:{vp}")
+        return "dict{" + ",".join(sorted(items)) + "}"
+    return None
 
 
 def _in_package(obj) -> bool:
@@ -82,6 +116,15 @@ class _DocDecoStripper(ast.NodeTransformer):
             node.body = body[1:] or [ast.Pass()]
         return node
 
+    def visit_Module(self, node):
+        # module docstrings must not perturb the whole-file fallback
+        # hash either (r10 review: the class promised 'module prose'
+        # insensitivity but only stripped def/class docstrings; for a
+        # FUNCTION's parsed source the Module body is the def itself,
+        # so this is a no-op there)
+        self.generic_visit(node)
+        return self._strip_doc(node)
+
     def visit_FunctionDef(self, node):
         node.decorator_list = []
         self.generic_visit(node)
@@ -98,9 +141,15 @@ class _DocDecoStripper(ast.NodeTransformer):
         return self._strip_doc(node)
 
 
+@functools.lru_cache(maxsize=None)
 def _normalized_source(obj) -> tuple[str, ast.AST | None]:
     """(normalized source, parsed tree) — '' when source is unavailable
-    (builtins, C extensions)."""
+    (builtins, C extensions). Memoized: shared operator/kernel modules
+    sit in hundreds of query closures, and re-running
+    getsource+parse+unparse per query made every registry import pay
+    ~3 s (r10 review); the cache holds for the process lifetime, which
+    is sound because source cannot change under a running process that
+    already imported it."""
     try:
         src = textwrap.dedent(inspect.getsource(obj))
     except (OSError, TypeError):
@@ -117,6 +166,7 @@ def _normalized_source(obj) -> tuple[str, ast.AST | None]:
         return src, tree
 
 
+@functools.lru_cache(maxsize=None)
 def _module_file_source(mod: types.ModuleType) -> str:
     """Whole-file fallback for a referenced module we can't resolve
     attribute-by-attribute — coarse but safe (AST-normalized so
@@ -243,11 +293,11 @@ def _entries(fn) -> list[tuple[str, str]]:
             continue
 
         # module-level constant reads (bucket widths, SQL templates,
-        # column-name constants): value participates when immutable;
-        # anonymous, so keyed by repr (collisions are harmless — the
-        # pair just de-dupes)
-        if isinstance(obj, _CONST_TYPES):
-            r = repr(obj)
+        # column-name constants, config MAPS): value participates when
+        # the whole structure is constant; anonymous, so keyed by repr
+        # (collisions are harmless — the pair just de-dupes)
+        r = _const_payload(obj)
+        if r is not None:
             seen.setdefault(f"const:{hashlib.sha256(r.encode()).hexdigest()[:16]}", r)
 
     return sorted(seen.items())

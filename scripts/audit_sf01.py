@@ -62,7 +62,7 @@ def audit_names() -> list[str]:
     return [
         n
         for n, s in REGISTRY.items()
-        if s.oracle is not None and n not in QUADRATIC_ORACLES
+        if s.oracle and n not in QUADRATIC_ORACLES
     ]
 
 

@@ -1,4 +1,4 @@
-"""Backfill verification fingerprints for rounds older than the latest.
+"""Backfill verification fingerprints from git history (any round).
 
 For a query whose LAST green row is round N < latest, the code that row
 vouches for is the end-of-round-N snapshot — the PARENT of the driver's
@@ -52,25 +52,21 @@ def git(*args: str) -> str:
 
 
 def greens_by_round() -> dict[str, int]:
-    last: dict[str, int] = {}
-    for path in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        with open(path) as f:
-            rows = json.load(f)
-        for name, row in rows.items():
-            if isinstance(row, dict) and (
-                row.get("hash_match") or row.get("err") == "no_oracle"
-            ):
-                last[name] = max(last.get(name, 0), rnd)
-    return last
+    """THE green-row map — delegated to the package so the predicate
+    lives in one place (r10 review: it was triplicated here, in
+    record_fingerprints and in queries/__init__)."""
+    sys.path.insert(0, ROOT)
+    from pypgsync_spark.queries import _last_green_round
+
+    return _last_green_round()
 
 
 def historical_fps(rnd: int) -> dict[str, str]:
     rel = f"CORRECTNESS_r{rnd:02d}.json"
-    commit = git("log", "-1", "--format=%H", "--", rel)
+    # the commit that ADDED the file is the round's verdict commit; a
+    # later touch (typo fix, reformat) must not re-key the snapshot to
+    # an arbitrary mid-round tree (r10 review)
+    commit = git("log", "--diff-filter=A", "-1", "--format=%H", "--", rel)
     if not commit:
         return {}
     snapshot = git("rev-parse", f"{commit}^")
@@ -93,16 +89,23 @@ def historical_fps(rnd: int) -> dict[str, str]:
 
 def main() -> None:
     last = greens_by_round()
-    latest = max(last.values())
     store_path = os.path.join(ROOT, "FINGERPRINTS.json")
     store: dict = {}
     if os.path.exists(store_path):
         with open(store_path) as f:
             store = json.load(f)
 
+    # INCLUDE the latest round (r10 review): this script is the
+    # documented recovery path when record_fingerprints.py refused
+    # because HEAD had already drifted — and after a full sweep the
+    # vast majority of queries' last green IS the latest round, so the
+    # old `r < latest` filter made the recovery a near-no-op and the
+    # whole sweep budget burned re-verifying untouched code. The
+    # latest round's snapshot comes from git history exactly like any
+    # older round's (the verdict commit's parent).
     need_rounds = sorted(
-        {r for q, r in last.items() if r < latest
-         and (not isinstance(store.get(q), dict) or store[q].get("round") != r)}
+        {r for q, r in last.items()
+         if not isinstance(store.get(q), dict) or store[q].get("round") != r}
     )
     print(f"backfilling rounds: {need_rounds}")
     added = 0

@@ -54,14 +54,21 @@ print(f"{len(qs)} queries, {len(oracles)} with oracles")
 failed = []
 for name, fn in sorted(qs.items()):
     t0 = time.time()
-    if name in oracles:
-        ok, msg = compare(spark, sf_dir, fn, oracles[name])
-        status = "OK " if ok else "FAIL"
-        if not ok:
-            failed.append((name, msg))
-    else:
-        n = fn(spark, sf_dir).count()
-        ok, msg, status = True, f"rows-only ({n} rows)", "ROWS"
+    # per-query isolation (r10 review): the real driver records a
+    # per-row err and continues — fail-fasting here meant one broken
+    # query hid the status of every query after it in the sweep
+    try:
+        if name in oracles:
+            ok, msg = compare(spark, sf_dir, fn, oracles[name])
+            status = "OK " if ok else "FAIL"
+            if not ok:
+                failed.append((name, msg))
+        else:
+            n = fn(spark, sf_dir).count()
+            ok, msg, status = True, f"rows-only ({n} rows)", "ROWS"
+    except Exception as e:  # noqa: BLE001 — recorded as a FAIL row
+        status, msg = "ERR ", f"{type(e).__name__}: {e}"[:300]
+        failed.append((name, msg))
     print(f"  {status} {name}: {msg} [{time.time()-t0:.1f}s]")
 
 print(f"\n{len(qs) - len(failed)}/{len(qs)} ok")

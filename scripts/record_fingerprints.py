@@ -74,7 +74,7 @@ def main() -> None:
     with open(cpath) as f:
         rows = json.load(f)
 
-    from pypgsync_spark.queries import REGISTRY
+    from pypgsync_spark.queries import REGISTRY, _is_green_row
     from pypgsync_spark.queries.fingerprint import spec_fingerprint
 
     store_path = os.path.join(ROOT, "FINGERPRINTS.json")
@@ -85,10 +85,7 @@ def main() -> None:
 
     recorded = 0
     for name, row in rows.items():
-        green = isinstance(row, dict) and (
-            row.get("hash_match") or row.get("err") == "no_oracle"
-        )
-        if not green or name not in REGISTRY:
+        if not _is_green_row(row) or name not in REGISTRY:
             continue
         spec = REGISTRY[name]
         store[name] = {"fp": spec_fingerprint(spec.fn, spec.oracle), "round": rnd}

@@ -2,11 +2,14 @@
 row count + column names + order-insensitive value hash between each
 Spark query and its DuckDB oracle over the same parquet fixtures.
 
-Values are normalized before hashing: floats rounded to 9 significant-
-digit representation, None/NaN unified, rows sorted by their full
-string form with columns in name order — deliberately stricter than
-nothing but tolerant of sub-ulp float noise, so that a pass here makes
-the driver's hash-match highly likely.
+Values are normalized before hashing: floats rendered ROUND-TRIP
+EXACT (%.17g — r10 review: the old 9-significant-digit form equated
+doubles ~1e7 ulps apart, so it would have passed the exact 1-ulp
+sqrt-vs-pow divergence class the driver's bit-exact hash fails on),
+None/NaN unified, rows sorted by their full string form with columns
+in name order. A pass here therefore predicts the driver's hash-match
+for float kernels too; the repo's round-to-6 discipline means
+correctly-written queries are already bit-identical across engines.
 """
 
 from __future__ import annotations
@@ -27,7 +30,7 @@ def _norm_value(v: Any) -> str:
             return "NaN"
         if v == 0:
             return "0"
-        return f"{v:.9g}"
+        return f"{v:.17g}"
     if isinstance(v, bool):
         return str(int(v))
     return str(v)

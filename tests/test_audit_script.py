@@ -34,7 +34,7 @@ def test_exclusions_are_real_oracle_checked_queries():
     mod = _load_audit_module()
     for name in sorted(mod.QUADRATIC_ORACLES):
         assert name in REGISTRY, f"exclusion names unknown query: {name}"
-        assert REGISTRY[name].oracle is not None, (
+        assert REGISTRY[name].oracle, (
             f"{name} is oracle-less — excluding it from the oracle audit "
             "is meaningless; drop it from QUADRATIC_ORACLES"
         )
@@ -43,6 +43,6 @@ def test_exclusions_are_real_oracle_checked_queries():
 def test_included_plus_excluded_tile_the_oracle_checked_registry():
     mod = _load_audit_module()
     names = set(mod.audit_names())
-    oracle_checked = {n for n, s in REGISTRY.items() if s.oracle is not None}
+    oracle_checked = {n for n, s in REGISTRY.items() if s.oracle}
     assert names.isdisjoint(mod.QUADRATIC_ORACLES)
     assert names | mod.QUADRATIC_ORACLES == oracle_checked

@@ -185,3 +185,39 @@ def test_registry_invariants():
         f"rows-only queries with neither golden nor explicit allowance: "
         f"{sorted(unpinned - allowed_unpinned)}"
     )
+
+
+def test_const_payload_hashes_config_containers():
+    """r10 review: module-level config containers were invisible to
+    fingerprints, so editing a behavior-bearing map never staled its
+    queries. Pure-constant containers now hash by value (order-
+    insensitive for set/dict); anything holding runtime objects still
+    contributes nothing."""
+    from pypgsync_spark.queries.fingerprint import _const_payload
+
+    assert _const_payload({"a": 1, "b": [1, 2]}) is not None
+    assert _const_payload({"b": [1, 2], "a": 1}) == _const_payload(
+        {"a": 1, "b": [1, 2]}
+    )
+    assert _const_payload(frozenset({"x", "y"})) == _const_payload(
+        frozenset({"y", "x"})
+    )
+    assert _const_payload({1: object()}) is None      # runtime value
+    assert _const_payload([1, object()]) is None      # runtime element
+    assert _const_payload((1, "a", None, 2.5)) is not None
+
+
+def test_config_map_edit_changes_dependent_fingerprint(monkeypatch):
+    """End-to-end: a query-shaped callable reading a module-level dict
+    re-fingerprints when the dict's CONTENT changes (pre-fix the dict
+    was silently dropped from the closure payload)."""
+    import pypgsync_spark.sources.pysource as ps
+    from pypgsync_spark.queries.fingerprint import callable_fingerprint
+
+    # a REAL in-package function whose body reads _TYPE_MAP as a
+    # module-global name (the shape every config-map consumer has)
+    fn = ps.SqlSliceDataSource.schema
+    fp1 = callable_fingerprint(fn)
+    monkeypatch.setitem(ps._TYPE_MAP, "XXPROBE", "string")
+    fp2 = callable_fingerprint(fn)
+    assert fp1 != fp2
