@@ -12,6 +12,11 @@ The FULL artifact (every per-query steady/cold figure, soak iteration
 detail, bench notes) is written to bench_local_r{N}.json — the
 committed record bench_diff.py compares round-over-round.
 
+Pass ``--round-artifact`` when producing the COMMITTED round record:
+the run refuses to start if the 1-min load average exceeds 1.5
+(CLAUDE.md's ambient-window rule, enforced mechanically per r10
+verdict #7). Scratch runs (no flag) are never gated.
+
 Each query is materialized through the noop sink (forces full column
 computation, no driver collect overhead). The sync throughput figure is
 rows-merged-per-second of the upsert pipeline, comparable to the
@@ -146,11 +151,28 @@ def _run_soak(spark, base: str, n_events: int) -> dict:
     }
 
 
+# CLAUDE.md's ambient-load commit threshold, enforced mechanically for
+# round artifacts (r10 verdict #7): a bench started on a busy box
+# poisons the next round's comparison, and the human-reads-CLAUDE.md
+# guard failed once already (the r10 working-tree run started at 2.98).
+ROUND_ARTIFACT_MAX_LOAD1 = 1.5
+
+
 def main() -> None:
     # r9 verdict #3: the artifact carries its own ambient-load evidence
     # (CLAUDE.md's uptime-probe rule, automated) — bench_diff.py reads
     # these to back its CODE/AMBIENT verdicts.
     load_start = [round(x, 2) for x in os.getloadavg()]
+    round_artifact = "--round-artifact" in sys.argv[1:]
+    if round_artifact and load_start[0] > ROUND_ARTIFACT_MAX_LOAD1:
+        print(
+            f"REFUSED: --round-artifact requires 1-min load <= "
+            f"{ROUND_ARTIFACT_MAX_LOAD1} at start (observed {load_start[0]}). "
+            "Wait for the box to quiet down and re-run; a scratch run "
+            "(no flag) is still allowed.",
+            file=sys.stderr,
+        )
+        sys.exit(2)
     spark = get_spark(app_name="pypgsync_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -322,6 +344,7 @@ def main() -> None:
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     load_end = [round(x, 2) for x in os.getloadavg()]
     out = {
+        "round_artifact": round_artifact,
         "load_avg": {"start": load_start, "end": load_end},
         "metric": "headline_queries_wall_clock_steady",
         "value": round(sum(times.values()), 3),
