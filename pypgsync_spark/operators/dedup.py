@@ -308,10 +308,17 @@ def minhash_signatures(
     """(id, sig: array<long>) — minhash signature per document.
 
     Permutation i = min over shingles of the universal hash
-    ``(a_i · xxhash64(shingle) + b_i) mod 2^31-1`` — ONE string hash
-    per shingle, then ``num_perm`` multiply-adds (the classic
-    Broder-style permutation family). Hashing the string once instead
-    of per-permutation cuts the dominant cost 64×.
+    ``(a_i · h(shingle) + b_i) mod 2^31-1`` — ONE string hash per
+    shingle, then ``num_perm`` multiply-adds (the classic Broder-style
+    permutation family). Hashing the string once instead of
+    per-permutation cuts the dominant cost 64×.
+
+    The base hash is the top 60 bits of md5 (hex-parsed), not
+    xxhash64: md5 is the one deterministic hash BOTH engines share
+    bit-for-bit, which is what lets d3 carry an exact DuckDB oracle
+    (r11; DuckDB side: ``CAST('0x' || substr(md5(s),1,15) AS
+    BIGINT)``). md5 costs ~2-3× xxhash64 per shingle, still one hash
+    per shingle — verifiability across engines is worth the constant.
 
     Physical shape chosen for scale: explode shingles to one row each,
     compute the ``num_perm`` hash columns as plain (whole-stage-
@@ -324,7 +331,10 @@ def minhash_signatures(
     """
     a, b = _perm_coeffs(num_perm)
     exploded = df.select(F.col(id_col).alias("id"), F.explode(shingle_col).alias("s"))
-    base = F.pmod(F.xxhash64(F.col("s")), F.lit(_MERSENNE_31))
+    base = F.pmod(
+        F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long"),
+        F.lit(_MERSENNE_31),
+    )
     hash_cols = [
         F.pmod(F.lit(a[i]) * F.col("__h") + F.lit(b[i]), F.lit(_MERSENNE_31)).alias(
             f"h{i}"
@@ -703,10 +713,18 @@ def simhash_signatures(
     """(id, sig: long) — 64-bit SimHash per document.
 
     For each bit position j, sum +1/-1 votes of each distinct token's
-    xxhash64 bit j; bit j of the signature is 1 iff the vote is
+    64-bit hash bit j; bit j of the signature is 1 iff the vote is
     positive. Same explode + codegen'd-columns + partial-agg shape as
     :func:`minhash_signatures` (array-lambda aggregates run
     interpreted and are ~10× slower).
+
+    The 64 hash bits come from md5's top 16 hex chars, parsed as two
+    non-negative 32-bit halves (hex→int of >15 chars can overflow
+    signed BIGINT; two halves avoid ever touching the sign bit, and
+    every bit extraction stays on non-negative longs whose ``>>``
+    semantics Spark and DuckDB share). md5, not xxhash64, for the same
+    reason as :func:`minhash_signatures`: it is the hash both engines
+    compute identically, making d4 exactly oracle-checkable (r11).
     """
     toks = (
         spread_if_underpartitioned(df)  # single-file inputs otherwise run one-core
@@ -714,12 +732,20 @@ def simhash_signatures(
             F.col(id_col).alias("id"),
             F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t"),
         )
-        .withColumn("h", F.xxhash64(F.col("t")))
+        .withColumn("__md5", F.md5(F.col("t")))
+        # hhi carries hash bits 32..63, hlo bits 0..31
+        .withColumn("hhi", F.conv(F.substring("__md5", 1, 8), 16, 10).cast("long"))
+        .withColumn("hlo", F.conv(F.substring("__md5", 9, 8), 16, 10).cast("long"))
     )
     votes = toks.groupBy("id").agg(
         *[
             F.sum(
-                (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+                (
+                    F.shiftright(F.col("hlo" if j < 32 else "hhi"), j % 32)
+                    .bitwiseAND(F.lit(1))
+                    * 2
+                    - 1
+                ).cast("int")
             ).alias(f"v{j}")
             for j in range(64)
         ]

@@ -48,6 +48,21 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def seq_dot(a, b) -> float:
+    """Driver-side dot product with strictly SEQUENTIAL double
+    accumulation — the same left fold :func:`dot` runs in-engine and
+    DuckDB's ``list_dot_product`` runs in the oracles. Any driver-side
+    SIGN or ranking decision that an oracle must reproduce (e.g. the
+    query's hyperplane signature bits in :func:`lsh_ann_topk`) must use
+    this, not numpy's ``@`` — np.dot's pairwise/SIMD summation differs
+    in the last ulp and could flip a near-zero sign the SQL side
+    computes sequentially."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
+
+
 def seq_cosine(a, b) -> float:
     """Driver-side cosine with strictly SEQUENTIAL double accumulation
     — the same left fold :func:`dot` runs in-engine and DuckDB's
@@ -328,9 +343,11 @@ def lsh_ann_topk(
     """
     planes = _hyperplanes(dim, nbits, seed)
     qsig = 0
-    qv = np.asarray(query_vec, dtype=np.float64)
+    qv = [float(x) for x in query_vec]
     for i in range(nbits):
-        if float(planes[i] @ qv) > 0:
+        # seq_dot, not planes[i] @ qv: the oracle computes this sign
+        # with list_dot_product's sequential fold (r11 oracle work)
+        if seq_dot(planes[i], qv) > 0:
             qsig |= 1 << i
     sig = hyperplane_signature(F.col(vec_col), dim, nbits, seed)
     cand = vectors.withColumn("__sig", sig).filter(

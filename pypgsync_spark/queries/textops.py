@@ -5,10 +5,12 @@ language-ID, fingerprinting, TF-IDF, bigram frequency, benchmark
 decontamination, PII redaction, deterministic sampling / train-val-test
 splitting, the curation pipeline, and the multimodal binary plumbing.
 
-Oracle-checked wherever the computation is ANSI-SQL-expressible; the
-hash-based candidates (MinHash, SimHash) are rows-only — their
-*correctness* is tested in pytest against the exact Jaccard pairs
-(recall checks), which the driver cannot express in one SQL string.
+Oracle-checked wherever the computation is ANSI-SQL-expressible —
+including, as of r11, the MinHash and SimHash candidates: their base
+hash is md5 (the one hash both engines compute identically), so the
+full signature/banding pipeline is exact integer arithmetic DuckDB
+reproduces literally. Only the genuinely iterative specs (BPE merge
+training) remain rows-only, with pytest + golden cover.
 """
 
 from __future__ import annotations
@@ -38,6 +40,7 @@ from pypgsync_spark.operators.bpe import (
     word_frequencies,
 )
 from pypgsync_spark.operators.dedup import (
+    _perm_coeffs,
     dedup_exact,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -214,25 +217,133 @@ def d2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MinHash oracle fragments (d3). The base hash is md5's top 60 bits —
+# the one hash both engines share — so the full signature pipeline is
+# plain integer arithmetic DuckDB reproduces exactly; the seed-42 perm
+# coefficients are embedded as literals. The ONE semantic approximation
+# vs the Spark plan: Spark buckets each band through xxhash64(sig[4])
+# for shuffle-width, the oracle joins on the 4-tuple itself — identical
+# candidate sets unless xxhash64 collides across distinct tuples
+# (~2^-64; a collision would surface as a driver hash mismatch).
+_M31 = 2147483647
+_A64, _B64 = _perm_coeffs(64)
+_DUCK_MINHASH_MINS = ",\n             ".join(
+    f"min(({_A64[i]} * h + {_B64[i]}) % {_M31}) AS m{i}" for i in range(64)
+)
+_DUCK_MINHASH_BANDS = "\n      UNION ALL ".join(
+    f"SELECT doc_id, {bi} AS band, m{4 * bi} AS k1, m{4 * bi + 1} AS k2,"
+    f" m{4 * bi + 2} AS k3, m{4 * bi + 3} AS k4 FROM sig"
+    for bi in range(16)
+)
+_DUCK_JACCARD = (
+    "len(list_intersect(a.sh, b.sh)) * 1.0"
+    " / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1)"
+)
+
+
 @register(
     "d3_minhash_lsh_pairs",
     bench=15,
     survey="ext:dedup",
     doc="MinHash(64)+LSH(16 bands) candidate pairs verified by exact "
-    "Jaccard > 0.3. Rows-only for the driver (xxhash64 signatures are "
-    "engine-specific); recall vs d2 is pytest-asserted.",
-    oracle=None,
+    "Jaccard > 0.3. Hash-checked as of r11: the md5-based base hash "
+    "and literal seed-42 perm coefficients make the signatures exact "
+    "integer arithmetic both engines share; recall vs d2 stays "
+    "pytest-asserted.",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+    h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {_M31} AS h
+      FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_DUCK_MINHASH_MINS}
+      FROM h GROUP BY doc_id
+    ),
+    bands AS (
+      {_DUCK_MINHASH_BANDS}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r USING (band, k1, k2, k3, k4)
+      WHERE l.doc_id < r.doc_id
+    )
+    SELECT c.id_a, c.id_b, round({_DUCK_JACCARD}, 6) AS jaccard
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b
+    WHERE {_DUCK_JACCARD} > 0.3
+    """,
 )
 def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3)
+
+
+# SimHash oracle fragments (d4). The 64 hash bits are md5's top 16 hex
+# chars as two non-negative 32-bit halves (exactly the Spark kernel's
+# hhi/hlo); the signature is likewise kept as two halves so no DuckDB
+# expression ever shifts a negative BIGINT.
+_DUCK_SIMHASH_VOTES = ",\n             ".join(
+    f"sum((({'hlo' if j < 32 else 'hhi'} >> {j % 32}) & 1) * 2 - 1) AS v{j}"
+    for j in range(64)
+)
+_DUCK_SIMHASH_LO = " + ".join(
+    f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32)
+)
+_DUCK_SIMHASH_HI = " + ".join(
+    f"(CASE WHEN v{j} > 0 THEN {1 << (j - 32)} ELSE 0 END)" for j in range(32, 64)
+)
 
 
 @register(
     "d4_simhash_pairs",
     survey="ext:dedup",
     doc="SimHash near-dup pairs (hamming ≤ 7 of 64 bits, 8×8-bit "
-    "chunk-LSH candidates). Rows-only; structure tested in pytest.",
-    oracle=None,
+    "chunk-LSH candidates). Hash-checked as of r11: md5-derived token "
+    "hashes make the bit votes exact integer arithmetic both engines "
+    "share; the pigeonhole chunk join is reproduced on the signature "
+    "halves. Structure additionally tested in pytest.",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_TOKENS})) AS tk FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(tk), 1, 8)) AS BIGINT) AS hhi,
+             CAST(concat('0x', substr(md5(tk), 9, 8)) AS BIGINT) AS hlo
+      FROM t
+    ),
+    v AS (
+      SELECT doc_id,
+             {_DUCK_SIMHASH_VOTES}
+      FROM h GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id,
+             ({_DUCK_SIMHASH_LO})::BIGINT AS lo,
+             ({_DUCK_SIMHASH_HI})::BIGINT AS hi
+      FROM v
+    ),
+    chunks AS (
+      SELECT doc_id, lo, hi, c.ci,
+             CASE WHEN c.ci < 4 THEN (lo >> (8 * c.ci)) & 255
+                  ELSE (hi >> (8 * (c.ci - 4))) & 255 END AS cv
+      FROM sig, (SELECT unnest(range(8)) AS ci) c
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+             l.lo AS alo, l.hi AS ahi, r.lo AS blo, r.hi AS bhi
+      FROM chunks l JOIN chunks r USING (ci, cv)
+      WHERE l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS INT)
+             AS hamming
+    FROM cand
+    WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 7
+    """,
 )
 def d4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_docs(spark, sf_dir))

@@ -3,8 +3,11 @@
 The cosine kernel accumulates in double, sequentially, on both engines
 (Spark ``aggregate``/``zip_with`` vs DuckDB ``list_dot_product`` on
 DOUBLE[]), so brute-force results hash-match exactly after rounding.
-The approximate paths (hyperplane LSH, IVF) are rows-only for the
-driver; pytest asserts their recall against the brute-force truth.
+The approximate paths are hash-checked too (v5 since r10; v4/v2b since
+r11 — their seed-pinned hyperplanes are plan literals the oracles
+embed exactly); only the iterative k-means build (v11) is rows-only.
+pytest additionally asserts every approximate path's recall against
+the brute-force truth.
 """
 
 from __future__ import annotations
@@ -14,6 +17,7 @@ from pyspark.sql import functions as F
 
 from pypgsync_spark.catalog import load_table
 from pypgsync_spark.operators.similarity import (
+    _hyperplanes,
     brute_force_topk,
     cosine,
     dot,
@@ -42,6 +46,28 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     row = _emb(spark, sf_dir).filter(F.col("vec_id") == _QUERY_VEC_ID).first()
     return list(row["embedding"])
+
+
+def _duck_vec_literal(p) -> str:
+    """DOUBLE[] literal for a plane vector. repr(float) round-trips the
+    exact binary64, and both engines' decimal parsers are correctly
+    rounded, so the literal lands on the identical double."""
+    return "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+
+
+def _duck_hyperplane_sig(vec_expr: str, nbits: int) -> str:
+    """SQL for operators.similarity.hyperplane_signature: bit i set iff
+    list_dot_product(vec, plane_i) > 0 — the seed-42 planes embedded as
+    exact literals (r10 verdict #3: the 'engine-specific' label on the
+    LSH queries was wrong; fixed hyperplanes make the signature plain
+    deterministic float arithmetic both engines share bit-for-bit)."""
+    planes = _hyperplanes(64, nbits, seed=42)
+    terms = [
+        f"(CASE WHEN list_dot_product({vec_expr}, {_duck_vec_literal(p)}) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + "\n         + ".join(terms) + ")::BIGINT"
 
 
 @register(
@@ -95,8 +121,28 @@ def v2_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="ext:dedup,ext:similarity",
     doc="Embedding near-dup, approximate: hyperplane-LSH banding gates "
     "candidate pairs (16 bits, 8 bands), exact GEMM verifies inside "
-    "buckets — the 100 TB path. Rows-only; recall vs v2 pytest-asserted.",
-    oracle=None,
+    "buckets — the 100 TB path. Hash-checked as of r11: the seed-42 "
+    "hyperplanes are plan literals the oracle reproduces exactly, so "
+    "the banded candidate set is deterministic; recall vs v2 stays "
+    "pytest-asserted.",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, {_duck_hyperplane_sig("v", 16)} AS sig FROM e),
+    bands AS (
+      SELECT vec_id, band, (sig >> (2 * band)) & 3 AS val
+      FROM s, (SELECT unnest(range(8)) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM bands l JOIN bands r USING (band, val)
+      WHERE l.vec_id < r.vec_id
+    )
+    SELECT c.id_a, c.id_b, round({_DUCK_COS}, 6) AS cos_sim
+    FROM cand c
+    JOIN e a ON a.vec_id = c.id_a
+    JOIN e b ON b.vec_id = c.id_b
+    WHERE {_DUCK_COS} > 0.4
+    """,
 )
 def v2b_cosine_pairs_lsh_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_lsh_gated(_emb(spark, sf_dir), threshold=0.4)
@@ -129,9 +175,29 @@ def v3_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="ext:similarity",
     doc="Approximate top-10 via random-hyperplane LSH "
     "(lsh_ann_topk defaults: 10 bits, multi-probe hamming ≤ 4 — "
-    "~38% candidate fraction, see its docstring). Rows-only; recall "
-    "vs v1 pytest-asserted.",
-    oracle=None,
+    "~38% candidate fraction, see its docstring). Hash-checked as of "
+    "r11: sign bits of 10 seed-42 plane dots (driver side uses the "
+    "sequential seq_dot fold, bit-identical to list_dot_product), "
+    "hamming gate via bit_count(xor), then v1's exact re-rank over "
+    "the candidates. Recall vs v1 stays pytest-asserted.",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = {_QUERY_VEC_ID}),
+    s AS (
+      SELECT e.vec_id, e.v,
+             {_duck_hyperplane_sig("e.v", 10)} AS sig,
+             {_duck_hyperplane_sig("q.qv", 10)} AS qsig
+      FROM e, q
+    )
+    SELECT s.vec_id,
+           round(list_dot_product(s.v, q.qv)
+                 / (sqrt(list_dot_product(s.v, s.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+    FROM s, q
+    WHERE bit_count(xor(s.sig, s.qsig)) <= 4
+    ORDER BY cos_sim DESC, s.vec_id
+    LIMIT {_TOPK}
+    """,
 )
 def v4_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=_TOPK)
