@@ -177,3 +177,183 @@ def test_gate_checkpoint_restart_exactly_once(
         map(tuple, batch_balance(load_table(spark, sf_small, "events")).collect())
     )
     assert got == want  # exactly-once: no lost epoch, no double-write
+
+
+# --- r10 verdict #5: the OTHER stateful shapes survive restart too ---
+#
+# The gate test above proves value-state (applyInPandasWithState)
+# recovery. dropDuplicatesWithinWatermark keys and a stream-stream
+# join's two-sided row buffers are recovered through different state
+# formats, so they get the same recipe: mid-drain crash (before/after
+# the epoch's files land), provider-cache force-unload so recovery
+# provably comes from checkpoint FILES, restart, convergence to the
+# batch oracle. Watermarks here are deliberately HUGE (365 days): the
+# arrival files are a random row split, so a realistic delay could
+# legitimately drop late rows — state-BOUND behavior is covered by the
+# t9/t13 oracle queries; these tests isolate exactly-once recovery.
+
+
+def _crash_then_restart(spark, run, contrib, crash_after_write):
+    """Shared choreography: crashed run 1 -> mid-drain sanity ->
+    provider unload -> healthy run 2."""
+    with pytest.raises(Exception, match="injected crash"):
+        run(_writer(contrib, crash_epoch=CRASH_EPOCH, crash_after_write=crash_after_write))
+    landed = {p.name for p in contrib.glob("epoch=*")} if contrib.exists() else set()
+    assert len(landed) == CRASH_EPOCH + (1 if crash_after_write else 0)
+    assert 0 < len(landed) < N_FILES
+    spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    run(_writer(contrib))
+
+
+@pytest.mark.parametrize("provider", [None, "rocksdb"])
+@pytest.mark.parametrize("crash_after_write", [False, True])
+def test_dedup_checkpoint_restart_exactly_once(
+    spark, sf_small, tmp_path, provider, crash_after_write
+):
+    if provider == "rocksdb":
+        _skip_unless_rocksdb(spark)
+    incoming, schema = _stage_incoming(spark, sf_small, tmp_path)
+    contrib = tmp_path / "contrib"
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(writer):
+        from pypgsync_spark.streaming.balance import (
+            state_store_provider,
+            stream_shuffle_partitions,
+        )
+
+        def side():
+            return ensure_events_ts(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(incoming)),
+                event_time=True,
+            )
+
+        # two reads of the same files = deterministic at-least-once
+        # delivery (dedupe.py's duplicate_input), so the dedup state is
+        # doing real work in every epoch
+        deduped = (
+            side()
+            .unionByName(side())
+            .withWatermark("ts", "365 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        with stream_shuffle_partitions(spark, "auto"), state_store_provider(
+            spark, provider
+        ):
+            q = (
+                deduped.writeStream.foreachBatch(writer)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    _crash_then_restart(spark, run, contrib, crash_after_write)
+
+    got = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(str(contrib)).select("event_id").collect()
+    )
+    want = sorted(
+        r["event_id"]
+        for r in load_table(spark, sf_small, "events").select("event_id").collect()
+    )
+    assert got == want  # each event exactly once: no lost epoch, no
+    # replayed duplicate, no key double-emitted across the restart
+
+
+@pytest.mark.parametrize("provider", [None, "rocksdb"])
+@pytest.mark.parametrize("crash_after_write", [False, True])
+def test_stream_stream_join_checkpoint_restart_exactly_once(
+    spark, sf_small, tmp_path, provider, crash_after_write
+):
+    if provider == "rocksdb":
+        _skip_unless_rocksdb(spark)
+    incoming, schema = _stage_incoming(spark, sf_small, tmp_path)
+    contrib = tmp_path / "contrib"
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(writer):
+        from pypgsync_spark.streaming.balance import (
+            state_store_provider,
+            stream_shuffle_partitions,
+        )
+
+        def side(event_type, id_alias, ts_alias, user_alias):
+            src = ensure_events_ts(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(incoming)),
+                event_time=True,
+            )
+            return (
+                src.filter(F.col("event_type") == event_type)
+                .select(
+                    F.col("event_id").alias(id_alias),
+                    F.col("user_id").alias(user_alias),
+                    F.col("ts").alias(ts_alias),
+                )
+                .withWatermark(ts_alias, "365 days")
+            )
+
+        left = side("error", "error_id", "error_ts", "user_id")
+        right = side("click", "click_id", "click_ts", "r_user_id")
+        joined = left.join(
+            right,
+            (F.col("user_id") == F.col("r_user_id"))
+            & (F.col("click_ts") >= F.col("error_ts") - F.expr("INTERVAL 6 HOURS"))
+            & (F.col("click_ts") <= F.col("error_ts")),
+            "inner",
+        ).select("error_id", "click_id")
+        with stream_shuffle_partitions(spark, "auto"), state_store_provider(
+            spark, provider
+        ):
+            q = (
+                joined.writeStream.foreachBatch(writer)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    _crash_then_restart(spark, run, contrib, crash_after_write)
+
+    ev = load_table(spark, sf_small, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("error_ts"),
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    want = sorted(
+        map(
+            tuple,
+            err.join(
+                clk,
+                (F.col("user_id") == F.col("r_user_id"))
+                & (F.col("click_ts") >= F.col("error_ts") - F.expr("INTERVAL 6 HOURS"))
+                & (F.col("click_ts") <= F.col("error_ts")),
+                "inner",
+            )
+            .select("error_id", "click_id")
+            .collect(),
+        )
+    )
+    assert want, "fixture must produce at least one error-click pair"
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(str(contrib))
+            .select("error_id", "click_id")  # drop the epoch partition col
+            .collect(),
+        )
+    )
+    assert got == want  # every pair exactly once across the restart
