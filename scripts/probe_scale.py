@@ -25,6 +25,14 @@ Ops:
   gate   — the transition-gated streaming drain (streaming/gated.py::
            gated_balance), each run a full from-scratch availableNow
            drain with a fresh checkpoint.
+  cellpairs — SemDeDup's cell-bucketed GEMM (similarity.py::
+           cell_cosine_pairs) over ×mult vectors assigned to the same
+           8 fixed centroids. Intrinsic work is Σ n_cell²·d (×mult²),
+           so the recorded verdict is gemm_mults_per_sec: wall must
+           track the work metric, which is what proves the block-split
+           machinery adds only linear overhead.
+  knn    — the exact k-NN graph self-join (similarity.py::knn_join),
+           intrinsic work N²·d; same work-normalized verdict.
 
 Staged inputs live under a tempdir and are deleted afterwards.
 
@@ -163,9 +171,70 @@ def make_run_gate(base: str):
     return run
 
 
+def stage_cellpairs(spark, mult: int, base: str) -> str:
+    """Embeddings × mult, assigned to the SAME 8 fixed centroids at
+    every multiplier (r10 verdict #6: fixed cell count, id-shifted
+    copies) — cells grow ×mult, so the intrinsic GEMM work Σ n_cell²·d
+    grows ×mult², and the thing under test is whether wall tracks THAT
+    (the block-split machinery staying linear in its work), not row
+    count. Copies are identical vectors: the dup-heavy-corpus case,
+    same convention as the dedup probe."""
+    from pypgsync_spark.operators.similarity import ivf_assign
+
+    e = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    path = f"{base}/cells_x{mult}"
+    ivf_assign(_multiply(e, mult, "vec_id", 10**7), cents).repartition(
+        32
+    ).write.parquet(path)
+    return path
+
+
+def run_cellpairs(spark, path: str) -> None:
+    from pypgsync_spark.operators.similarity import cell_cosine_pairs
+
+    cell_cosine_pairs(spark.read.parquet(path), threshold=0.4).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+
+def work_cellpairs(spark, path: str) -> int:
+    """Σ n_cell² · d — the SemDeDup kernel's intrinsic multiply count."""
+    cells = spark.read.parquet(path).groupBy("cell").count().collect()
+    return sum(int(r["count"]) ** 2 for r in cells) * 64
+
+
+def stage_knn(spark, mult: int, base: str) -> str:
+    e = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    path = f"{base}/knn_x{mult}"
+    _multiply(e, mult, "vec_id", 10**7).repartition(32).write.parquet(path)
+    return path
+
+
+def run_knn(spark, path: str) -> None:
+    from pypgsync_spark.operators.similarity import knn_join
+
+    knn_join(spark.read.parquet(path), k=3).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
+def work_knn(spark, path: str) -> int:
+    """N² · d — the exact k-NN self-join's intrinsic multiply count."""
+    n = spark.read.parquet(path).count()
+    return n * n * 64
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--op", default="merge", choices=["merge", "dedup", "pack", "gate"])
+    ap.add_argument(
+        "--op",
+        default="merge",
+        choices=["merge", "dedup", "pack", "gate", "cellpairs", "knn"],
+    )
     ap.add_argument("multipliers", nargs="*", type=int, default=[1, 10])
     args = ap.parse_args()
     mults = args.multipliers or [1, 10]
@@ -178,11 +247,16 @@ def main() -> None:
     spark = get_spark(app_name=f"pypgsync_spark_probe_{args.op}")
     spark.sparkContext.setLogLevel("ERROR")
     base = tempfile.mkdtemp(prefix=f"probe_{args.op}_")
-    stage, run, n_warm = {
-        "merge": (stage_events, run_merge, 3),
-        "dedup": (stage_docs, run_dedup, 3),
-        "pack": (stage_tokens, run_pack, 3),
-        "gate": (stage_gate, make_run_gate(base), 2),  # drains are slow
+    stage, run, n_warm, work_fn = {
+        "merge": (stage_events, run_merge, 3, None),
+        "dedup": (stage_docs, run_dedup, 3, None),
+        "pack": (stage_tokens, run_pack, 3, None),
+        "gate": (stage_gate, make_run_gate(base), 2, None),  # drains are slow
+        # the GEMM family's intrinsic work is quadratic in cell/corpus
+        # size; their scaling verdict is work-normalized (mults/sec),
+        # not rows/sec
+        "cellpairs": (stage_cellpairs, run_cellpairs, 2, work_cellpairs),
+        "knn": (stage_knn, run_knn, 2, work_knn),
     }[args.op]
 
     results = []
@@ -190,6 +264,7 @@ def main() -> None:
         for m in mults:
             path = stage(spark, m, base)
             n = spark.read.parquet(path).count()
+            work = work_fn(spark, path) if work_fn else None
             t0 = time.time()
             run(spark, path)  # cold: codegen + footer reads (+ JNI for gate)
             cold = time.time() - t0
@@ -208,6 +283,9 @@ def main() -> None:
                 "rows_per_sec": round(n / max(sec, 1e-9)),
                 "load_avg": [round(x, 2) for x in os.getloadavg()],
             }
+            if work is not None:
+                r["gemm_mults"] = work
+                r["gemm_mults_per_sec"] = round(work / max(sec, 1e-9))
             results.append(r)
             print(json.dumps(r))
     finally:
@@ -218,12 +296,14 @@ def main() -> None:
         # `--op merge 10 1` must not report an inverted ratio
         by_mult = sorted(results, key=lambda r: r["multiplier"])
         a, b = by_mult[0], by_mult[-1]
-        ratio = (b["rows_per_sec"] / a["rows_per_sec"]) if a["rows_per_sec"] else 0
+        key = "gemm_mults_per_sec" if work_fn else "rows_per_sec"
+        ratio = (b[key] / a[key]) if a.get(key) else 0
         print(
             json.dumps(
                 {
                     "op": args.op,
-                    "summary": f"{b['multiplier']}x/{a['multiplier']}x throughput ratio",
+                    "summary": f"{b['multiplier']}x/{a['multiplier']}x "
+                    f"throughput ratio ({key})",
                     "ratio": round(ratio, 3),
                     "linear_or_better": ratio >= 0.9,
                 }
