@@ -87,18 +87,26 @@ def decode_image(payload: bytes) -> "object":
 
     if payload[:2] == b"P6":
         pos = 2
+        end = len(payload)
         vals: list[int] = []
         while len(vals) < 3:
-            while payload[pos : pos + 1].isspace():
+            while pos < end and payload[pos : pos + 1].isspace():
                 pos += 1
+            if pos >= end:
+                # without the bound, b""[p:p+1] is b"" forever and the
+                # token scan below never terminates (r11 self-review)
+                raise ValueError("PPM header truncated")
             if payload[pos : pos + 1] == b"#":  # comment to end-of-line
-                while payload[pos : pos + 1] not in (b"\n", b""):
+                while pos < end and payload[pos : pos + 1] != b"\n":
                     pos += 1
                 continue
             start = pos
-            while not payload[pos : pos + 1].isspace():
+            while pos < end and not payload[pos : pos + 1].isspace():
                 pos += 1
-            vals.append(int(payload[start:pos]))
+            tok = payload[start:pos]
+            if not tok.isdigit():
+                raise ValueError(f"PPM header token {tok!r} is not a number")
+            vals.append(int(tok))
         w, h, maxval = vals
         if maxval != 255:
             raise ValueError(f"PPM maxval {maxval} unsupported (8-bit only)")
@@ -111,6 +119,8 @@ def decode_image(payload: bytes) -> "object":
     if payload[:2] == b"BM":
         import struct
 
+        if len(payload) < 54:  # file header (14) + BITMAPINFOHEADER (40)
+            raise ValueError("BMP header truncated")
         offset = struct.unpack_from("<I", payload, 10)[0]
         w, h = struct.unpack_from("<ii", payload, 18)
         planes, bpp = struct.unpack_from("<HH", payload, 26)

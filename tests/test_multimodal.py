@@ -80,3 +80,21 @@ def test_ppm_truncated_payload_rejected():
 def test_ppm_16bit_maxval_rejected():
     with pytest.raises(ValueError, match="maxval"):
         decode_image(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+
+
+def test_ppm_truncated_header_terminates():
+    """r11 self-review: an unbounded header scan looped forever on
+    b'' (bytes[p:p+1] of an exhausted payload never .isspace())."""
+    for payload in (b"P6", b"P6\n", b"P6\n3 ", b"P6\n3 2\n# trailing comment"):
+        with pytest.raises(ValueError, match="truncated"):
+            decode_image(payload)
+
+
+def test_ppm_non_numeric_header_rejected():
+    with pytest.raises(ValueError, match="not a number"):
+        decode_image(b"P6\nabc 2\n255\n" + b"\x00" * 18)
+
+
+def test_bmp_truncated_header_rejected():
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(b"BM" + b"\x00" * 20)
