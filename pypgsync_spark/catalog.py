@@ -49,6 +49,17 @@ def ensure_events_ts(df: DataFrame, event_time: bool = False) -> DataFrame:
     column, so ``functions.time.nanos_range_pred`` predicates on it still
     reach the scan).
 
+    POST-EPOCH ASSUMPTION (r11 review): ``div`` truncates toward zero
+    while DuckDB floors, so a PRE-1970 nano timestamp would land 1 µs
+    apart across engines (-1500 ns → -1 µs here, -2 µs there). All
+    fixture generations are post-epoch, and the sweep's hash compare
+    would flag any violation loudly; the truncating form is kept
+    because every registered query's closure includes this function —
+    changing it re-fingerprints the entire catalog for a case no real
+    sync data hits. If pre-epoch nanos ever become legal fixture
+    content, switch to ``(ts - pmod(ts, 1000)) div 1000`` (exact floor)
+    and accept the one-round re-vouching drain.
+
     ``event_time=True`` (the streaming entry points) additionally casts
     a TIMESTAMP_NTZ ``ts`` to TIMESTAMP: ``withWatermark`` demands the
     LTZ type, and under the engine's pinned-UTC session the cast is an
@@ -79,10 +90,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe that also works for remote URIs: ``os.path`` is
+    local-FS-only and silently answers False for hdfs://s3a://file:
+    paths (the r10 review's recurring bug class), so URIs go through
+    the Hadoop FileSystem of the path's own scheme."""
+    if "://" not in path:
+        return os.path.exists(path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
-    return {n: load_table(spark, sf_dir, n) for n in names if os.path.exists(table_path(sf_dir, n))}
+    """Every requested fixture table that exists under ``sf_dir``.
+
+    Missing INDIVIDUAL tables are skipped (subset fixtures are legal);
+    ZERO tables found is an error — that's a typo'd/missing directory,
+    and returning {} only surfaced later as an opaque
+    TABLE_OR_VIEW_NOT_FOUND deep inside a query (r11 review)."""
+    out = {
+        n: load_table(spark, sf_dir, n)
+        for n in names
+        if _path_exists(spark, table_path(sf_dir, n))
+    }
+    if names and not out:
+        raise FileNotFoundError(
+            f"no fixture tables found under {sf_dir!r} "
+            f"(looked for {', '.join(names)})"
+        )
+    return out
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:

@@ -126,40 +126,84 @@ def _load_source(
     return spark.read.parquet(path)
 
 
-def run_single(args, spark: SparkSession) -> dict:
-    from pypgsync_spark.sync import ParquetSyncedTable, sync_table
+def _parse_keys(keys: str) -> list[str]:
+    """'a, b' and 'a,b' both mean [a, b] — un-stripped splitting hands
+    the merge a key named ' b' that fails analysis far from the CLI
+    (r11 review)."""
+    return [k.strip() for k in keys.split(",") if k.strip()]
 
-    store = ParquetSyncedTable(spark, args.dest)
-    stats = sync_table(
-        _load_source(
-            spark,
-            args.source,
-            fmt=getattr(args, "source_format", "parquet"),
-            partition_column=getattr(args, "partition_column", "event_id"),
-        ),
-        store,
-        keys=args.keys.split(","),
-        version_col=args.version_col,
-    )
+
+def _stats_dict(stats) -> dict:
     return {
         "low": stats.low,
         "high": stats.high,
         "delta_rows": stats.delta_rows,
+        "slices": len(stats.plan.slices) if stats.plan else None,
     }
+
+
+def _sync_args(args, spark: SparkSession):
+    from pypgsync_spark.sync import ParquetSyncedTable
+
+    store = ParquetSyncedTable(spark, args.dest)
+
+    def loader():
+        return _load_source(
+            spark,
+            args.source,
+            fmt=getattr(args, "source_format", "parquet"),
+            partition_column=getattr(args, "partition_column", "event_id"),
+        )
+
+    return store, loader
+
+
+def run_single(args, spark: SparkSession) -> dict:
+    from pypgsync_spark.sync import sync_table
+
+    store, loader = _sync_args(args, spark)
+    return _stats_dict(
+        sync_table(
+            loader(),
+            store,
+            keys=_parse_keys(args.keys),
+            version_col=args.version_col,
+            # r11 review: was parsed but never forwarded — the
+            # documented --chunksize analogue silently did nothing
+            target_rows_per_slice=args.target_rows_per_slice,
+        )
+    )
 
 
 def run_continuous(args, spark: SparkSession, sleep=time.sleep) -> list[dict]:
     """The reference's ``while True: sync(); sleep(delay)`` loop
     (reference cli.py:90-94), bounded by ``--iterations`` when > 0.
-    Exits cleanly on KeyboardInterrupt (reference cli.py:95-97)."""
+    Exits cleanly on KeyboardInterrupt (reference cli.py:95-97).
+
+    The bounded case IS ``sync.sync_continuous`` (one loop
+    implementation to maintain — r11 review); this wrapper owns only
+    the infinite-until-interrupted mode the reference's CLI exposes.
+    """
+    from pypgsync_spark.sync import sync_continuous
+
+    store, loader = _sync_args(args, spark)
+    keys = _parse_keys(args.keys)
+    if args.iterations:
+        runs = sync_continuous(
+            loader,
+            store,
+            keys,
+            args.version_col,
+            iterations=args.iterations,
+            delay_seconds=args.delay,
+            sleep=sleep,
+            target_rows_per_slice=args.target_rows_per_slice,
+        )
+        return [_stats_dict(s) for s in runs]
     out: list[dict] = []
-    i = 0
     try:
         while True:
             out.append(run_single(args, spark))
-            i += 1
-            if args.iterations and i >= args.iterations:
-                break
             sleep(args.delay)
     except KeyboardInterrupt:
         pass
@@ -171,7 +215,11 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     if spark is None:
         from pypgsync_spark.session import get_spark
 
-        spark = get_spark(app_name="pypgsync_spark_cli", master=args.master)
+        # no --master given -> get_spark's default (local[$CPUS]); an
+        # explicit value passes through, including master=None semantics
+        # via get_spark for spark-submit-managed sessions
+        kw = {"master": args.master} if args.master else {}
+        spark = get_spark(app_name="pypgsync_spark_cli", **kw)
     if args.command == "query":
         return run_query(args, spark)
     if args.command == "single":

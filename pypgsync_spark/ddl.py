@@ -78,6 +78,16 @@ def clone_table_ddl(
     def q(name: str) -> str:
         return '"' + name.replace('"', '""') + '"'
 
+    def q_table(name: str) -> str:
+        # 'analytics.events' must render as "analytics"."events", not
+        # one quoted identifier with a dot inside: the existence check
+        # (spark.catalog.tableExists) already parses dots as
+        # namespace separators, and quoting the whole string would
+        # CREATE a single weirdly-named table in the default schema —
+        # the upsert's ON CONFLICT target then never matches (r11
+        # review). Dots are therefore separators here too.
+        return ".".join(q(part) for part in name.split("."))
+
     cols = [
         f"{q(f.name)} {pg_type(f.dataType)}"
         + ("" if f.nullable else " NOT NULL")
@@ -85,7 +95,7 @@ def clone_table_ddl(
     ]
     if primary_key:
         cols.append(f"PRIMARY KEY ({', '.join(q(k) for k in primary_key)})")
-    return f"CREATE TABLE IF NOT EXISTS {q(table)} ({', '.join(cols)})"
+    return f"CREATE TABLE IF NOT EXISTS {q_table(table)} ({', '.join(cols)})"
 
 
 def schema_manifest(spark: SparkSession, tables: dict[str, DataFrame]) -> DataFrame:

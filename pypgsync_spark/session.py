@@ -22,23 +22,35 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _resolve_master(master: str | None, cpus: int) -> str | None:
+    """'auto' → local[cpus]; None → None (builder must not call
+    .master(), deferring to spark-submit); anything else passes
+    through verbatim."""
+    if master == "auto":
+        return f"local[{cpus}]"
+    return master
+
+
 def get_spark(
     app_name: str = "pypgsync_spark",
-    master: str | None = None,
+    master: str | None = "auto",
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
 
-    On a real cluster, pass ``master=None`` with an external
-    spark-submit master; locally defaults to ``local[$SPARK_GRAFT_CPUS]``.
+    ``master="auto"`` (the default) runs ``local[$SPARK_GRAFT_CPUS]``.
+    On a real cluster, pass ``master=None``: the builder then does NOT
+    call ``.master()`` at all, so spark-submit's ``--master`` wins (r11
+    review: the old ``master or local[...]`` fallback silently
+    overrode an external cluster manager with local mode — builder
+    options beat the submit-time ``spark.master`` property).
     """
     cpus = DEFAULT_CPUS
-    master = master or f"local[{cpus}]"
+    master = _resolve_master(master, cpus)
     shuffle_partitions = shuffle_partitions or cpus
     b = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -51,6 +63,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if master is not None:
+        b = b.master(master)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

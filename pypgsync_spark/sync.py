@@ -291,11 +291,18 @@ def sync_table(
     keys: list[str],
     version_col: str,
     high: int | None = None,
+    target_rows_per_slice: int | None = None,
 ) -> SyncStats:
     """One full iteration against a persistent destination — the body of
-    the reference's ``merge_chunks`` orchestrator (session.py:111-160)."""
+    the reference's ``merge_chunks`` orchestrator (session.py:111-160).
+    ``target_rows_per_slice`` passes through to :func:`sync_once` (the
+    CLI's --target-rows-per-slice was parsed but never reached here —
+    r11 review)."""
     dst = store.read()
-    merged, stats = sync_once(src, dst, keys, version_col, high=high)
+    merged, stats = sync_once(
+        src, dst, keys, version_col, high=high,
+        target_rows_per_slice=target_rows_per_slice,
+    )
     if stats.delta_rows > 0 or dst is None:
         store.write(merged)
     return stats
@@ -309,6 +316,7 @@ def sync_continuous(
     iterations: int,
     delay_seconds: float = 5.0,
     sleep=time.sleep,
+    target_rows_per_slice: int | None = None,
 ) -> list[SyncStats]:
     """Continuous mode: bounded re-run loop (reference cli.py:80-97,
     default delay 5 s at cli.py:72-74). ``src_loader()`` re-reads the
@@ -317,7 +325,12 @@ def sync_continuous(
     """
     out: list[SyncStats] = []
     for i in range(iterations):
-        out.append(sync_table(src_loader(), store, keys, version_col))
+        out.append(
+            sync_table(
+                src_loader(), store, keys, version_col,
+                target_rows_per_slice=target_rows_per_slice,
+            )
+        )
         if i + 1 < iterations:
             sleep(delay_seconds)
     return out

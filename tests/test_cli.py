@@ -154,3 +154,124 @@ def test_cli_query_command(spark, sf_small, capsys):
 
     rc = main(["query", "no_such_query"], spark=spark)
     assert rc == 2
+
+
+def test_cli_target_rows_per_slice_reaches_planner(spark, sf_small, tmp_path):
+    """r11 review: the flag was parsed but never forwarded — the
+    documented --chunksize analogue silently did nothing. Now the
+    returned stats carry the plan's slice count."""
+    from pypgsync_spark.cli import _build_parser, run_single
+
+    src_path = _make_source(spark, sf_small, tmp_path)
+    args = _build_parser().parse_args(
+        [
+            "single",
+            "--source", src_path,
+            "--dest", str(tmp_path / "dst"),
+            "--keys", "event_id",
+            "--version-col", "updated_ms",
+            "--target-rows-per-slice", "100",
+        ]
+    )
+    stats = run_single(args, spark)
+    assert stats["delta_rows"] > 0
+    assert stats["slices"] and stats["slices"] > 1  # ~rows/100 ranges
+
+    # without the flag the plan is skipped, exactly as before
+    args2 = _build_parser().parse_args(
+        [
+            "single",
+            "--source", src_path,
+            "--dest", str(tmp_path / "dst2"),
+            "--keys", "event_id",
+            "--version-col", "updated_ms",
+        ]
+    )
+    assert run_single(args2, spark)["slices"] is None
+
+
+def test_cli_keys_whitespace_stripped(spark, sf_small, tmp_path):
+    """'--keys "event_id, user_id"' must not hand the merge a key
+    named ' user_id' (r11 review)."""
+    from pypgsync_spark.cli import _parse_keys, run_single
+
+    assert _parse_keys("event_id, user_id") == ["event_id", "user_id"]
+    assert _parse_keys("a ,b, c ") == ["a", "b", "c"]
+
+    from pypgsync_spark.cli import _build_parser
+
+    src_path = _make_source(spark, sf_small, tmp_path)
+    args = _build_parser().parse_args(
+        [
+            "single",
+            "--source", src_path,
+            "--dest", str(tmp_path / "dst"),
+            "--keys", "event_id, user_id",
+            "--version-col", "updated_ms",
+        ]
+    )
+    assert run_single(args, spark)["delta_rows"] > 0
+
+
+def test_cli_continuous_delegates_to_sync_continuous(spark, sf_small, tmp_path, monkeypatch):
+    """Bounded mode must run through sync.sync_continuous (one loop
+    implementation to maintain — r11 review)."""
+    import pypgsync_spark.sync as sync_mod
+    from pypgsync_spark.cli import _build_parser, run_continuous
+
+    calls = {}
+    real = sync_mod.sync_continuous
+
+    def spy(*a, **k):
+        calls["hit"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr(sync_mod, "sync_continuous", spy)
+    src_path = _make_source(spark, sf_small, tmp_path)
+    args = _build_parser().parse_args(
+        [
+            "continuous",
+            "--source", src_path,
+            "--dest", str(tmp_path / "dst"),
+            "--keys", "event_id",
+            "--version-col", "updated_ms",
+            "--delay", "0",
+            "--iterations", "2",
+        ]
+    )
+    runs = run_continuous(args, spark, sleep=lambda s: None)
+    assert calls.get("hit")
+    assert len(runs) == 2 and runs[0]["delta_rows"] > 0
+
+
+def test_resolve_master_contract():
+    """r11 review: master=None must NOT be replaced with local[n] —
+    that silently overrode spark-submit's --master on real clusters."""
+    from pypgsync_spark.session import _resolve_master
+
+    assert _resolve_master("auto", 32) == "local[32]"
+    assert _resolve_master(None, 32) is None
+    assert _resolve_master("yarn", 32) == "yarn"
+
+
+def test_load_tables_missing_dir_raises(spark, tmp_path):
+    """A typo'd sf_dir used to return {} and surface later as an opaque
+    TABLE_OR_VIEW_NOT_FOUND (r11 review)."""
+    import pytest
+
+    from pypgsync_spark.catalog import load_tables
+
+    with pytest.raises(FileNotFoundError, match="no fixture tables"):
+        load_tables(spark, str(tmp_path / "sf_typo"))
+
+
+def test_load_tables_subset_fixture_still_lenient(spark, sf_small, tmp_path):
+    import shutil
+
+    from pypgsync_spark.catalog import load_tables, table_path
+
+    sub = tmp_path / "subset"
+    sub.mkdir()
+    shutil.copy(table_path(sf_small, "region"), sub / "region.parquet")
+    out = load_tables(spark, str(sub))
+    assert set(out) == {"region"}  # missing siblings skipped, not fatal

@@ -130,3 +130,19 @@ def test_init_sync_contract(spark, sf_small):
     # present destination -> no-op
     assert init_sync(spark, "init_src", "init_src") == ""
     spark.catalog.dropTempView("init_src")
+
+
+def test_clone_ddl_qualified_destination(spark):
+    """'analytics.events' renders as "analytics"."events" — quoting the
+    dotted name as ONE identifier would create a mis-named table in the
+    default schema while tableExists checks namespace 'analytics'
+    (r11 review)."""
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [], T.StructType([T.StructField("id", T.LongType(), False)])
+    )
+    ddl = clone_table_ddl(df, "analytics.events", primary_key=["id"])
+    assert 'CREATE TABLE IF NOT EXISTS "analytics"."events"' in ddl
+    # unqualified names keep the plain single-identifier form
+    assert 'IF NOT EXISTS "events" (' in clone_table_ddl(df, "events")
