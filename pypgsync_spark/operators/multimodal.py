@@ -373,3 +373,322 @@ def image_decode_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "fmt", "payload").mapInPandas(stats, DECODE_SCHEMA)
+
+
+# --- real-container AUDIO decode path (r11): 16-bit PCM RIFF/WAVE ----
+# Same shape as the image path: deterministic fixture samples -> real
+# container bytes in a binary column -> dependency-free chunk-walking
+# decoder -> per-channel statistics the SQL oracle restates. The only
+# remaining deploy seam is compressed codecs (mp3/aac/opus), exactly as
+# decode_image's seam is jpeg/png.
+
+AUD_FRAMES, AUD_CH, AUD_RATE = 64, 2, 8000
+
+AUDIO_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("l_sum", T.LongType()),
+        T.StructField("r_sum", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def _fixture_samples(doc_id: int):
+    """Deterministic interleaved stereo int16 PCM for a doc: sample i
+    of the interleaved stream (i = frame*2 + channel) is
+    ``((doc_id*37 + i*11) % 4096) - 2048`` — pure integer arithmetic a
+    SQL oracle can restate, standing in for real audio the fixture
+    cannot carry."""
+    import numpy as np
+
+    i = np.arange(AUD_FRAMES * AUD_CH, dtype=np.int64)
+    return (((doc_id * 37 + i * 11) % 4096) - 2048).astype(np.int16)
+
+
+def encode_wav16(samples, rate: int = AUD_RATE, junk_chunk: bool = False) -> bytes:
+    """Serialize interleaved int16 PCM as a real RIFF/WAVE container
+    (canonical 16-bit PCM layout: RIFF header, ``fmt `` chunk, ``data``
+    chunk). With ``junk_chunk`` an odd-sized ``LIST`` chunk is inserted
+    between ``fmt `` and ``data`` — plus the RIFF word-alignment pad
+    byte — so decoders must actually walk chunks, not read fixed
+    offsets."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype="<i2")
+    n_ch = AUD_CH
+    data = a.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16
+    )  # PCM, block align = ch*2, 16 bits
+    chunks = [b"fmt " + struct.pack("<I", len(fmt)) + fmt]
+    if junk_chunk:
+        junk = b"INFOjunk"[:7]  # 7 bytes: odd size forces the pad rule
+        chunks.append(b"LIST" + struct.pack("<I", len(junk)) + junk + b"\x00")
+    chunks.append(b"data" + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) % 2 else b""))
+    body = b"WAVE" + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav16(payload: bytes):
+    """Decode a 16-bit PCM RIFF/WAVE payload into ``(samples, rate)``
+    where samples is an (n_frames, n_channels) int16 numpy array.
+
+    A real chunk walker: validates the RIFF/WAVE magic, then scans
+    chunks (honoring the word-alignment pad byte after odd-sized
+    chunks) for ``fmt `` and ``data`` — unknown chunks (LIST, cue,
+    bext...) are skipped, as the RIFF spec requires. Rejects non-PCM
+    encodings and bit depths other than 16; those compressed/float
+    variants are the documented deploy seam (plug a production codec
+    here), mirroring decode_image's jpeg/png seam."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(
+            "unsupported container (reference decoder handles RIFF/WAVE "
+            "16-bit PCM); plug a production codec at this seam"
+        )
+    pos, end = 12, min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    fmt = data = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        if pos + 8 + size > end:
+            raise ValueError(f"WAV chunk {cid!r} truncated")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # odd chunks carry a pad byte
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("WAV fmt chunk truncated")
+    audio_fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(
+            f"WAV encoding unsupported by the reference decoder "
+            f"(fmt={audio_fmt}, bits={bits}; PCM-16 only) — the "
+            f"compressed-audio deploy seam"
+        )
+    if n_ch < 1:
+        raise ValueError("WAV channel count must be >= 1")
+    n = len(data) // (2 * n_ch)
+    a = np.frombuffer(data[: n * 2 * n_ch], dtype="<i2").reshape(n, n_ch)
+    return a, rate
+
+
+def with_audio_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload): REAL RIFF/WAVE bytes per document — odd ids
+    get an odd-sized junk LIST chunk before ``data`` so the downstream
+    decode exercises the chunk walk and the pad-byte rule, not just the
+    canonical layout. Arrow-batched mapInPandas; partitioning inherited
+    (no shuffle)."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [
+                encode_wav16(_fixture_samples(int(d)), junk_chunk=bool(d % 2))
+                for d in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(encode, AUDIO_PAYLOAD_SCHEMA)
+
+
+def audio_decode_stats(df: DataFrame) -> DataFrame:
+    """Decode each WAV payload via :func:`decode_wav16` and emit the
+    canonical audio-featurize row: frame count, per-channel sample
+    sums, and peak amplitude (max |sample| across channels). A layout
+    bug anywhere (chunk walk, pad byte, little-endian int16,
+    interleaving) lands in the sums and fails the oracle hash."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nf, ls, rs, pk = [], [], [], []
+            for payload in pdf["payload"]:
+                a, _rate = decode_wav16(bytes(payload))
+                a64 = a.astype("int64")
+                nf.append(a.shape[0])
+                ls.append(int(a64[:, 0].sum()))
+                rs.append(int(a64[:, 1].sum()))
+                pk.append(int(abs(a64).max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_frames": pd.Series(nf, dtype="int32"),
+                    "l_sum": pd.Series(ls, dtype="int64"),
+                    "r_sum": pd.Series(rs, dtype="int64"),
+                    "peak": pd.Series(pk, dtype="int32"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(stats, AUDIO_STATS_SCHEMA)
+
+
+# --- real-container VIDEO decode path (r11): YUV4MPEG2 (Y4M) --------
+# Y4M is the uncompressed interchange format the ffmpeg/mjpegtools
+# toolchain uses: a text stream header, then per frame a FRAME marker
+# line and raw YUV planes. Decode + temporal frame-sampling is the
+# canonical video featurize stage; compressed codecs (h264/vp9/av1)
+# remain the documented deploy seam.
+
+VID_W, VID_H, VID_FRAMES = 6, 4, 8
+
+VIDEO_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+VIDEO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("y_sum", T.LongType()),
+        T.StructField("u_sum", T.LongType()),
+        T.StructField("v_sum", T.LongType()),
+    ]
+)
+
+
+def _fixture_video(doc_id: int):
+    """Deterministic (VID_FRAMES, 3, VID_H*VID_W) uint8 YUV444 video:
+    byte i of plane p (0=Y,1=U,2=V) in frame f is
+    ``(doc_id*19 + f*23 + p*41 + i*7) % 256`` — SQL-restatable integer
+    arithmetic standing in for real frames."""
+    import numpy as np
+
+    f = np.arange(VID_FRAMES, dtype=np.int64)[:, None, None]
+    p = np.arange(3, dtype=np.int64)[None, :, None]
+    i = np.arange(VID_H * VID_W, dtype=np.int64)[None, None, :]
+    return ((doc_id * 19 + f * 23 + p * 41 + i * 7) % 256).astype(np.uint8)
+
+
+def encode_y4m(frames) -> bytes:
+    """Serialize (n_frames, 3, H*W) uint8 YUV444 planes as a real
+    YUV4MPEG2 stream: the parameterized stream header, then per frame
+    a ``FRAME`` marker line followed by the raw Y, U, V planes."""
+    import numpy as np
+
+    a = np.asarray(frames, dtype=np.uint8)
+    header = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C444\n" % (VID_W, VID_H)
+    return header + b"".join(b"FRAME\n" + fr.tobytes() for fr in a)
+
+
+def decode_y4m(payload: bytes):
+    """Decode a YUV4MPEG2 (C444) payload into an
+    (n_frames, 3, H, W) uint8 numpy array.
+
+    A real stream parser: validates the magic, reads the
+    space-separated W/H/C header parameters, then walks frames —
+    each ``FRAME`` marker line may carry its own parameters (the spec
+    allows ``FRAME Ixyz\\n``), so the parser scans to the newline
+    before reading the three raw planes. Rejects non-C444 colorspaces
+    (chroma-subsampled and compressed variants are the deploy seam)
+    and truncated frames."""
+    import numpy as np
+
+    magic = b"YUV4MPEG2"
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(magic):
+        raise ValueError(
+            "unsupported container (reference decoder handles YUV4MPEG2 "
+            "C444); plug a production codec at this seam"
+        )
+    w = h = None
+    colorspace = b"C420jpeg"  # the Y4M default when no C tag is present
+    for tok in payload[len(magic) : nl].split(b" "):
+        if not tok:
+            continue
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            colorspace = tok
+        # F/I/A/X tags are valid but irrelevant to raw-plane layout
+    if w is None or h is None or w <= 0 or h <= 0:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace != b"C444":
+        raise ValueError(
+            f"Y4M colorspace {colorspace!r} unsupported by the reference "
+            f"decoder (C444 only) — the chroma-subsampling deploy seam"
+        )
+    plane, pos, frames = w * h, nl + 1, []
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("Y4M FRAME marker missing")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("Y4M FRAME header truncated")
+        pos = fnl + 1
+        if pos + 3 * plane > len(payload):
+            raise ValueError("Y4M frame planes truncated")
+        frames.append(
+            np.frombuffer(payload[pos : pos + 3 * plane], dtype=np.uint8).reshape(
+                3, h, w
+            )
+        )
+        pos += 3 * plane
+    return np.stack(frames) if frames else np.zeros((0, 3, h, w), np.uint8)
+
+
+def with_video_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload): REAL Y4M container bytes per document.
+    Arrow-batched mapInPandas; partitioning inherited (no shuffle)."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [encode_y4m(_fixture_video(int(d))) for d in ids]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(encode, VIDEO_PAYLOAD_SCHEMA)
+
+
+def video_frame_stats(df: DataFrame, every_k: int = 3) -> DataFrame:
+    """Decode each Y4M payload via :func:`decode_y4m`, keep every
+    ``every_k``-th frame (temporal sampling — the row-EXPANDING shape
+    real video featurization uses: container in, sampled frames out),
+    and emit per-frame plane sums. A layout bug anywhere (plane order,
+    frame stride, FRAME-marker scan) lands in the sums and fails the
+    oracle hash."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ys, us, vs = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                fr = decode_y4m(bytes(payload)).astype("int64")
+                for f in range(0, fr.shape[0], every_k):
+                    ids.append(int(doc_id))
+                    idxs.append(f)
+                    ys.append(int(fr[f, 0].sum()))
+                    us.append(int(fr[f, 1].sum()))
+                    vs.append(int(fr[f, 2].sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "y_sum": pd.Series(ys, dtype="int64"),
+                    "u_sum": pd.Series(us, dtype="int64"),
+                    "v_sum": pd.Series(vs, dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(stats, VIDEO_STATS_SCHEMA)

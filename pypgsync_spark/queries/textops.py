@@ -1510,6 +1510,85 @@ def mm4_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm5_audio_decode_stats",
+    bench=120,
+    survey="ext:multimodal",
+    doc="The media pipeline's AUDIO decode stage, end-to-end on REAL "
+    "containers: per document, build a deterministic 64-frame stereo "
+    "int16 waveform, serialize it as a genuine RIFF/WAVE 16-bit PCM "
+    "file (odd ids additionally carry an odd-sized junk LIST chunk, "
+    "so the decoder must walk chunks and honor the RIFF pad-byte "
+    "rule), ship the bytes through a binary column, parse them back "
+    "with the dependency-free chunk-walking decoder, and emit frame "
+    "count, per-channel sample sums, and peak amplitude. Interleaved "
+    "sample i is (doc_id*37+i*11)%4096-2048, so the oracle restates "
+    "the decoded stats in pure SQL — any layout bug (chunk walk, pad "
+    "byte, little-endian int16, L/R interleave) fails the hash. "
+    "Compressed codecs (mp3/aac/opus) remain the documented deploy "
+    "seam (decode_wav16 raises ValueError for non-PCM-16).",
+    oracle="""
+    WITH s AS (SELECT doc_id, unnest(range(128)) AS i FROM documents)
+    SELECT doc_id,
+           CAST(count(*) // 2 AS INT) AS n_frames,
+           CAST(SUM(CASE WHEN i % 2 = 0
+                         THEN (doc_id * 37 + i * 11) % 4096 - 2048 END)
+                AS BIGINT) AS l_sum,
+           CAST(SUM(CASE WHEN i % 2 = 1
+                         THEN (doc_id * 37 + i * 11) % 4096 - 2048 END)
+                AS BIGINT) AS r_sum,
+           CAST(MAX(abs((doc_id * 37 + i * 11) % 4096 - 2048)) AS INT) AS peak
+    FROM s GROUP BY doc_id
+    """,
+)
+def mm5_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.operators.multimodal import (
+        audio_decode_stats,
+        with_audio_payload,
+    )
+
+    return audio_decode_stats(with_audio_payload(_docs(spark, sf_dir)))
+
+
+@register(
+    "mm6_video_frame_stats",
+    bench=121,
+    survey="ext:multimodal",
+    doc="The media pipeline's VIDEO decode + temporal-sampling stage, "
+    "end-to-end on REAL containers: per document, build a "
+    "deterministic 8-frame 6×4 YUV444 clip, serialize it as a genuine "
+    "YUV4MPEG2 (Y4M) stream (the ffmpeg/mjpegtools uncompressed "
+    "interchange format: parameterized stream header, FRAME marker "
+    "line per frame, raw Y/U/V planes), ship the bytes through a "
+    "binary column, parse them back with the dependency-free stream "
+    "parser, keep every 3rd frame (the row-EXPANDING decode→sample "
+    "shape real video featurization uses), and emit per-frame plane "
+    "sums. Plane byte i of plane p in frame f is "
+    "(doc_id*19+f*23+p*41+i*7)%256, so the oracle restates the "
+    "sampled sums in pure SQL. Compressed codecs (h264/vp9/av1) and "
+    "chroma subsampling remain the documented deploy seam "
+    "(decode_y4m rejects non-C444).",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, f, unnest(range(24)) AS i
+      FROM documents, (SELECT unnest([0, 3, 6]) AS f) fr
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           CAST(SUM((doc_id * 19 + f * 23 + i * 7) % 256) AS BIGINT) AS y_sum,
+           CAST(SUM((doc_id * 19 + f * 23 + 41 + i * 7) % 256) AS BIGINT) AS u_sum,
+           CAST(SUM((doc_id * 19 + f * 23 + 82 + i * 7) % 256) AS BIGINT) AS v_sum
+    FROM px GROUP BY doc_id, f
+    """,
+)
+def mm6_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.operators.multimodal import (
+        video_frame_stats,
+        with_video_payload,
+    )
+
+    return video_frame_stats(with_video_payload(_docs(spark, sf_dir)), every_k=3)
+
+
+@register(
     "tx9_corpus_cross_entropy",
     bench=65,
     survey="ext:text",

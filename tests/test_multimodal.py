@@ -98,3 +98,135 @@ def test_ppm_non_numeric_header_rejected():
 def test_bmp_truncated_header_rejected():
     with pytest.raises(ValueError, match="truncated"):
         decode_image(b"BM" + b"\x00" * 20)
+
+
+# --- r11: audio (RIFF/WAVE PCM-16) and video (Y4M) reference codecs --
+
+from pypgsync_spark.operators.multimodal import (  # noqa: E402
+    AUD_CH,
+    AUD_FRAMES,
+    VID_FRAMES,
+    VID_H,
+    VID_W,
+    _fixture_samples,
+    _fixture_video,
+    decode_wav16,
+    decode_y4m,
+    encode_wav16,
+    encode_y4m,
+)
+
+
+def _rand_samples(n_frames, seed=11):
+    rng = np.random.default_rng(seed)
+    return rng.integers(-32768, 32768, size=n_frames * AUD_CH, dtype=np.int16)
+
+
+@pytest.mark.parametrize("junk", [False, True])
+@pytest.mark.parametrize("n_frames", [1, 64, 100])
+def test_wav_round_trip(n_frames, junk):
+    s = _rand_samples(n_frames)
+    a, rate = decode_wav16(encode_wav16(s, rate=44100, junk_chunk=junk))
+    assert rate == 44100 and a.shape == (n_frames, AUD_CH)
+    assert np.array_equal(a.reshape(-1), s)
+
+
+def test_wav_junk_chunk_changes_bytes_not_samples():
+    """The odd-sized LIST chunk + pad byte must be walked over, not
+    mistaken for data."""
+    s = _fixture_samples(9)
+    plain, junked = encode_wav16(s), encode_wav16(s, junk_chunk=True)
+    assert plain != junked
+    assert np.array_equal(decode_wav16(plain)[0], decode_wav16(junked)[0])
+
+
+def test_fixture_samples_formula():
+    s = _fixture_samples(5).astype(np.int64)
+    expect = [((5 * 37 + i * 11) % 4096) - 2048 for i in range(AUD_FRAMES * AUD_CH)]
+    assert s.tolist() == expect
+
+
+def test_wav_unknown_magic_is_the_deploy_seam():
+    with pytest.raises(ValueError, match="unsupported container"):
+        decode_wav16(b"OggS" + b"\x00" * 40)
+
+
+def test_wav_non_pcm_rejected():
+    payload = bytearray(encode_wav16(_fixture_samples(1)))
+    payload[20] = 3  # fmt tag PCM(1) -> IEEE float(3)
+    with pytest.raises(ValueError, match="PCM-16 only"):
+        decode_wav16(bytes(payload))
+
+
+def test_wav_truncated_chunk_rejected():
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav16(encode_wav16(_fixture_samples(2))[:30])
+
+
+def test_wav_missing_data_chunk_rejected():
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    with pytest.raises(ValueError, match="missing fmt/data"):
+        decode_wav16(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def _rand_video(n_frames, seed=13):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(n_frames, 3, VID_H * VID_W), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("n_frames", [0, 1, VID_FRAMES])
+def test_y4m_round_trip(n_frames):
+    v = _rand_video(n_frames)
+    out = decode_y4m(encode_y4m(v))
+    assert out.shape == (n_frames, 3, VID_H, VID_W)
+    assert np.array_equal(out.reshape(n_frames, 3, VID_H * VID_W), v)
+
+
+def test_y4m_frame_params_accepted():
+    """The spec allows per-frame parameters (FRAME Ixyz\\n) — the
+    parser must scan to the newline, not assume a bare marker."""
+    v = _fixture_video(3)
+    payload = encode_y4m(v).replace(b"FRAME\n", b"FRAME Ixyz\n")
+    assert np.array_equal(decode_y4m(payload).reshape(VID_FRAMES, 3, -1), v)
+
+
+def test_fixture_video_formula():
+    v = _fixture_video(2).astype(np.int64)
+    for f in range(VID_FRAMES):
+        for p in range(3):
+            expect = [(2 * 19 + f * 23 + p * 41 + i * 7) % 256 for i in range(24)]
+            assert v[f, p].tolist() == expect
+
+
+def test_y4m_unknown_magic_is_the_deploy_seam():
+    with pytest.raises(ValueError, match="unsupported container"):
+        decode_y4m(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 40)
+
+
+def test_y4m_subsampled_colorspace_rejected():
+    with pytest.raises(ValueError, match="C444 only"):
+        decode_y4m(b"YUV4MPEG2 W6 H4 C420\n" + b"\x00" * 200)
+
+
+def test_y4m_default_colorspace_rejected():
+    """No C tag means C420jpeg per spec — still the deploy seam."""
+    with pytest.raises(ValueError, match="C444 only"):
+        decode_y4m(b"YUV4MPEG2 W6 H4\n" + b"\x00" * 200)
+
+
+def test_y4m_truncated_frame_rejected():
+    with pytest.raises(ValueError, match="truncated|planes"):
+        decode_y4m(encode_y4m(_fixture_video(1))[:-5])
+
+
+def test_y4m_missing_frame_marker_rejected():
+    with pytest.raises(ValueError, match="FRAME marker"):
+        decode_y4m(b"YUV4MPEG2 W6 H4 C444\nXRAME\n" + b"\x00" * 72)
+
+
+def test_y4m_missing_dimensions_rejected():
+    with pytest.raises(ValueError, match="W/H"):
+        decode_y4m(b"YUV4MPEG2 C444\n")
