@@ -360,6 +360,23 @@ def main() -> None:
         "t8_rocksdb": t8_rocksdb,
         "continuous_soak": soak,
         "notes": {
+            "r11_catalog_growth": "r11 adds mm5_audio_decode_stats / "
+            "mm6_video_frame_stats at ranks 120/121 and "
+            "pipe5_stream_curation at 122 (117 -> 120 benched ranks); "
+            "compare round-over-round on shared keys (bench_diff.py), "
+            "not totals.",
+            "r11_d2_variance": "bench_diff r10->r11 flags d2 "
+            "2.93->4.12 s and profile2 0.99->1.31 s, both AMBIENT "
+            "(closure fingerprints identical to their recorded green "
+            "rounds; d2 last changed in the r10 PPJoin kernel "
+            "extraction, already A/B'd clean there). The r11 run "
+            "started at 1-min load 0.26 (compliant) but ended at 6.6 "
+            "- the usual co-tenant swing - while the in-tree r10 "
+            "artifact itself STARTED at 2.98, so this pair is "
+            "load-confounded in both directions; shared-rank totals "
+            "moved 107.0 -> 102.2 s (-4.5%) with zero "
+            "closure-changed flags. Record, don't bisect (CLAUDE.md "
+            "ambient-drift triage).",
             "r10_kernel_fixes": "late r10 changed four kernels (knn "
             "stable-argsort tie-break, LSH pair dedup via max-agg, "
             "streaming drain consolidation, lang_id NULL guard); a "

@@ -176,6 +176,20 @@ def content_fingerprint(text: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
 
 
+def normalized_text(text: Column | str) -> Column:
+    """The whitespace-normalized, lower-cased text itself — the string
+    :func:`content_fingerprint` hashes. Exposed for callers that need
+    fingerprint-DETERMINED attributes (e.g. normalized length): any
+    column derived from this expression is constant within a
+    fingerprint group, so it survives first-seen dedup
+    deterministically. tests/test_multimodal-adjacent pin:
+    md5(normalized_text(c)) must stay expression-identical to
+    content_fingerprint(c) (the two are kept separate so fingerprint
+    consumers' closures do not change; the pytest catches drift)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
 def let_bound(value: Column, body) -> Column:
     """Evaluate ``value`` ONCE and pass it to ``body`` as a bound
     lambda variable — a let-expression for Column trees.

@@ -426,3 +426,129 @@ def t14_stream_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=dim,
         query_name="t14_enriched_mem",
     )
+
+
+@register(
+    "pipe5_stream_curation",
+    bench=122,
+    survey="ext:quality,ext:dedup,§2.10 ext,T3,T4",
+    doc="End-to-end STREAMING curation — the live-ingest twin of "
+    "pipe4's batch pipeline, realizing the full contract "
+    "streaming/dedupe.py documents: an at-least-once incoming crawl "
+    "(fresh doc_id % 10 == 0 docs plus re-crawls of every "
+    "doc_id % 7 == 3 doc under id+1000000, the t12 simulation, with "
+    "EVERY row delivered twice) flows through (1) the Gopher "
+    "structural-quality gate — map-only on the stream, pipe4's exact "
+    "thresholds via THE shared gopher_metrics kernel, cheapest stage "
+    "first so junk never reaches state — then (2) the stream-static "
+    "corpus screen (anti join on the content fingerprint against the "
+    "standing corpus; zero streaming state) and (3) watermarked "
+    "content dedup (dropDuplicatesWithinWatermark on the fingerprint; "
+    "state bounded by arrival rate x watermark delay, never corpus "
+    "size). Output: one row per NOVEL passing fingerprint, carrying "
+    "only fingerprint-DETERMINED attributes (normalized length, token "
+    "count) — survivor identity under first-seen dedup is arrival-"
+    "order-dependent, so doc-identity columns (doc_id, crawl_ts) stay "
+    "out of the emitted row; that is what makes an exact batch oracle "
+    "possible. Event time is the synthesized crawl_ts the fixture "
+    "lacks ((doc_id % 97) hours — a real ingest has arrival time).",
+    oracle="""
+    WITH tkd AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+             string_split_regex(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, md5(norm) AS f,
+             CAST(length(norm) AS BIGINT) AS norm_chars,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             round(list_sum(list_transform(tk, w -> length(w))) * 1.0
+                   / greatest(len(tk), 1), 6) AS mwl,
+             round(len(list_filter(tk, w -> regexp_matches(w, '#|\\.\\.\\.'))) * 1.0
+                   / greatest(len(tk), 1), 6) AS swr,
+             round(len(list_filter(tk, w -> regexp_matches(w, '[a-z]'))) * 1.0
+                   / greatest(len(tk), 1), 6) AS awf
+      FROM tkd
+    ),
+    surv AS (
+      SELECT DISTINCT f, norm_chars, n_tokens FROM m
+      WHERE (doc_id % 10 = 0 OR doc_id % 7 = 3)
+        AND n_tokens BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+        AND swr <= 0.1 AND awf >= 0.8
+    )
+    SELECT s.f AS fp, s.norm_chars, s.n_tokens
+    FROM surv s
+    WHERE NOT EXISTS (SELECT 1 FROM m c WHERE c.doc_id % 10 <> 0 AND c.f = s.f)
+    """,
+)
+def pipe5_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from pypgsync_spark.functions.text import (
+        gopher_metrics,
+        normalized_text,
+        tokens,
+    )
+    from pypgsync_spark.streaming.balance import _file_stream
+    from pypgsync_spark.streaming.dedupe import stream_ingest_curation
+
+    path = table_path(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+
+    def incoming() -> DataFrame:
+        docs = _file_stream(spark, schema, path)
+        fresh = docs.filter(F.col("doc_id") % 10 == 0)
+        recrawl = docs.filter(F.col("doc_id") % 7 == 3).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1000000)
+        )
+        return fresh.unionByName(recrawl)
+
+    # deterministic at-least-once delivery: the whole feed arrives twice
+    stream = incoming().unionByName(incoming())
+
+    # stage 1 — Gopher gate, map-only: token array aliased in its own
+    # select (tx6 CollapseProject discipline), metrics from THE shared
+    # kernel with pipe4's thresholds; fingerprint-determined attributes
+    # (normalized length, token count) computed here, doc-identity
+    # columns dropped before state
+    tkd = stream.select(
+        "doc_id", "text", tokens(F.col("text")).alias("tk")
+    )
+    gm = gopher_metrics(F.col("tk"))
+    gated = (
+        tkd.select(
+            "doc_id",
+            "text",
+            gm["n_words"].alias("n_tokens"),
+            gm["mean_word_len"].alias("mwl"),
+            gm["symbol_word_ratio"].alias("swr"),
+            gm["alpha_word_frac"].alias("awf"),
+        )
+        .filter(
+            F.col("n_tokens").between(50, 100000)
+            & F.col("mwl").between(3.0, 10.0)
+            & (F.col("swr") <= 0.1)
+            & (F.col("awf") >= 0.8)
+        )
+        .select(
+            "text",
+            F.length(normalized_text(F.col("text"))).cast("long").alias("norm_chars"),
+            "n_tokens",
+            F.timestamp_millis((F.col("doc_id") % 97) * F.lit(3600000)).alias(
+                "crawl_ts"
+            ),
+        )
+    )
+
+    corpus = spark.read.parquet(path).filter(F.col("doc_id") % 10 != 0)
+    out = stream_ingest_curation(
+        spark,
+        gated,
+        corpus,
+        text_col="text",
+        ts_col="crawl_ts",
+        watermark="30 days",
+        query_name="pipe5_curation_mem",
+    )
+    return out.select(F.col("__fp").alias("fp"), "norm_chars", "n_tokens")

@@ -96,3 +96,51 @@ def stream_corpus_screen(
         state_partitions=state_partitions,
         output_mode="append",
     )
+
+
+def stream_ingest_curation(
+    spark: SparkSession,
+    stream: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "crawl_ts",
+    watermark: str = "30 days",
+    query_name: str = "stream_ingest_curation",
+    state_partitions: int | str | None = "auto",
+) -> DataFrame:
+    """The full streaming ingest-dedup contract this module's docstring
+    promises, composed: corpus screen (stream-STATIC anti join on the
+    content fingerprint — zero state, per-batch probe of the standing
+    corpus) THEN watermarked content dedup
+    (``dropDuplicatesWithinWatermark`` keyed on the fingerprint —
+    state bounded by arrival rate × watermark delay). Screen-first is
+    the scale order: content the corpus already holds never enters the
+    dedup state store. The caller applies its quality gate upstream
+    (map-only, cheapest first) and must provide an event-time column
+    ``ts_col`` for the watermark. The raw text is dropped once
+    fingerprinted — only the fingerprint and caller-selected
+    fingerprint-determined attributes ride through the state store and
+    the sink.
+
+    Drains via availableNow into an append-mode memory sink and
+    returns the drained rows (one per novel fingerprint).
+    """
+    from pypgsync_spark.functions.text import content_fingerprint
+    from pypgsync_spark.streaming.balance import drain_to_memory
+
+    fp = content_fingerprint(text_col)
+    screened = (
+        stream.withColumn("__fp", fp)
+        .drop(text_col)
+        .join(corpus.select(fp.alias("__fp")), on="__fp", how="left_anti")
+    )
+    deduped = screened.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["__fp"]
+    )
+    return drain_to_memory(
+        spark,
+        deduped,
+        query_name,
+        state_partitions=state_partitions,
+        output_mode="append",
+    )

@@ -357,3 +357,77 @@ def test_stream_stream_join_checkpoint_restart_exactly_once(
         )
     )
     assert got == want  # every pair exactly once across the restart
+
+
+def test_content_fingerprint_is_md5_of_normalized_text(spark):
+    """pipe5 emits attributes derived from normalized_text and dedups
+    on content_fingerprint; the two live as separate functions (so
+    fingerprint consumers' closures stay untouched) but MUST stay the
+    same normalization — this pins md5(normalized_text(c)) to be
+    expression-identical to content_fingerprint(c)."""
+    from pyspark.sql import functions as F
+
+    from pypgsync_spark.functions.text import content_fingerprint, normalized_text
+
+    a = content_fingerprint(F.col("text"))
+    b = F.md5(normalized_text(F.col("text")))
+    assert str(a._jc) == str(b._jc)
+
+
+def test_stream_ingest_curation_cross_batch(spark, tmp_path):
+    """The composed screen -> watermarked-dedup contract across
+    MICRO-BATCH boundaries: a duplicate (whitespace/case variant)
+    arriving in a LATER batch still collapses (state held under the
+    watermark), corpus content is screened in every batch, and novel
+    content passes exactly once."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pypgsync_spark.functions.text import content_fingerprint
+    from pypgsync_spark.streaming.dedupe import stream_ingest_curation
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # batch 1: novel A, novel B; batch 2: variant of A (same fingerprint,
+    # different raw bytes), novel C, and D whose content sits in the corpus
+    b1 = pd.DataFrame({"doc_id": [1, 2], "text": ["Alpha beta GAMMA", "delta epsilon"]})
+    b2 = pd.DataFrame(
+        {
+            "doc_id": [3, 4, 5],
+            "text": ["  alpha   BETA gamma ", "zeta eta theta", "corpus known doc"],
+        }
+    )
+    spark.createDataFrame(b1).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(b2).coalesce(1).write.parquet(str(src / "f2"))
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": ["Corpus KNOWN doc"]})
+    )
+
+    schema = spark.read.parquet(str(src / "f1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+        .withColumn(
+            "crawl_ts", F.timestamp_millis(F.col("doc_id") * F.lit(3600000))
+        )
+    )
+    out = stream_ingest_curation(
+        spark,
+        stream,
+        corpus,
+        text_col="text",
+        ts_col="crawl_ts",
+        watermark="30 days",
+        query_name="test_pipe5_xbatch_mem",
+    )
+    got = sorted(r["__fp"] for r in out.select("__fp").collect())
+    expect_texts = ["Alpha beta GAMMA", "delta epsilon", "zeta eta theta"]
+    want = sorted(
+        r["f"]
+        for r in spark.createDataFrame(pd.DataFrame({"text": expect_texts}))
+        .select(content_fingerprint("text").alias("f"))
+        .collect()
+    )
+    assert got == want  # A once (variant collapsed), B, C; D screened
