@@ -33,6 +33,10 @@ Ops:
            machinery adds only linear overhead.
   knn    — the exact k-NN graph self-join (similarity.py::knn_join),
            intrinsic work N²·d; same work-normalized verdict.
+  decode — the media decode stage (multimodal.py::audio_decode_stats)
+           over REAL RIFF/WAVE bytes staged to a parquet binary
+           column: parquet scan → Arrow batch → chunk-walking decode →
+           stats. Map-only; rows/sec verdict.
 
 Staged inputs live under a tempdir and are deleted afterwards.
 
@@ -228,12 +232,37 @@ def work_knn(spark, path: str) -> int:
     return n * n * 64
 
 
+def stage_decode(spark, mult: int, base: str) -> str:
+    """REAL RIFF/WAVE container bytes at ×mult rows, written to parquet
+    — the at-rest shape the media pipeline reads (binary column next
+    to typed metadata). Payload bytes are generated by the same
+    mapInPandas encoder mm5 uses, so the decode probe times the full
+    deploy path: parquet scan of the binary column → Arrow batch →
+    chunk-walking decode → per-channel stats."""
+    from pypgsync_spark.operators.multimodal import with_audio_payload
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id")
+    path = f"{base}/wav_x{mult}"
+    with_audio_payload(_multiply(d, mult, "doc_id", 10**7)).repartition(
+        32
+    ).write.parquet(path)
+    return path
+
+
+def run_decode(spark, path: str) -> None:
+    from pypgsync_spark.operators.multimodal import audio_decode_stats
+
+    audio_decode_stats(spark.read.parquet(path)).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--op",
         default="merge",
-        choices=["merge", "dedup", "pack", "gate", "cellpairs", "knn"],
+        choices=["merge", "dedup", "pack", "gate", "cellpairs", "knn", "decode"],
     )
     ap.add_argument("multipliers", nargs="*", type=int, default=[1, 10])
     args = ap.parse_args()
@@ -257,6 +286,7 @@ def main() -> None:
         # not rows/sec
         "cellpairs": (stage_cellpairs, run_cellpairs, 2, work_cellpairs),
         "knn": (stage_knn, run_knn, 2, work_knn),
+        "decode": (stage_decode, run_decode, 3, None),
     }[args.op]
 
     results = []
