@@ -186,8 +186,31 @@ def _load_all() -> None:
     # verification locally — so a re-staled d3/d4 must never claim one
     # of the 50 hash-checkable sweep slots ahead of a query the driver
     # can actually value-check.
+    ordered = _sweep_order(list(enumerate(REGISTRY.items())), last, recorded)
+    rotated = {name: spec for _, (name, spec) in ordered}
+    REGISTRY.clear()
+    REGISTRY.update(rotated)
+
+
+SWEEP_CAP = 50  # the driver's observed per-round correctness-sweep budget
+
+
+def _sweep_order(items, last: dict, recorded: dict):
+    """The registry ordering, extracted pure for testability.
+
+    ``items`` is ``list[(registration_idx, (name, spec))]``; returns it
+    sorted by the sweep-priority key documented in :func:`_load_all`,
+    then applies the r10-verdict-#1a promotion: when the re-staled-
+    green block alone would fill the driver's whole ``SWEEP_CAP``-row
+    window (the r10 end-state, where a mass closure edit re-staled 50
+    greens and the round's one NEW query missed its first driver row
+    by a single slot), the OLDEST never-verified oracle-checked query
+    is promoted into the window's last slot. At most one query is
+    promoted per round — the displaced green keeps its local-oracle +
+    pytest cover and comes around next round — so the regression-risk-
+    outranks-novelty rule still governs every other slot."""
     ordered = sorted(
-        enumerate(REGISTRY.items()),
+        items,
         key=lambda t: (
             # truthiness, matching oracle_sql()'s filter (r10 review:
             # `is None` let an empty-string oracle claim a
@@ -200,9 +223,21 @@ def _load_all() -> None:
             t[0],
         ),
     )
-    rotated = {name: spec for _, (name, spec) in ordered}
-    REGISTRY.clear()
-    REGISTRY.update(rotated)
+    # never-verified => last_green == 0 => stale by definition, so the
+    # first oracle-checked never-verified item is exactly the query the
+    # promotion rule targets; if it already sits inside the window
+    # (fewer than SWEEP_CAP stale greens ahead of it), nothing moves.
+    first_new = next(
+        (
+            i
+            for i, t in enumerate(ordered)
+            if t[1][1].oracle and last.get(t[1][0], 0) == 0
+        ),
+        None,
+    )
+    if first_new is not None and first_new >= SWEEP_CAP:
+        ordered.insert(SWEEP_CAP - 1, ordered.pop(first_new))
+    return ordered
 
 
 _load_all()

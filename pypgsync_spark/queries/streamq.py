@@ -451,7 +451,10 @@ def t14_stream_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order-dependent, so doc-identity columns (doc_id, crawl_ts) stay "
     "out of the emitted row; that is what makes an exact batch oracle "
     "possible. Event time is the synthesized crawl_ts the fixture "
-    "lacks ((doc_id % 97) hours — a real ingest has arrival time).",
+    "lacks (1 day + (doc_id % 97) hours — a real ingest has arrival "
+    "time; the base day keeps it above Spark's INITIAL zero watermark, "
+    "under which an epoch-0 event time is born late and silently "
+    "dropped).",
     oracle="""
     WITH tkd AS (
       SELECT doc_id,
@@ -535,9 +538,16 @@ def pipe5_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
             F.length(normalized_text(F.col("text"))).cast("long").alias("norm_chars"),
             "n_tokens",
-            F.timestamp_millis((F.col("doc_id") % 97) * F.lit(3600000)).alias(
-                "crawl_ts"
-            ),
+            # 1 day + (doc_id % 97) hours — the base day keeps every
+            # synthesized event-time STRICTLY ABOVE epoch 0: Spark
+            # initializes the event-time watermark at 0 ms, so a row
+            # whose event time is exactly epoch 0 is born late and
+            # silently dropped by dropDuplicatesWithinWatermark (found
+            # at sf0.1, where doc_ids 0/970/1940/... hit % 97 == 0;
+            # pinned by the epoch-0 doc in the cross-batch pytest)
+            F.timestamp_millis(
+                F.lit(86400000) + (F.col("doc_id") % 97) * F.lit(3600000)
+            ).alias("crawl_ts"),
         )
     )
 

@@ -221,3 +221,81 @@ def test_config_map_edit_changes_dependent_fingerprint(monkeypatch):
     monkeypatch.setitem(ps._TYPE_MAP, "XXPROBE", "string")
     fp2 = callable_fingerprint(fn)
     assert fp1 != fp2
+
+
+# --- r11: sweep-order promotion rule (r10 verdict #1a) ---------------
+
+
+def _dummy_fn(spark, sf_dir):
+    return None
+
+
+def _mk_items(n_green_stale, n_new, new_oracle=True, start_rank=1):
+    """(items, last, recorded): n_green_stale previously-green queries
+    whose recorded fingerprint no longer matches (stale), then n_new
+    never-verified queries, oracle-checked per new_oracle."""
+    from pypgsync_spark.queries import QuerySpec
+
+    items, last, recorded = [], {}, {}
+    rank = start_rank
+    for i in range(n_green_stale):
+        name = f"g{i:03d}"
+        items.append(
+            (len(items), (name, QuerySpec(name, _dummy_fn, "SELECT 1", "", "", rank)))
+        )
+        last[name] = 5
+        recorded[name] = {"round": 5, "fp": "stale-mismatch"}
+        rank += 1
+    for i in range(n_new):
+        name = f"new{i:03d}"
+        oracle = "SELECT 1" if new_oracle else None
+        items.append(
+            (len(items), (name, QuerySpec(name, _dummy_fn, oracle, "", "", rank)))
+        )
+        rank += 1
+    return items, last, recorded
+
+
+def test_sweep_promotion_when_greens_fill_the_window():
+    """60 re-staled greens (the r10 end-state shape) would fill all 50
+    sweep rows; the never-verified oracle-checked query must be
+    promoted into the window's LAST slot, displacing exactly one
+    green."""
+    from pypgsync_spark.queries import SWEEP_CAP, _sweep_order
+
+    items, last, recorded = _mk_items(60, 1)
+    names = [t[1][0] for t in _sweep_order(items, last, recorded)]
+    assert names.index("new000") == SWEEP_CAP - 1
+    # everything else keeps the regression-risk-first relative order
+    greens = [n for n in names if n.startswith("g")]
+    assert greens == sorted(greens)
+
+
+def test_sweep_no_promotion_when_already_inside_window():
+    from pypgsync_spark.queries import _sweep_order
+
+    items, last, recorded = _mk_items(10, 1)
+    names = [t[1][0] for t in _sweep_order(items, last, recorded)]
+    # greens (regression risk) first, the new query right behind them
+    assert names.index("new000") == 10
+
+
+def test_sweep_oracle_less_never_promoted():
+    """An oracle-less spec's driver row can only report no_oracle (r7
+    verdict #9) — it must never claim a hash-checkable slot, even via
+    the promotion rule."""
+    from pypgsync_spark.queries import _sweep_order
+
+    items, last, recorded = _mk_items(60, 1, new_oracle=False)
+    names = [t[1][0] for t in _sweep_order(items, last, recorded)]
+    assert names.index("new000") == len(names) - 1
+
+
+def test_sweep_promotes_at_most_one():
+    from pypgsync_spark.queries import SWEEP_CAP, _sweep_order
+
+    items, last, recorded = _mk_items(60, 3)
+    names = [t[1][0] for t in _sweep_order(items, last, recorded)]
+    assert names.index("new000") == SWEEP_CAP - 1  # oldest rank wins the slot
+    assert names.index("new001") > 60  # the rest wait behind every green
+    assert names.index("new002") > 60

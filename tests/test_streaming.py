@@ -388,9 +388,18 @@ def test_stream_ingest_curation_cross_batch(spark, tmp_path):
 
     src = tmp_path / "incoming"
     src.mkdir()
-    # batch 1: novel A, novel B; batch 2: variant of A (same fingerprint,
+    # batch 1: novel Z with the EARLIEST possible synthesized event time
+    # (pipe5's epoch-0-residue regression: Spark initializes the
+    # event-time watermark at 0 ms, so without the base-day offset this
+    # row's crawl_ts would be epoch 0 — born late, silently dropped),
+    # novel A, novel B; batch 2: variant of A (same fingerprint,
     # different raw bytes), novel C, and D whose content sits in the corpus
-    b1 = pd.DataFrame({"doc_id": [1, 2], "text": ["Alpha beta GAMMA", "delta epsilon"]})
+    b1 = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["zero epoch doc", "Alpha beta GAMMA", "delta epsilon"],
+        }
+    )
     b2 = pd.DataFrame(
         {
             "doc_id": [3, 4, 5],
@@ -410,7 +419,10 @@ def test_stream_ingest_curation_cross_batch(spark, tmp_path):
         .option("recursiveFileLookup", "true")
         .parquet(str(src))
         .withColumn(
-            "crawl_ts", F.timestamp_millis(F.col("doc_id") * F.lit(3600000))
+            "crawl_ts",
+            F.timestamp_millis(
+                F.lit(86400000) + F.col("doc_id") * F.lit(3600000)
+            ),
         )
     )
     out = stream_ingest_curation(
@@ -423,7 +435,12 @@ def test_stream_ingest_curation_cross_batch(spark, tmp_path):
         query_name="test_pipe5_xbatch_mem",
     )
     got = sorted(r["__fp"] for r in out.select("__fp").collect())
-    expect_texts = ["Alpha beta GAMMA", "delta epsilon", "zeta eta theta"]
+    expect_texts = [
+        "zero epoch doc",
+        "Alpha beta GAMMA",
+        "delta epsilon",
+        "zeta eta theta",
+    ]
     want = sorted(
         r["f"]
         for r in spark.createDataFrame(pd.DataFrame({"text": expect_texts}))
@@ -431,3 +448,33 @@ def test_stream_ingest_curation_cross_batch(spark, tmp_path):
         .collect()
     )
     assert got == want  # A once (variant collapsed), B, C; D screened
+
+
+def test_epoch_zero_event_time_is_born_late(spark, tmp_path):
+    """Documents the Spark semantics behind pipe5's base-day offset:
+    the event-time watermark INITIALIZES at 0 ms, so a row whose event
+    time is exactly epoch 0 is already late in the very first
+    micro-batch and dropDuplicatesWithinWatermark silently drops it.
+    Any synthesized event-time column must therefore stay strictly
+    above epoch 0. If this test ever fails, Spark changed the initial
+    watermark and the base-day rule can be revisited."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pypgsync_spark.streaming.balance import drain_to_memory
+
+    src = tmp_path / "zero_epoch"
+    pdf = pd.DataFrame({"doc_id": [0, 1]})
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .parquet(str(src))
+        .withColumn("ts", F.timestamp_millis(F.col("doc_id") * F.lit(3600000)))
+    )
+    deduped = stream.withWatermark("ts", "30 days").dropDuplicatesWithinWatermark(
+        ["doc_id"]
+    )
+    out = drain_to_memory(
+        spark, deduped, "test_zero_epoch_mem", output_mode="append"
+    )
+    assert [r["doc_id"] for r in out.select("doc_id").collect()] == [1]
