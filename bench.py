@@ -365,18 +365,18 @@ def main() -> None:
             "pipe5_stream_curation at 122 (117 -> 120 benched ranks); "
             "compare round-over-round on shared keys (bench_diff.py), "
             "not totals.",
-            "r11_d2_variance": "bench_diff r10->r11 flags d2 "
-            "2.93->4.12 s and profile2 0.99->1.31 s, both AMBIENT "
-            "(closure fingerprints identical to their recorded green "
-            "rounds; d2 last changed in the r10 PPJoin kernel "
-            "extraction, already A/B'd clean there). The r11 run "
-            "started at 1-min load 0.26 (compliant) but ended at 6.6 "
-            "- the usual co-tenant swing - while the in-tree r10 "
-            "artifact itself STARTED at 2.98, so this pair is "
-            "load-confounded in both directions; shared-rank totals "
-            "moved 107.0 -> 102.2 s (-4.5%) with zero "
-            "closure-changed flags. Record, don't bisect (CLAUDE.md "
-            "ambient-drift triage).",
+            "r11_two_runs": "r11 ran the round-artifact bench twice, "
+            "both load-compliant at start: run A (start 0.26/1.21, "
+            "119 ranks, pre-pipe5) steady 103.4 s, sync 377k, d2 "
+            "4.12; run B = the committed artifact (start 0.92/2.24, "
+            "final HEAD, 120 ranks incl pipe5 1.61 s) steady 115.6 "
+            "s, sync 334k, d2 3.24. Same fingerprints on every "
+            "shared rank - the 12 s spread and d2's 4.12->3.24 "
+            "reversal are the documented co-tenant ambient band "
+            "(CLAUDE.md), measured twice in one afternoon. Compare "
+            "r12 against run B's per-query map; the r10->r11 "
+            "bench_diff flagged only AMBIENT movers (d2, profile2), "
+            "zero closure-changed.",
             "r10_kernel_fixes": "late r10 changed four kernels (knn "
             "stable-argsort tie-break, LSH pair dedup via max-agg, "
             "streaming drain consolidation, lang_id NULL guard); a "
