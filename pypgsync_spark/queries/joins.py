@@ -21,12 +21,15 @@ from pypgsync_spark.functions.time import to_millis
 from pypgsync_spark.queries import register
 
 
-# DEFERRED CONSOLIDATION (r10 review, held for r11): _dsum here equals
-# core.py's copy, and syncq.py re-states _events_ms + the MS_JAN*
-# constants — one shared home (functions/) would pin the decimal
-# contract in one place, but moving them re-fingerprints ~60 queries'
-# closures, which would blow the 50-row sweep cap this round
-# (CLAUDE.md math). Schedule the move at an r11 round START.
+# DEFERRED CONSOLIDATION (r10 review; r10 verdict #2 holds it for an
+# r12 round START): _dsum here equals core.py's copy, and syncq.py
+# re-states _events_ms + the MS_JAN* constants — one shared home
+# (functions/) would pin the decimal contract in one place, but moving
+# them re-fingerprints ~60 queries' closures (> the 50-row sweep cap,
+# CLAUDE.md math). Land it FIRST THING in a round, right after
+# record_fingerprints, so the re-staled block drains in that same
+# round's sweep; the _sweep_order promotion guarantees any new query
+# still gets a slot.
 def _dsum(col: F.Column) -> F.Column:
     return F.sum(col.cast("decimal(18,2)")).cast("double")
 
