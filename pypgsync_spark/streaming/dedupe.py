@@ -125,8 +125,30 @@ def stream_ingest_curation(
     Drains via availableNow into an append-mode memory sink and
     returns the drained rows (one per novel fingerprint).
     """
-    from pypgsync_spark.functions.text import content_fingerprint
     from pypgsync_spark.streaming.balance import drain_to_memory
+
+    return drain_to_memory(
+        spark,
+        curation_stream(stream, corpus, text_col, ts_col, watermark),
+        query_name,
+        state_partitions=state_partitions,
+        output_mode="append",
+    )
+
+
+def curation_stream(
+    stream: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "crawl_ts",
+    watermark: str = "30 days",
+) -> DataFrame:
+    """:func:`stream_ingest_curation`'s composition, un-drained —
+    screen (stateless anti join) then watermarked fingerprint dedup
+    (the ONE stateful operator). Exposed separately so the plan-shape
+    pytest can assert exactly that on the analyzed streaming plan, and
+    so deployments can attach their own sink."""
+    from pypgsync_spark.functions.text import content_fingerprint
 
     fp = content_fingerprint(text_col)
     screened = (
@@ -134,13 +156,6 @@ def stream_ingest_curation(
         .drop(text_col)
         .join(corpus.select(fp.alias("__fp")), on="__fp", how="left_anti")
     )
-    deduped = screened.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+    return screened.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["__fp"]
-    )
-    return drain_to_memory(
-        spark,
-        deduped,
-        query_name,
-        state_partitions=state_partitions,
-        output_mode="append",
     )

@@ -478,3 +478,37 @@ def test_epoch_zero_event_time_is_born_late(spark, tmp_path):
         spark, deduped, "test_zero_epoch_mem", output_mode="append"
     )
     assert [r["doc_id"] for r in out.select("doc_id").collect()] == [1]
+
+
+def test_curation_stream_plan_shape(spark, tmp_path):
+    """pipe5's scale contract on the analyzed streaming plan: the
+    corpus screen is a STATELESS LeftAnti join (re-planned per batch
+    against the static side) and the ONLY stateful operator is the
+    watermarked fingerprint dedup — state bounded by arrival rate ×
+    watermark delay, never corpus size."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pypgsync_spark.streaming.dedupe import curation_stream
+
+    src = tmp_path / "plan_src"
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["a doc"]})
+    ).coalesce(1).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .parquet(str(src))
+        .withColumn(
+            "crawl_ts",
+            F.timestamp_millis(F.lit(86400000) + F.col("doc_id") * F.lit(1000)),
+        )
+    )
+    corpus = spark.createDataFrame(pd.DataFrame({"doc_id": [2], "text": ["other"]}))
+    composed = curation_stream(stream, corpus)
+    plan = composed._jdf.queryExecution().analyzed().toString()
+    assert plan.count("DeduplicateWithinWatermark") == 1  # the one stateful op
+    assert "LeftAnti" in plan  # the zero-state screen
+    assert "EventTimeWatermark" in plan  # dedup state is watermark-bounded
+    # nothing else stateful in the composition
+    for stateful in ("Aggregate", "FlatMapGroupsWithState", "Deduplicate ("):
+        assert stateful not in plan, stateful
