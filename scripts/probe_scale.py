@@ -37,6 +37,11 @@ Ops:
            over REAL RIFF/WAVE bytes staged to a parquet binary
            column: parquet scan → Arrow batch → chunk-walking decode →
            stats. Map-only; rows/sec verdict.
+  curate — the streaming ingest-curation drain (streaming/dedupe.py::
+           stream_ingest_curation): corpus screen + watermarked
+           fingerprint dedup over a ×mult dup-heavy crawl. Copies
+           share text, so the dedup STATE stays fixed while arrivals
+           grow ×mult. Each run a from-scratch availableNow drain.
 
 Staged inputs live under a tempdir and are deleted afterwards.
 
@@ -257,12 +262,57 @@ def run_decode(spark, path: str) -> None:
     ).save()
 
 
+def stage_curate(spark, mult: int, base: str) -> str:
+    """Incoming crawl at ×mult: id-shifted copies SHARE text, so the
+    fingerprint-group size grows with the multiplier while the distinct-
+    fingerprint count (= the dedup state and the emitted rows) stays
+    FIXED — the claim under test is pipe5's: state bounded by novel
+    content, not arrival volume."""
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    path = f"{base}/curate_x{mult}"
+    _multiply(d, mult, "doc_id", 10**7).repartition(32).write.parquet(path)
+    return path
+
+
+def run_curate(spark, path: str) -> None:
+    from pypgsync_spark.streaming.dedupe import stream_ingest_curation
+
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .withColumn(
+            "crawl_ts",
+            F.timestamp_millis(
+                F.lit(86400000) + (F.col("doc_id") % 97) * F.lit(3600000)
+            ),
+        )
+    )
+    corpus = load_table(spark, SF_DIR, "documents").filter(
+        F.col("doc_id") % 10 != 0
+    )
+    # fresh (temporary) checkpoint per drain — every sample is a full
+    # from-scratch availableNow pass, the gate probe's convention
+    stream_ingest_curation(
+        spark, stream, corpus, query_name="probe_curate_mem"
+    ).write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--op",
         default="merge",
-        choices=["merge", "dedup", "pack", "gate", "cellpairs", "knn", "decode"],
+        choices=[
+            "merge",
+            "dedup",
+            "pack",
+            "gate",
+            "cellpairs",
+            "knn",
+            "decode",
+            "curate",
+        ],
     )
     ap.add_argument("multipliers", nargs="*", type=int, default=[1, 10])
     args = ap.parse_args()
@@ -287,6 +337,7 @@ def main() -> None:
         "cellpairs": (stage_cellpairs, run_cellpairs, 2, work_cellpairs),
         "knn": (stage_knn, run_knn, 2, work_knn),
         "decode": (stage_decode, run_decode, 3, None),
+        "curate": (stage_curate, run_curate, 2, None),  # drains are slow
     }[args.op]
 
     results = []
