@@ -692,3 +692,71 @@ def video_frame_stats(df: DataFrame, every_k: int = 3) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(stats, VIDEO_STATS_SCHEMA)
+
+
+# --- real pixel resize (r11): decode -> nearest-neighbor -> stats ----
+
+RESIZE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("r_sum", T.LongType()),
+        T.StructField("g_sum", T.LongType()),
+        T.StructField("b_sum", T.LongType()),
+    ]
+)
+
+
+def resize_nearest(pixels, factor: int = 2):
+    """Nearest-neighbor downsample by an integer factor: output pixel
+    (y, x) is input pixel (factor*y, factor*x) — numpy strided view,
+    no copy until use. Output dims are ceil(h/factor) × ceil(w/factor)
+    (a[::factor] keeps the first element of each stride group)."""
+    import numpy as np
+
+    a = np.asarray(pixels)
+    return a[::factor, ::factor]
+
+
+def image_resize_stats(df: DataFrame, factor: int = 2) -> DataFrame:
+    """The media pipeline's RESIZE stage on real pixels (mm3's
+    byte-strided `resize_signature` validates the row plumbing; this
+    is the pixel-accurate form now that decode is real): decode each
+    container, nearest-neighbor downsample by ``factor``, emit the
+    resized dims and per-channel sums. Deterministic pixel selection,
+    so the oracle restates the resized sums in pure SQL — an
+    off-by-one in the sampling grid (the classic resize bug) fails
+    the hash. An interpolating kernel (bilinear/Lanczos) swaps in at
+    this seam; the decode→transform→featurize batch shape is what it
+    inherits."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs, ws, r, g, b = [], [], [], [], []
+            for payload in pdf["payload"]:
+                px = resize_nearest(decode_image(bytes(payload)), factor).astype(
+                    "int64"
+                )
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                sums = px.sum(axis=(0, 1))
+                r.append(int(sums[0]))
+                g.append(int(sums[1]))
+                b.append(int(sums[2]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "fmt": pdf["fmt"],
+                    "out_h": pd.Series(hs, dtype="int32"),
+                    "out_w": pd.Series(ws, dtype="int32"),
+                    "r_sum": pd.Series(r, dtype="int64"),
+                    "g_sum": pd.Series(g, dtype="int64"),
+                    "b_sum": pd.Series(b, dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", "fmt", "payload").mapInPandas(
+        stats, RESIZE_STATS_SCHEMA
+    )

@@ -1510,6 +1510,51 @@ def mm4_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm7_image_resize_stats",
+    bench=123,
+    survey="ext:multimodal",
+    doc="The media pipeline's RESIZE stage on REAL pixels (mm3's "
+    "byte-strided signature validates the plumbing; this is the "
+    "pixel-accurate form now that decode is real): decode each "
+    "PPM/BMP container (mm4's payloads), nearest-neighbor downsample "
+    "by 2 (output pixel (y,x) = input pixel (2y,2x); ceil-division "
+    "output dims), and emit resized dims + per-channel sums. The "
+    "oracle restates the sampled-pixel sums in pure SQL via the "
+    "fixture byte formula — an off-by-one in the sampling grid (the "
+    "classic resize bug) fails the hash. Interpolating kernels "
+    "(bilinear/Lanczos) are the documented swap-in at this seam.",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, y, x, c FROM documents,
+           (SELECT unnest(range(2)) AS y) ys,
+           (SELECT unnest(range(3)) AS x) xs,
+           (SELECT unnest(range(3)) AS c) cs
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+           CAST(2 AS INT) AS out_h, CAST(3 AS INT) AS out_w,
+           CAST(SUM(CASE WHEN c = 0 THEN
+                (doc_id * 31 + ((2 * y * 6 + 2 * x) * 3 + c) * 7) % 256
+                END) AS BIGINT) AS r_sum,
+           CAST(SUM(CASE WHEN c = 1 THEN
+                (doc_id * 31 + ((2 * y * 6 + 2 * x) * 3 + c) * 7) % 256
+                END) AS BIGINT) AS g_sum,
+           CAST(SUM(CASE WHEN c = 2 THEN
+                (doc_id * 31 + ((2 * y * 6 + 2 * x) * 3 + c) * 7) % 256
+                END) AS BIGINT) AS b_sum
+    FROM g GROUP BY doc_id
+    """,
+)
+def mm7_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.operators.multimodal import (
+        image_resize_stats,
+        with_image_payload,
+    )
+
+    return image_resize_stats(with_image_payload(_docs(spark, sf_dir)), factor=2)
+
+
+@register(
     "mm5_audio_decode_stats",
     bench=120,
     survey="ext:multimodal",

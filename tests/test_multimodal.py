@@ -230,3 +230,28 @@ def test_y4m_missing_frame_marker_rejected():
 def test_y4m_missing_dimensions_rejected():
     with pytest.raises(ValueError, match="W/H"):
         decode_y4m(b"YUV4MPEG2 C444\n")
+
+
+# --- r11: pixel-accurate nearest-neighbor resize ---------------------
+
+from pypgsync_spark.operators.multimodal import resize_nearest  # noqa: E402
+
+
+@pytest.mark.parametrize("h,w,factor", [(4, 6, 2), (5, 7, 2), (6, 6, 3), (1, 1, 2)])
+def test_resize_nearest_grid(h, w, factor):
+    """Output pixel (y,x) must be input pixel (factor*y, factor*x),
+    with ceil-division output dims — pinned against an explicit loop
+    so a sampling-grid off-by-one cannot hide in numpy slicing."""
+    px = _rand_pixels(h, w)
+    out = resize_nearest(px, factor)
+    assert out.shape == (-(-h // factor), -(-w // factor), 3)
+    for y in range(out.shape[0]):
+        for x in range(out.shape[1]):
+            assert (out[y, x] == px[factor * y, factor * x]).all()
+
+
+def test_resize_after_either_container_is_identical():
+    px = _fixture_pixels(77)
+    a = resize_nearest(decode_image(encode_ppm(px)))
+    b = resize_nearest(decode_image(encode_bmp24(px)))
+    assert np.array_equal(a, b)
