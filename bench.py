@@ -361,10 +361,13 @@ def main() -> None:
         "continuous_soak": soak,
         "notes": {
             "r11_catalog_growth": "r11 adds mm5_audio_decode_stats / "
-            "mm6_video_frame_stats at ranks 120/121 and "
-            "pipe5_stream_curation at 122 (117 -> 120 benched ranks); "
-            "compare round-over-round on shared keys (bench_diff.py), "
-            "not totals.",
+            "mm6_video_frame_stats at ranks 120/121, "
+            "pipe5_stream_curation at 122, and mm7_image_resize_stats "
+            "at 123 (117 -> 121 benched ranks; the committed "
+            "bench_local_r11.json run B predates mm7, so it carries "
+            "120 — mm7's first figure lands in the driver's "
+            "BENCH_r11); compare round-over-round on shared keys "
+            "(bench_diff.py), not totals.",
             "r11_two_runs": "r11 ran the round-artifact bench twice, "
             "both load-compliant at start: run A (start 0.26/1.21, "
             "119 ranks, pre-pipe5) steady 103.4 s, sync 377k, d2 "
