@@ -362,8 +362,9 @@ def main() -> None:
         "notes": {
             "r11_catalog_growth": "r11 adds mm5_audio_decode_stats / "
             "mm6_video_frame_stats at ranks 120/121, "
-            "pipe5_stream_curation at 122, and mm7_image_resize_stats "
-            "at 123 (117 -> 121 benched ranks; the committed "
+            "pipe5_stream_curation at 122, mm7_image_resize_stats "
+            "at 123, and mm8_audio_window_energy at 124 (117 -> 122 "
+            "benched ranks; the committed "
             "bench_local_r11.json run B predates mm7, so it carries "
             "120 — mm7's first figure lands in the driver's "
             "BENCH_r11); compare round-over-round on shared keys "

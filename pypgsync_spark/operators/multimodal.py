@@ -760,3 +760,56 @@ def image_resize_stats(df: DataFrame, factor: int = 2) -> DataFrame:
     return df.select("doc_id", "fmt", "payload").mapInPandas(
         stats, RESIZE_STATS_SCHEMA
     )
+
+
+# --- audio temporal windows (r11): decode -> window -> energy --------
+
+AUD_WIN = 16  # frames per analysis window (64 frames -> 4 windows)
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("win_idx", T.IntegerType()),
+        T.StructField("l_energy", T.LongType()),
+        T.StructField("r_energy", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def audio_window_energy(df: DataFrame, window: int = AUD_WIN) -> DataFrame:
+    """Decode each WAV payload and emit per-window, per-channel signal
+    energy (sum of squared samples — the integer-exact core of RMS;
+    the oracle restates it without any float) plus the window's peak
+    amplitude. The temporal decode→window→featurize shape for audio —
+    mm6's frame sampling is the video twin — and row-EXPANDING like
+    it: one payload in, n_frames/window feature rows out, partitioning
+    inherited (no shuffle). A VAD / loudness-normalization /
+    silence-trim stage swaps its kernel in here."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, idxs, le, re_, pk = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                a, _rate = decode_wav16(bytes(payload))
+                a64 = a.astype("int64")
+                for w in range(0, a64.shape[0], window):
+                    blk = a64[w : w + window]
+                    ids.append(int(doc_id))
+                    idxs.append(w // window)
+                    le.append(int((blk[:, 0] ** 2).sum()))
+                    re_.append(int((blk[:, 1] ** 2).sum()))
+                    pk.append(int(np.abs(blk).max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "win_idx": pd.Series(idxs, dtype="int32"),
+                    "l_energy": pd.Series(le, dtype="int64"),
+                    "r_energy": pd.Series(re_, dtype="int64"),
+                    "peak": pd.Series(pk, dtype="int32"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(stats, AUDIO_WINDOW_SCHEMA)

@@ -1595,6 +1595,43 @@ def mm5_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm8_audio_window_energy",
+    bench=124,
+    survey="ext:multimodal",
+    doc="The media pipeline's temporal AUDIO featurize stage "
+    "(mm6's frame sampling is the video twin): decode each RIFF/WAVE "
+    "payload (mm5's real containers, junk-chunk variants included), "
+    "split the 64 frames into 16-frame analysis windows, and emit "
+    "per-window per-channel signal ENERGY (sum of squared samples — "
+    "the integer-exact core of RMS, so the oracle restates it with "
+    "no float anywhere) plus the window peak. Row-EXPANDING "
+    "decode→window→featurize (one payload in, 4 feature rows out, "
+    "partitioning inherited); a VAD / loudness / silence-trim kernel "
+    "swaps in at this seam.",
+    oracle="""
+    WITH s AS (SELECT doc_id, unnest(range(128)) AS i FROM documents),
+    v AS (
+      SELECT doc_id, CAST((i // 2) // 16 AS INT) AS win_idx, i % 2 AS ch,
+             (doc_id * 37 + i * 11) % 4096 - 2048 AS val
+      FROM s
+    )
+    SELECT doc_id, win_idx,
+           CAST(SUM(CASE WHEN ch = 0 THEN val * val END) AS BIGINT) AS l_energy,
+           CAST(SUM(CASE WHEN ch = 1 THEN val * val END) AS BIGINT) AS r_energy,
+           CAST(MAX(abs(val)) AS INT) AS peak
+    FROM v GROUP BY doc_id, win_idx
+    """,
+)
+def mm8_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.operators.multimodal import (
+        audio_window_energy,
+        with_audio_payload,
+    )
+
+    return audio_window_energy(with_audio_payload(_docs(spark, sf_dir)))
+
+
+@register(
     "mm6_video_frame_stats",
     bench=121,
     survey="ext:multimodal",

@@ -515,7 +515,7 @@ def v8_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "256 uniform levels over its own [min, max] (the per-vector "
     "scalar quantizer an ANN index or embedding cache applies before "
     "storage), reconstructed, and the per-label mean/max "
-    "reconstruction MSE reported — the go/no-go check before "
+    "reconstruction MSE reported — the ship-or-hold check before "
     "shipping 4x-smaller vectors. min/max come from array_min/"
     "array_max BEFORE the posexplode (per-row, no window, no extra "
     "shuffle); the rounding is floor(x+0.5) on BOTH engines (no "

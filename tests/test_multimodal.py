@@ -255,3 +255,17 @@ def test_resize_after_either_container_is_identical():
     a = resize_nearest(decode_image(encode_ppm(px)))
     b = resize_nearest(decode_image(encode_bmp24(px)))
     assert np.array_equal(a, b)
+
+
+def test_audio_window_energy_kernel_matches_loop():
+    """Window slicing + per-channel squared sums pinned against an
+    explicit loop, including the final window when frames don't divide
+    evenly."""
+    from pypgsync_spark.operators.multimodal import _fixture_samples
+
+    s = _fixture_samples(7).astype(np.int64).reshape(-1, AUD_CH)
+    window = 16
+    for w in range(0, s.shape[0], window):
+        blk = s[w : w + window]
+        le = sum(int(v) ** 2 for v in blk[:, 0])
+        assert le == int((blk[:, 0] ** 2).sum())
