@@ -28,23 +28,16 @@ from pypgsync_spark.operators.windowed import (
 )
 from pypgsync_spark.queries import register
 
-# Epoch-millis constants (UTC midnights; events span 2024-01-01..01-30)
-MS_JAN01 = 1704067200000
-MS_JAN05 = 1704412800000
-MS_JAN10 = 1704844800000
-MS_JAN20 = 1705708800000
-
-# shared decimal-exact sum → double
-def _dsum(col: F.Column) -> F.Column:
-    return F.sum(col.cast("decimal(18,2)")).cast("double")
-
-
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "events")
-
-
-def _events_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _events(spark, sf_dir).withColumn("updated_ms", to_millis("ts"))
+# Shared helpers (consolidated to queries/common.py in r12)
+from pypgsync_spark.queries.common import (  # noqa: E402
+    MS_JAN01,
+    MS_JAN05,
+    MS_JAN10,
+    MS_JAN20,
+    dsum as _dsum,
+    events as _events,
+    events_ms as _events_ms,
+)
 
 
 # ---------------------------------------------------------------- P1/P2

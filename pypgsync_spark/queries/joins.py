@@ -21,17 +21,9 @@ from pypgsync_spark.functions.time import to_millis
 from pypgsync_spark.queries import register
 
 
-# DEFERRED CONSOLIDATION (r10 review; r10 verdict #2 holds it for an
-# r12 round START): _dsum here equals core.py's copy, and syncq.py
-# re-states _events_ms + the MS_JAN* constants — one shared home
-# (functions/) would pin the decimal contract in one place, but moving
-# them re-fingerprints ~60 queries' closures (> the 50-row sweep cap,
-# CLAUDE.md math). Land it FIRST THING in a round, right after
-# record_fingerprints, so the re-staled block drains in that same
-# round's sweep; the _sweep_order promotion guarantees any new query
-# still gets a slot.
-def _dsum(col: F.Column) -> F.Column:
-    return F.sum(col.cast("decimal(18,2)")).cast("double")
+# Shared decimal-exact sum (consolidated to queries/common.py in r12;
+# closes the r10-deferred duplication with core.py/syncq.py)
+from pypgsync_spark.queries.common import dsum as _dsum  # noqa: E402
 
 
 @register(
@@ -569,7 +561,7 @@ def j12_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j13_asof_prior_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pypgsync_spark.operators.asof import asof_join
-    from pypgsync_spark.queries.core import _events_ms
+    from pypgsync_spark.queries.common import events_ms as _events_ms
 
     e = _events_ms(spark, sf_dir)
     left = e.filter(F.col("event_type") == "error").select(

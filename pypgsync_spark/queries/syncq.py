@@ -19,9 +19,11 @@ from pypgsync_spark.functions.time import events_range_pred, to_millis
 from pypgsync_spark.operators.merge import coalesce_merge, latest_per_key, upsert_merge
 from pypgsync_spark.plans.intervals import closed_intervals, plan_slices
 from pypgsync_spark.queries import register
-
-MS_JAN10 = 1704844800000  # delta low watermark
-MS_JAN20 = 1705708800000  # stale-destination high cutoff
+from pypgsync_spark.queries.common import (
+    MS_JAN10,  # delta low watermark
+    MS_JAN20,  # stale-destination high cutoff
+    events_ms as _events_ms,
+)
 
 
 def _pid_scratch_dir(prefix: str, sf_dir: str) -> str:
@@ -64,8 +66,6 @@ _SLICE_SCHEMA = T.StructType(
 )
 
 
-def _events_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "events").withColumn("updated_ms", to_millis("ts"))
 
 
 @register(
