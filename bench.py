@@ -157,6 +157,121 @@ def _run_soak(spark, base: str, n_events: int) -> dict:
 # guard failed once already (the r10 working-tree run started at 2.98).
 ROUND_ARTIFACT_MAX_LOAD1 = 1.5
 
+# r11 verdict #7: auto-A/B movers at commit time. Any rank whose
+# closure fingerprint is identical to the recorded green round but
+# whose steady time moved >= AUTO_AB_THRESHOLD x vs the prior round's
+# committed bench_local artifact gets an immediate same-session
+# isolated min-of-5 written into the artifact, so the ambient-vs-real
+# call is data-backed when the artifact is committed instead of
+# next-round archaeology (the d9/pipe2 r11 case).
+AUTO_AB_THRESHOLD = 1.3
+AUTO_AB_MAX = 3
+
+
+def _infer_round() -> int:
+    """Round being benched: the driver writes BENCH_r{N}.json after
+    this run, so max(existing)+1 is current for local runs and the
+    driver's end-of-round run alike. ADVICE r7: max+1 misnumbers a
+    local re-run made AFTER the driver already wrote this round's
+    BENCH file — SPARK_GRAFT_BENCH_ROUND overrides."""
+    import glob
+    import re
+
+    env_round = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    if env_round:
+        return int(env_round)
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    n = max(rounds, default=0) + 1
+    print(
+        f"# bench round inferred as r{n:02d} (max existing BENCH_r*+1); "
+        f"set SPARK_GRAFT_BENCH_ROUND to override",
+        file=sys.stderr,
+    )
+    return n
+
+
+def _auto_ab(spark, times: dict, bench_round: int) -> dict:
+    """Same-session isolated min-of-5 for fingerprint-identical ranks
+    that moved >= AUTO_AB_THRESHOLD x vs the prior round's committed
+    artifact (largest ratios first, capped at AUTO_AB_MAX — the cap
+    keeps a globally-loaded run from re-timing half the catalog).
+    Sub-0.5 s prior figures are skipped (bench_diff's jitter band).
+    The isolated samples run warm in THIS session, so they are the
+    like-for-like comparison CLAUDE.md's triage rules require."""
+    import glob
+    import re
+
+    from pypgsync_spark.queries import _recorded_fingerprints
+    from pypgsync_spark.queries.fingerprint import spec_fingerprint
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    priors = [
+        (int(m.group(1)), p)
+        for p in glob.glob(os.path.join(here, "bench_local_r*.json"))
+        if (m := re.search(r"bench_local_r(\d+)\.json$", p)) and int(m.group(1)) < bench_round
+    ]
+    if not priors:
+        return {"skipped": "no prior-round bench_local artifact"}
+    _, prior_path = max(priors)
+    with open(prior_path) as f:
+        prior_q = json.load(f).get("queries", {})
+
+    rec = _recorded_fingerprints()
+    movers = []
+    for k, cur_sec in times.items():
+        old = prior_q.get(k)
+        if old is None or old < 0.5:
+            continue
+        ratio = cur_sec / old if old else float("inf")
+        if ratio < AUTO_AB_THRESHOLD:
+            continue
+        spec = REGISTRY.get(k)
+        if spec is None or k not in rec:
+            continue  # NEW rank — no baseline claim to defend
+        if spec_fingerprint(spec.fn, spec.oracle) != rec[k].get("fp"):
+            continue  # closure changed: bench_diff's CODE path, bisect it
+        movers.append((ratio, k, old, cur_sec))
+    movers.sort(reverse=True)
+
+    out: dict = {
+        "prior_artifact": os.path.basename(prior_path),
+        "threshold": AUTO_AB_THRESHOLD,
+        "movers": {},
+    }
+    for ratio, k, old, cur_sec in movers[:AUTO_AB_MAX]:
+        fn = REGISTRY[k].fn
+        samples = []
+        for _ in range(5):
+            t0 = time.time()
+            materialize(fn(spark, SF_DIR))
+            samples.append(round(time.time() - t0, 3))
+        best = min(samples)
+        out["movers"][k] = {
+            "prior_sec": old,
+            "steady_sec": cur_sec,
+            "ratio_vs_prior": round(ratio, 2),
+            "isolated_min5": samples,
+            "isolated_min": best,
+            "load_1min_at_probe": round(os.getloadavg()[0], 2),
+            # AMBIENT: the immediate warm re-measure lands back within
+            # 15% of the prior round's figure — the loop-timed sample
+            # was a transient. CONFIRMED-ELEVATED: it reproduces in
+            # the same session; with an identical fingerprint that
+            # means environment (JVM, ambient, data layout), not code,
+            # but it deserves eyes either way.
+            "verdict": "AMBIENT" if best <= 1.15 * old else "CONFIRMED-ELEVATED",
+        }
+        print(f"# auto_ab {k}: {old:.2f} -> {cur_sec:.2f} steady, "
+              f"isolated min5 {best:.2f} -> {out['movers'][k]['verdict']}",
+              file=sys.stderr)
+    if movers[AUTO_AB_MAX:]:
+        out["overflow_not_probed"] = [k for _, k, _, _ in movers[AUTO_AB_MAX:]]
+    return out
+
 
 def main() -> None:
     # r9 verdict #3: the artifact carries its own ambient-load evidence
@@ -212,6 +327,9 @@ def main() -> None:
             materialize(fn(spark, SF_DIR))
             warm.append(time.time() - t0)
         times[name] = round(min(warm), 3)
+
+    bench_round = _infer_round()
+    auto_ab = _auto_ab(spark, times, bench_round)
 
     # sync throughput: rows merged per second through the upsert
     # pipeline. This is THE headline figure vs the reference baseline,
@@ -359,7 +477,15 @@ def main() -> None:
         "d5_cc_stats": dict(D5_CC_STATS),
         "t8_rocksdb": t8_rocksdb,
         "continuous_soak": soak,
+        "auto_ab": auto_ab,
         "notes": {
+            "r12_auto_ab": "as of r12 (r11 verdict #7) every bench run "
+            "auto-probes fingerprint-identical ranks that moved >=1.3x "
+            "vs the prior round's committed artifact: same-session "
+            "isolated min-of-5, capped at 3 movers (largest ratio "
+            "first), verdict AMBIENT when the re-measure lands within "
+            "15% of the prior figure, CONFIRMED-ELEVATED otherwise. "
+            "See the top-level auto_ab key of this artifact.",
             "r11_catalog_growth": "r11 adds mm5_audio_decode_stats / "
             "mm6_video_frame_stats at ranks 120/121, "
             "pipe5_stream_curation at 122, mm7_image_resize_stats "
@@ -473,27 +599,7 @@ def main() -> None:
     # benched: the driver writes BENCH_r{N}.json after this run, so
     # max(existing)+1 is the current round both for local runs and the
     # driver's end-of-round run.
-    import glob
-    import re
-
-    # ADVICE r7: max+1 misnumbers a local re-run made AFTER the driver
-    # has already written this round's BENCH file — accept an explicit
-    # override and only fall back to the heuristic when absent.
-    env_round = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
-    if env_round:
-        n = int(env_round)
-    else:
-        rounds = [
-            int(m.group(1))
-            for p in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))
-            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
-        ]
-        n = max(rounds, default=0) + 1
-        print(
-            f"# bench round inferred as r{n:02d} (max existing BENCH_r*+1); "
-            f"set SPARK_GRAFT_BENCH_ROUND to override",
-            file=sys.stderr,
-        )
+    n = bench_round  # inferred (or overridden) before the auto-A/B pass
     local_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), f"bench_local_r{n:02d}.json"
     )
@@ -526,6 +632,7 @@ def main() -> None:
         "soak_total_sec": soak.get("total_sec"),
         "load_avg_start": load_start,
         "load_avg_end": load_end,
+        "auto_ab_movers": sorted(auto_ab.get("movers", {})),
         "queries": slowest,
         "queries_note": "slowest 10 of %d; full map in full_results" % len(times),
         "full_results": os.path.basename(local_path),
