@@ -298,6 +298,157 @@ def run_curate(spark, path: str) -> None:
     ).write.format("noop").mode("overwrite").save()
 
 
+def stage_ssjoin(spark, mult: int, base: str) -> str:
+    """Events at ×mult with BOTH ids shifted per copy: each copy is a
+    disjoint user population, so the per-user join-window overlap is
+    FIXED while arrivals and novel pairs grow exactly ×mult — the t10
+    linear scale path (per-key state bounded by the watermark horizon,
+    keys spread across shuffle partitions). The staged directory holds
+    8 time-ordered wave files (ntile over event time — a one-time
+    staging sort, not the measured path) with ascending mtimes, so the
+    file stream's micro-batches advance event time like a real ingest
+    and the watermark provably evicts BOTH sides mid-drain (a single
+    all-files batch would hold every arrival in state and prove
+    nothing about boundedness)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    if mult > 1:
+        ev = (
+            ev.withColumn(
+                "__c", F.explode(F.array(*[F.lit(i) for i in range(mult)]))
+            )
+            .withColumn(
+                "event_id",
+                F.col("event_id") + F.col("__c").cast("long") * F.lit(10**9),
+            )
+            .withColumn(
+                "user_id",
+                F.col("user_id") + F.col("__c").cast("long") * F.lit(10**7),
+            )
+            .drop("__c")
+        )
+    n_waves = 8
+    waves_dir = f"{base}/ssjoin_waves_x{mult}"
+    # ONE file per wave: each micro-batch must be a CONTIGUOUS time
+    # slice, or rows in a wave's later part-files arrive behind a
+    # watermark their earlier siblings already advanced past the
+    # wave's max (wave span ~3.6 days > the 2-day delay) and are
+    # silently dropped as late — observed as lost pairs on the first
+    # cut of this probe
+    ev.withColumn(
+        "__wave", F.ntile(n_waves).over(Window.orderBy("ts", "event_id"))
+    ).repartition(n_waves, "__wave").write.partitionBy("__wave").parquet(waves_dir)
+    path = f"{base}/ssjoin_x{mult}"
+    os.makedirs(path)
+    t0 = time.time() - 3600
+    i = 0
+    for w in range(1, n_waves + 1):
+        wave_dir = f"{waves_dir}/__wave={w}"
+        for part in sorted(os.listdir(wave_dir)):
+            if not part.endswith(".parquet"):
+                continue
+            dst = f"{path}/w{w:02d}_{part}"
+            shutil.copy(f"{wave_dir}/{part}", dst)
+            os.utime(dst, (t0 + i, t0 + i))  # file-source order = arrival order
+            i += 1
+    return path
+
+
+SSJOIN_EVIDENCE: list[dict] = []
+
+
+def run_ssjoin(spark, path: str) -> None:
+    """interval_join_events' composition (streaming/joins.py:48-70),
+    wired here with maxFilesPerTrigger=1 so the availableNow drain is
+    ~8 micro-batches with an advancing watermark, and with the query
+    handle kept so per-batch state-store rows are captured — the
+    boundedness evidence the drain itself cannot expose."""
+    import json as _json
+
+    from pypgsync_spark.streaming.balance import stream_shuffle_partitions
+
+    schema = spark.read.parquet(path).schema
+
+    def side(event_type, id_alias, ts_alias, user_alias):
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+        return (
+            src.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("user_id").alias(user_alias),
+                # staged parquet reads back TIMESTAMP_NTZ; watermarks
+                # need TIMESTAMP (session tz is pinned UTC, so the
+                # cast is the identity — the functions/time convention)
+                F.col("ts").cast("timestamp").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "2 days")
+        )
+
+    left = side("error", "error_id", "error_ts", "user_id")
+    right = side("click", "click_id", "click_ts", "r_user_id")
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("click_ts") >= F.col("error_ts") - F.expr("INTERVAL 6 HOURS"))
+        & (F.col("click_ts") <= F.col("error_ts")),
+        "inner",
+    ).select("error_id", "click_id")
+    # t10's state_partitions=8 rationale (streamq.py:244-250)
+    with stream_shuffle_partitions(spark, 8):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    progress = []
+    for p in q.recentProgress:
+        progress.append(p if isinstance(p, dict) else _json.loads(p.json))
+    state_rows = [
+        sum(op.get("numRowsTotal", 0) for op in p.get("stateOperators", []))
+        for p in progress
+    ]
+    SSJOIN_EVIDENCE.append(
+        {
+            "op": "ssjoin_state",
+            "path": os.path.basename(path),
+            "batches": len(progress),
+            "max_state_rows": max(state_rows, default=0),
+            "end_state_rows": state_rows[-1] if state_rows else 0,
+            "pairs_emitted": sum(
+                p.get("sink", {}).get("numOutputRows", 0) for p in progress
+            ),
+        }
+    )
+
+
+def work_ssjoin(spark, path: str) -> int:
+    """Novel pair count — the join's intrinsic output work (wall must
+    track pairs, which grow exactly ×mult under disjoint-user copies)."""
+    ev = spark.read.parquet(path)
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("error_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("r_user_id"), F.col("ts").alias("click_ts")
+    )
+    return e.join(
+        c,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("click_ts") >= F.col("error_ts") - F.expr("INTERVAL 6 HOURS"))
+        & (F.col("click_ts") <= F.col("error_ts")),
+        "inner",
+    ).count()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -312,6 +463,7 @@ def main() -> None:
             "knn",
             "decode",
             "curate",
+            "ssjoin",
         ],
     )
     ap.add_argument("multipliers", nargs="*", type=int, default=[1, 10])
@@ -326,18 +478,25 @@ def main() -> None:
     spark = get_spark(app_name=f"pypgsync_spark_probe_{args.op}")
     spark.sparkContext.setLogLevel("ERROR")
     base = tempfile.mkdtemp(prefix=f"probe_{args.op}_")
-    stage, run, n_warm, work_fn = {
-        "merge": (stage_events, run_merge, 3, None),
-        "dedup": (stage_docs, run_dedup, 3, None),
-        "pack": (stage_tokens, run_pack, 3, None),
-        "gate": (stage_gate, make_run_gate(base), 2, None),  # drains are slow
+    # (stage, run, n_warm, work_fn, work_key): work_fn makes the
+    # verdict work-normalized — wall must track the op's INTRINSIC
+    # work metric, named by work_key in the output
+    stage, run, n_warm, work_fn, work_key = {
+        "merge": (stage_events, run_merge, 3, None, None),
+        "dedup": (stage_docs, run_dedup, 3, None, None),
+        "pack": (stage_tokens, run_pack, 3, None, None),
+        "gate": (stage_gate, make_run_gate(base), 2, None, None),  # drains are slow
         # the GEMM family's intrinsic work is quadratic in cell/corpus
         # size; their scaling verdict is work-normalized (mults/sec),
         # not rows/sec
-        "cellpairs": (stage_cellpairs, run_cellpairs, 2, work_cellpairs),
-        "knn": (stage_knn, run_knn, 2, work_knn),
-        "decode": (stage_decode, run_decode, 3, None),
-        "curate": (stage_curate, run_curate, 2, None),  # drains are slow
+        "cellpairs": (stage_cellpairs, run_cellpairs, 2, work_cellpairs, "gemm_mults"),
+        "knn": (stage_knn, run_knn, 2, work_knn, "gemm_mults"),
+        "decode": (stage_decode, run_decode, 3, None, None),
+        "curate": (stage_curate, run_curate, 2, None, None),  # drains are slow
+        # the stream-stream join's intrinsic work is its novel-pair
+        # output (×mult under disjoint-user copies); its extra
+        # evidence line is per-batch state rows (ssjoin_state)
+        "ssjoin": (stage_ssjoin, run_ssjoin, 2, work_ssjoin, "join_pairs"),
     }[args.op]
 
     results = []
@@ -365,8 +524,12 @@ def main() -> None:
                 "load_avg": [round(x, 2) for x in os.getloadavg()],
             }
             if work is not None:
-                r["gemm_mults"] = work
-                r["gemm_mults_per_sec"] = round(work / max(sec, 1e-9))
+                r[work_key] = work
+                r[f"{work_key}_per_sec"] = round(work / max(sec, 1e-9))
+            if args.op == "ssjoin" and SSJOIN_EVIDENCE:
+                ev = dict(SSJOIN_EVIDENCE[-1])  # the last (steady) drain
+                ev["multiplier"] = m
+                r["state_evidence"] = ev
             results.append(r)
             print(json.dumps(r))
     finally:
@@ -377,7 +540,7 @@ def main() -> None:
         # `--op merge 10 1` must not report an inverted ratio
         by_mult = sorted(results, key=lambda r: r["multiplier"])
         a, b = by_mult[0], by_mult[-1]
-        key = "gemm_mults_per_sec" if work_fn else "rows_per_sec"
+        key = f"{work_key}_per_sec" if work_fn else "rows_per_sec"
         ratio = (b[key] / a[key]) if a.get(key) else 0
         print(
             json.dumps(
