@@ -813,3 +813,189 @@ def audio_window_energy(df: DataFrame, window: int = AUD_WIN) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(stats, AUDIO_WINDOW_SCHEMA)
+
+
+# --- perceptual-hash image near-dup (r12 verdict #2) -----------------
+# The one LLM-pipeline capability decode unlocked but nothing used:
+# MULTIMODAL dedup. dHash over real decoded pixels (the classic
+# perceptual hash: grayscale, compare horizontally adjacent cells,
+# pack the comparison bits), banded LSH candidates exactly like the
+# d3/d4 text formulations, exact hamming verify. Every step is
+# deterministic integer arithmetic, so the DuckDB oracle restates the
+# full decode -> gray -> bit -> band -> pair chain and the pair list
+# is hash-checked. Production swaps the fixture encoder for real
+# crawled images and (optionally) dHash for pHash/DCT at the same
+# seam; the Spark plumbing (binary column -> Arrow-batched decode ->
+# one equi-join shuffle on band buckets) is what carries to 100 TB.
+
+PH_W, PH_H = 9, 8  # dHash grid: 8 comparisons per row x 8 rows = 64 bits
+PH_GROUP = 5  # fixture: docs per content group (see _neardup_pixels)
+PH_BANDS, PH_BAND_BITS = 4, 16
+
+PH_PAYLOAD_SCHEMA = PAYLOAD_SCHEMA
+
+PH_BANDS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("b0", T.LongType()),
+        T.StructField("b1", T.LongType()),
+        T.StructField("b2", T.LongType()),
+        T.StructField("b3", T.LongType()),
+    ]
+)
+
+
+PH_MD5_BLOCKS = (PH_H * PH_W * 3 + 15) // 16  # 216 bytes -> 14 digests
+
+
+def _neardup_pixels(doc_id: int):
+    """Deterministic (PH_H, PH_W, 3) uint8 image with NEAR-DUP group
+    structure — the dedup analogue of :func:`_fixture_pixels`, whose
+    per-doc formula makes every image unique and gives a dedup query
+    nothing to find. Pixel bytes are md5-derived (the d3/d4 precedent:
+    md5 is the hash both engines compute identically) — arithmetic
+    byte formulas were tried first and produce near-constant gray
+    gradients, so thousands of docs shared one dHash and the pair
+    count grew quadratically with corpus size; md5 content makes base
+    images independent and the pair count exactly linear (0.6
+    pairs/doc at every scale, measured to 20k docs). Docs form groups
+    of ``PH_GROUP`` consecutive ids:
+
+    - roles 0 and 1 (doc_id % 5): the group's base image — byte
+      stream = md5("g:<g>:<block>") digests concatenated — EXACT
+      duplicates of each other (hamming 0);
+    - role 2: the base image with one channel byte bumped by +64 (mod
+      256) at a group-dependent pixel — a single-pixel edit flips at
+      most the 2 dHash bits that compare that pixel (a NEAR duplicate);
+    - roles 3 and 4: per-doc content keyed "u:<doc_id>" — unrelated
+      images that must NOT pair.
+    """
+    import hashlib
+
+    import numpy as np
+
+    role = doc_id % PH_GROUP
+    g = doc_id - role
+    key = f"g:{g}" if role <= 2 else f"u:{doc_id}"
+    raw = b"".join(
+        hashlib.md5(f"{key}:{blk}".encode()).digest()
+        for blk in range(PH_MD5_BLOCKS)
+    )[: PH_H * PH_W * 3]
+    arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int64).copy()
+    if role == 2:
+        p = 3 * ((g // PH_GROUP) % (PH_H * PH_W))
+        arr[p] = (arr[p] + 64) % 256
+    return arr.astype(np.uint8).reshape(PH_H, PH_W, 3)
+
+
+def with_neardup_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, fmt, payload): REAL container bytes (PPM P6 even ids,
+    padded 24-bit BMP odd ids — 9px rows exercise BMP's 1-byte row
+    pad) carrying the near-dup fixture images. Arrow-batched
+    mapInPandas, partitioning inherited (no shuffle)."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            fmts, payloads = [], []
+            for doc_id in ids:
+                px = _neardup_pixels(int(doc_id))
+                if doc_id % 2 == 0:
+                    fmts.append("ppm")
+                    payloads.append(encode_ppm(px))
+                else:
+                    fmts.append("bmp")
+                    payloads.append(encode_bmp24(px))
+            yield pd.DataFrame({"doc_id": ids, "fmt": fmts, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(encode, PH_PAYLOAD_SCHEMA)
+
+
+def image_dhash_bands(df: DataFrame) -> DataFrame:
+    """Decode each payload and emit its 64-bit dHash as FOUR 16-bit
+    band values (b0..b3) — the LSH-ready form.
+
+    dHash: gray cell (y, x) = r+g+b (an integer luma stand-in both
+    engines restate exactly; swap in 299r+587g+114b at this seam for
+    production perceptual fidelity); bit k (k = y*8 + x) is set iff
+    gray[y][x] < gray[y][x+1]. Band b packs bits [16b, 16b+16) with
+    bit k at weight 1 << (k % 16) — bands instead of one 64-bit long
+    keeps every value far from the sign bit on BOTH engines (the
+    simhash_signatures lesson, operators/dedup.py:710)."""
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        weights = 1 << np.arange(PH_BAND_BITS, dtype=np.int64)
+        for pdf in batches:
+            out = {f"b{b}": [] for b in range(PH_BANDS)}
+            for payload in pdf["payload"]:
+                px = decode_image(bytes(payload)).astype("int64")
+                gray = px.sum(axis=2)  # (8, 9)
+                bits = (gray[:, :-1] < gray[:, 1:]).astype(np.int64).reshape(-1)
+                for b in range(PH_BANDS):
+                    chunk = bits[PH_BAND_BITS * b : PH_BAND_BITS * (b + 1)]
+                    out[f"b{b}"].append(int((chunk * weights).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    **{
+                        k: pd.Series(v, dtype="int64")
+                        for k, v in out.items()
+                    },
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(hashes, PH_BANDS_SCHEMA)
+
+
+def dhash_near_pairs(bands: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(id_a, id_b, hamming) pairs within ``max_hamming`` of 64 bits.
+
+    Candidates: equi-join on (band index, band value) — by pigeonhole,
+    any pair within hamming PH_BANDS - 1 = 3 differs in at most 3
+    bands and therefore shares at least one exactly, so the bucket
+    join finds ALL such pairs with ONE shuffle and no cross join
+    (simhash_pairs' chunk-LSH argument, operators/dedup.py:765).
+    Exact hamming (sum of per-band bit_count-of-xor) verifies."""
+    if max_hamming > PH_BANDS - 1:
+        raise ValueError(
+            f"band-LSH only guarantees radius {PH_BANDS - 1} with {PH_BANDS} bands"
+        )
+    exploded = bands.select(
+        "doc_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bi"), F.col(f"b{b}").alias("bv")
+                    )
+                    for b in range(PH_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "b0", "b1", "b2", "b3", F.col("e.bi").alias("bi"), F.col("e.bv").alias("bv"))
+    left = exploded.select(
+        "bi", "bv", F.col("doc_id").alias("id_a"),
+        *[F.col(f"b{b}").alias(f"a{b}") for b in range(PH_BANDS)],
+    )
+    right = exploded.select(
+        "bi", "bv", F.col("doc_id").alias("id_b"),
+        *[F.col(f"b{b}").alias(f"x{b}") for b in range(PH_BANDS)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{b}").bitwiseXOR(F.col(f"x{b}")))
+        for b in range(PH_BANDS)
+    )
+    return (
+        left.join(right, on=["bi", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1632,6 +1632,98 @@ def mm8_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm9_image_phash_pairs",
+    bench=125,
+    survey="ext:multimodal,ext:dedup",
+    doc="MULTIMODAL near-dup: perceptual-hash (dHash) pairs over REAL "
+    "decoded pixels (r11 verdict #2) — the capability real decode "
+    "unlocked. Per document, a 9×8 RGB image with md5-derived "
+    "near-dup group structure (groups of 5: two exact duplicates, one "
+    "single-pixel near-dup, two unrelated) rides a genuine PPM/BMP "
+    "container through a binary column; decode → integer-luma "
+    "grayscale → 64 horizontal-comparison bits packed as 4×16-bit "
+    "bands → banded-LSH equi-join candidates (pigeonhole-complete at "
+    "radius 3 with one shuffle, the d3/d4 formulation on pixels "
+    "instead of tokens) → exact hamming verify via per-band "
+    "bit_count(xor). The oracle restates the ENTIRE decode-to-pair "
+    "chain — md5 pixel bytes, bump, gray, bits, bands, bucket join, "
+    "hamming — so the hash check covers container parsing, the "
+    "sampling grid, and the LSH recall argument at once. Arithmetic "
+    "pixel formulas were rejected: near-constant gray gradients made "
+    "thousands of docs share one dHash (quadratic pair growth); md5 "
+    "content keeps pairs exactly linear (0.6/doc at every scale).",
+    oracle="""
+    WITH bytes AS (
+      SELECT doc_id, 16 * blk + j AS i,
+             CAST(concat('0x', substr(md5(
+               CASE WHEN doc_id % 5 <= 2 THEN 'g:' || (doc_id - doc_id % 5)
+                    ELSE 'u:' || doc_id END || ':' || blk
+             ), 2 * j + 1, 2)) AS BIGINT) AS v
+      FROM documents,
+           (SELECT unnest(range(14)) AS blk) blks,
+           (SELECT unnest(range(16)) AS j) js
+      WHERE 16 * blk + j < 216
+    ),
+    bumped AS (
+      SELECT doc_id, i,
+             CASE WHEN doc_id % 5 = 2
+                       AND i = 3 * (((doc_id - 2) // 5) % 72)
+                  THEN (v + 64) % 256 ELSE v END AS v
+      FROM bytes
+    ),
+    gray AS (
+      SELECT doc_id, (i // 3) // 9 AS y, (i // 3) % 9 AS x, SUM(v) AS gv
+      FROM bumped GROUP BY doc_id, i // 3
+    ),
+    bits AS (
+      SELECT l.doc_id, l.y * 8 + l.x AS k,
+             CASE WHEN l.gv < r.gv THEN 1 ELSE 0 END AS bit
+      FROM gray l JOIN gray r
+        ON l.doc_id = r.doc_id AND l.y = r.y AND r.x = l.x + 1
+    ),
+    bands AS (
+      SELECT doc_id, k // 16 AS bi,
+             CAST(SUM(bit * (1 << (k % 16))) AS BIGINT) AS bv
+      FROM bits GROUP BY doc_id, k // 16
+    ),
+    sig AS (
+      SELECT doc_id,
+             MAX(CASE WHEN bi = 0 THEN bv END) AS b0,
+             MAX(CASE WHEN bi = 1 THEN bv END) AS b1,
+             MAX(CASE WHEN bi = 2 THEN bv END) AS b2,
+             MAX(CASE WHEN bi = 3 THEN bv END) AS b3
+      FROM bands GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+              + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+             AS INT) AS hamming
+    FROM cand
+    JOIN sig sa ON cand.id_a = sa.doc_id
+    JOIN sig sb ON cand.id_b = sb.doc_id
+    WHERE bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+        + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3)) <= 3
+    """,
+)
+def mm9_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.operators.multimodal import (
+        dhash_near_pairs,
+        image_dhash_bands,
+        with_neardup_image_payload,
+    )
+
+    return dhash_near_pairs(
+        image_dhash_bands(with_neardup_image_payload(_docs(spark, sf_dir))),
+        max_hamming=3,
+    )
+
+
+@register(
     "mm6_video_frame_stats",
     bench=121,
     survey="ext:multimodal",
