@@ -414,19 +414,38 @@ def _fixture_samples(doc_id: int):
     return (((doc_id * 37 + i * 11) % 4096) - 2048).astype(np.int16)
 
 
-def encode_wav16(samples, rate: int = AUD_RATE, junk_chunk: bool = False) -> bytes:
-    """Serialize interleaved int16 PCM as a real RIFF/WAVE container
-    (canonical 16-bit PCM layout: RIFF header, ``fmt `` chunk, ``data``
-    chunk). With ``junk_chunk`` an odd-sized ``LIST`` chunk is inserted
-    between ``fmt `` and ``data`` — plus the RIFF word-alignment pad
-    byte — so decoders must actually walk chunks, not read fixed
-    offsets."""
+def encode_wav16(
+    samples, rate: int = AUD_RATE, junk_chunk: bool = False, n_ch: int | None = None
+) -> bytes:
+    """Serialize int16 PCM as a real RIFF/WAVE container (canonical
+    16-bit PCM layout: RIFF header, ``fmt `` chunk, ``data`` chunk).
+    ``samples`` is either a (frames, channels) array — the channel
+    count comes from its shape — or a 1-D interleaved stream, in which
+    case ``n_ch`` (default stereo) declares the layout and must divide
+    the sample count; a mismatch raises rather than silently writing a
+    mislabeled container whose frame count and interleave would be
+    wrong on decode (ADVICE r11). With ``junk_chunk`` an odd-sized
+    ``LIST`` chunk is inserted between ``fmt `` and ``data`` — plus
+    the RIFF word-alignment pad byte — so decoders must actually walk
+    chunks, not read fixed offsets."""
     import struct
 
     import numpy as np
 
     a = np.asarray(samples, dtype="<i2")
-    n_ch = AUD_CH
+    if a.ndim == 2:
+        if n_ch is not None and n_ch != a.shape[1]:
+            raise ValueError(
+                f"n_ch={n_ch} contradicts (frames, channels) input shape {a.shape}"
+            )
+        n_ch = a.shape[1]
+    else:
+        n_ch = AUD_CH if n_ch is None else n_ch
+        if n_ch < 1 or a.size % n_ch:
+            raise ValueError(
+                f"interleaved stream of {a.size} samples is not a whole "
+                f"number of {n_ch}-channel frames"
+            )
     data = a.tobytes()
     fmt = struct.pack(
         "<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16
@@ -522,6 +541,15 @@ def audio_decode_stats(df: DataFrame) -> DataFrame:
             nf, ls, rs, pk = [], [], [], []
             for payload in pdf["payload"]:
                 a, _rate = decode_wav16(bytes(payload))
+                if a.shape[1] != 2:
+                    # decode_wav16 accepts any channel count; THIS
+                    # kernel's l/r columns are stereo-shaped — reject
+                    # like the other deploy seams (ADVICE r11), don't
+                    # let a mono container die in a numpy IndexError
+                    raise ValueError(
+                        f"audio_decode_stats expects stereo payloads; "
+                        f"got {a.shape[1]} channel(s)"
+                    )
                 a64 = a.astype("int64")
                 nf.append(a.shape[0])
                 ls.append(int(a64[:, 0].sum()))
@@ -794,6 +822,13 @@ def audio_window_energy(df: DataFrame, window: int = AUD_WIN) -> DataFrame:
             ids, idxs, le, re_, pk = [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 a, _rate = decode_wav16(bytes(payload))
+                if a.shape[1] != 2:
+                    # stereo-shaped kernel; same seam rejection as
+                    # audio_decode_stats (ADVICE r11)
+                    raise ValueError(
+                        f"audio_window_energy expects stereo payloads; "
+                        f"got {a.shape[1]} channel(s)"
+                    )
                 a64 = a.astype("int64")
                 for w in range(0, a64.shape[0], window):
                     blk = a64[w : w + window]

@@ -269,3 +269,44 @@ def test_audio_window_energy_kernel_matches_loop():
         blk = s[w : w + window]
         le = sum(int(v) ** 2 for v in blk[:, 0])
         assert le == int((blk[:, 0] ** 2).sum())
+
+
+# --- ADVICE r11: channel-count seams are errors, not crashes ---------
+
+
+def test_encode_wav16_derives_channels_from_2d_shape():
+    mono = np.arange(10, dtype=np.int16).reshape(10, 1)
+    a, _ = decode_wav16(encode_wav16(mono, n_ch=1))
+    assert a.shape == (10, 1) and np.array_equal(a, mono)
+    a2, _ = decode_wav16(encode_wav16(mono))  # shape wins, no param needed
+    assert a2.shape == (10, 1)
+    quad = np.arange(24, dtype=np.int16).reshape(6, 4)
+    a4, _ = decode_wav16(encode_wav16(quad))
+    assert a4.shape == (6, 4) and np.array_equal(a4, quad)
+
+
+def test_encode_wav16_rejects_contradictory_layout():
+    with pytest.raises(ValueError, match="contradicts"):
+        encode_wav16(np.zeros((4, 2), dtype=np.int16), n_ch=1)
+    with pytest.raises(ValueError, match="whole number"):
+        encode_wav16(np.zeros(5, dtype=np.int16), n_ch=2)
+    with pytest.raises(ValueError, match="whole number"):
+        encode_wav16(np.zeros(4, dtype=np.int16), n_ch=0)
+
+
+def test_stereo_stats_kernels_reject_mono_payloads(spark):
+    """decode_wav16 accepts any channel count, but the l/r stats
+    kernels are stereo-shaped: a mono container must fail with the
+    documented seam ValueError, not a numpy IndexError."""
+    from pypgsync_spark.operators.multimodal import (
+        audio_decode_stats,
+        audio_window_energy,
+    )
+
+    mono = encode_wav16(np.arange(8, dtype=np.int16).reshape(8, 1))
+    df = spark.createDataFrame(
+        [(1, bytearray(mono))], "doc_id long, payload binary"
+    )
+    for op in (audio_decode_stats, audio_window_energy):
+        with pytest.raises(Exception, match="expects stereo"):
+            op(df).collect()
