@@ -499,16 +499,22 @@ def pipe5_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = table_path(sf_dir, "documents")
     schema = spark.read.parquet(path).schema
 
-    def incoming() -> DataFrame:
-        docs = _file_stream(spark, schema, path)
-        fresh = docs.filter(F.col("doc_id") % 10 == 0)
-        recrawl = docs.filter(F.col("doc_id") % 7 == 3).withColumn(
-            "doc_id", F.col("doc_id") + F.lit(1000000)
-        )
-        return fresh.unionByName(recrawl)
-
-    # deterministic at-least-once delivery: the whole feed arrives twice
-    stream = incoming().unionByName(incoming())
+    docs = _file_stream(spark, schema, path)
+    fresh = docs.filter(F.col("doc_id") % 10 == 0)
+    recrawl = docs.filter(F.col("doc_id") % 7 == 3).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    # deterministic at-least-once delivery: every row arrives twice,
+    # synthesized from ONE file-stream source (ADVICE r11: a second
+    # incoming() pair re-listed and re-scanned the same parquet path —
+    # duplicating ROWS after one read halves the source cost; the
+    # cross-BATCH duplicate shape stays covered by the curation
+    # restart + cross-batch pytests)
+    stream = (
+        fresh.unionByName(recrawl)
+        .withColumn("__dup", F.explode(F.array(F.lit(0), F.lit(1))))
+        .drop("__dup")
+    )
 
     # stage 1 — Gopher gate, map-only: token array aliased in its own
     # select (tx6 CollapseProject discipline), metrics from THE shared
