@@ -479,6 +479,17 @@ def main() -> None:
         "continuous_soak": soak,
         "auto_ab": auto_ab,
         "notes": {
+            "r12_rank_retirement": "the r9-drafted retirement rule "
+            "(retire ranks fingerprint-frozen >=3 rounds whose family "
+            "has a faster representative, before the wall crosses "
+            "~150 s) is NOT yet triggered: r12 carries 123 ranks at "
+            "~115-117 s steady on a quiet box. Growth is ~5-6 ranks "
+            "(~4-6 s) per round, projecting the 150 s crossing at "
+            "~r17-r18; first candidates when it triggers are the "
+            "slow dedup-family redundancies (d6 vs d5, d13 vs d12, "
+            "d9 vs pipe2's embedded canonicalization), each 3-5 s "
+            "with a same-family faster representative. Revisit at "
+            "r15 or when steady exceeds 135 s, whichever first.",
             "r12_auto_ab": "as of r12 (r11 verdict #7) every bench run "
             "auto-probes fingerprint-identical ranks that moved >=1.3x "
             "vs the prior round's committed artifact: same-session "
