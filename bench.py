@@ -479,6 +479,20 @@ def main() -> None:
         "continuous_soak": soak,
         "auto_ab": auto_ab,
         "notes": {
+            "r12_d9_pipe2_triage": "the r11 verdict's two both-run "
+            "movers, closed with r12 measurements (r11 verdict #5): "
+            "d9 is FLAT round-over-round on quiet-start boxes (r11 "
+            "committed 4.551 -> r12 steady 4.435; the r10 3.64 is "
+            "the outlier, not the baseline) - fingerprint-identical, "
+            "plan unchanged, no action. pipe2's r12 steady (6.55) "
+            "ran late in the bench's own load ramp (start 0.13, end "
+            "9.55); the same-day isolated alternating min-of-5 at "
+            "quiet start measured 5.25 ~= r11's committed 5.39 - "
+            "AMBIENT per the isolated-vs-isolated rule, consistent "
+            "with pipe2's documented widest-band behavior (~33 "
+            "driver jobs accumulate scheduling jitter, "
+            "r8_pipe2_variance). Verdict: ambient/environment for "
+            "both; nothing to bisect.",
             "r12_rank_retirement": "the r9-drafted retirement rule "
             "(retire ranks fingerprint-frozen >=3 rounds whose family "
             "has a faster representative, before the wall crosses "
