@@ -984,6 +984,12 @@ def image_dhash_bands(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(hashes, PH_BANDS_SCHEMA)
 
 
+# single-slot cache for the decoded-hash side of the bucket self-join
+# (the minhash _SHINGLE_CACHE convention, operators/dedup.py:382): at
+# most one live copy per process, released on the next call
+_PH_BANDS_CACHE: list = []
+
+
 def dhash_near_pairs(bands: DataFrame, max_hamming: int = 3) -> DataFrame:
     """(id_a, id_b, hamming) pairs within ``max_hamming`` of 64 bits.
 
@@ -992,11 +998,25 @@ def dhash_near_pairs(bands: DataFrame, max_hamming: int = 3) -> DataFrame:
     bands and therefore shares at least one exactly, so the bucket
     join finds ALL such pairs with ONE shuffle and no cross join
     (simhash_pairs' chunk-LSH argument, operators/dedup.py:765).
-    Exact hamming (sum of per-band bit_count-of-xor) verifies."""
+    Exact hamming (sum of per-band bit_count-of-xor) verifies.
+
+    ``bands`` is persisted (single-slot, previous copy released — the
+    minhash shingle-cache convention): both sides of the self-join
+    consume it, and without the cache the upstream DECODE stage — the
+    expensive part on real images — would run twice per action. The
+    cached row is 5 longs, negligible next to the payloads it
+    replaces."""
     if max_hamming > PH_BANDS - 1:
         raise ValueError(
             f"band-LSH only guarantees radius {PH_BANDS - 1} with {PH_BANDS} bands"
         )
+    while _PH_BANDS_CACHE:
+        try:
+            _PH_BANDS_CACHE.pop().unpersist()
+        except Exception:
+            pass
+    bands = bands.persist()
+    _PH_BANDS_CACHE.append(bands)
     exploded = bands.select(
         "doc_id",
         "b0",
