@@ -87,3 +87,36 @@ def test_radius_guard():
 
     with pytest.raises(ValueError, match="band-LSH"):
         dhash_near_pairs(None, max_hamming=4)
+
+
+def test_single_byte_edit_flips_at_most_two_bits():
+    """The locality guarantee the near-dup design rests on: ANY
+    single-byte change to ANY image flips at most the 2 dHash bits
+    whose comparisons read the edited pixel — so a one-pixel edit is
+    always within the banding's guaranteed radius. Hypothesis-driven
+    over random images and edit positions."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pypgsync_spark.operators.multimodal import PH_H, PH_W
+
+    def dhash(px):
+        gray = px.astype("int64").sum(axis=2)
+        return (gray[:, :-1] < gray[:, 1:]).astype(np.int8).reshape(-1)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        pos=st.integers(0, PH_H * PH_W * 3 - 1),
+        delta=st.integers(1, 255),
+    )
+    def check(seed, pos, delta):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(PH_H, PH_W, 3), dtype=np.uint8)
+        edited = px.copy().reshape(-1)
+        edited[pos] = (int(edited[pos]) + delta) % 256
+        edited = edited.reshape(PH_H, PH_W, 3)
+        assert int((dhash(px) != dhash(edited)).sum()) <= 2
+
+    check()

@@ -428,3 +428,21 @@ def test_pipe4_plan_shape(spark, sf_small):
     assert "__bp" in p and "__bq" in p  # sub-block keys in the grouping
     assert "SinglePartition" not in p
     assert "BatchEvalPython" not in p  # never the row-at-a-time path
+
+
+def test_phash_pairs_one_bucket_shuffle_decode_once(spark, sf_small):
+    """mm9: the banded-LSH candidate join must be a shuffle EQUI-join
+    on (band, value) — never a nested-loop/cartesian — and both sides
+    must read the PERSISTED band table (InMemoryTableScan), so the
+    Arrow-batched image-decode stage runs once per action, not once
+    per join side (the expensive stage on real payloads)."""
+    df = REGISTRY["mm9_image_phash_pairs"].fn(spark, sf_small)
+    df.collect()  # materializes the persist so the cache shows in-plan
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # both join sides read the persisted band table, so the decode
+    # stage executes only at cache fill (the plan TEXT still prints
+    # the cached subtree's MapInPandas lineage under each scan — node
+    # occurrences in the string are not execution counts)
+    assert p.count("InMemoryTableScan") >= 2
+    assert "BatchEvalPython" not in p  # never the row-at-a-time path
