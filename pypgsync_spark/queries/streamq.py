@@ -568,3 +568,108 @@ def pipe5_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_name="pipe5_curation_mem",
     )
     return out.select(F.col("__fp").alias("fp"), "norm_chars", "n_tokens")
+
+
+from pypgsync_spark.queries.vector import _duck_hyperplane_sig  # noqa: E402
+
+
+@register(
+    "pipe6_stream_semantic_screen",
+    bench=126,
+    survey="ext:similarity,ext:dedup,§2.10 ext",
+    doc="Streaming SEMANTIC corpus screen — the embedding analogue of "
+    "t12's exact-fingerprint screen, and the live-ingest half of "
+    "SemDeDup: incoming vectors (vec_id % 10 == 0, streamed from the "
+    "embeddings fixture) are hyperplane-LSH-signed (the v2b seed-42 "
+    "literal planes, map-only), exploded into 8×2-bit bands, and "
+    "stream-static LEFT-joined against the standing corpus's LEAN "
+    "band keys — (band, val, cand_id) only, embeddings never ride "
+    "the stream shuffle (the d3 band-table discipline). The stream "
+    "stage is entirely STATELESS (no watermark, no state store; "
+    "corpus growth costs a per-batch re-plan, never state); the "
+    "exact-cosine verdict on the few candidates is batch work on the "
+    "drained rows (production: inside foreachBatch). Output per "
+    "incoming vector: LSH candidate count, max exact cosine against "
+    "the corpus (-2 sentinel when no candidate), and the "
+    "novel/duplicate screen decision at cos 0.4 (v2b's near-dup threshold).",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    si AS (SELECT vec_id, v, {{sig}} AS sig FROM e WHERE vec_id % 10 = 0),
+    sc AS (SELECT vec_id, v, {{sig}} AS sig FROM e WHERE vec_id % 10 <> 0),
+    bi AS (SELECT vec_id, v, band, (sig >> (2 * band)) & 3 AS val
+           FROM si, (SELECT unnest(range(8)) AS band) b),
+    bc AS (SELECT vec_id AS cand_id, v AS cv, band, (sig >> (2 * band)) & 3 AS val
+           FROM sc, (SELECT unnest(range(8)) AS band) b),
+    cand AS (
+      SELECT DISTINCT l.vec_id, r.cand_id, l.v, r.cv
+      FROM bi l JOIN bc r USING (band, val)
+    ),
+    scored AS (
+      SELECT vec_id, cand_id,
+             list_dot_product(v, cv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
+               AS cos
+      FROM cand
+    )
+    SELECT i.vec_id,
+           CAST(COUNT(s.cand_id) AS BIGINT) AS n_cand,
+           round(coalesce(MAX(s.cos), -2.0), 6) AS max_cos,
+           CAST(CASE WHEN MAX(s.cos) IS NULL OR MAX(s.cos) <= 0.4
+                THEN 1 ELSE 0 END AS INT) AS is_novel
+    FROM si i LEFT JOIN scored s ON i.vec_id = s.vec_id
+    GROUP BY i.vec_id
+    """.replace("{sig}", _duck_hyperplane_sig("v", 16)),
+)
+def pipe6_stream_semantic_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from pypgsync_spark.operators.similarity import cosine
+    from pypgsync_spark.streaming.balance import _file_stream, drain_to_memory
+    from pypgsync_spark.streaming.dedupe import semantic_screen_stream
+
+    emb_path = table_path(sf_dir, "embeddings")
+    schema = spark.read.parquet(emb_path).schema
+    incoming = _file_stream(spark, schema, emb_path).filter(F.col("vec_id") % 10 == 0)
+    corpus = spark.read.parquet(emb_path).filter(F.col("vec_id") % 10 != 0)
+    drained = drain_to_memory(
+        spark,
+        semantic_screen_stream(incoming, corpus),
+        "pipe6_screen_mem",
+        output_mode="append",
+    )
+
+    # batch verdict on the drained screen rows: collapse multi-band
+    # hits, score the few candidates with exact cosine, decide
+    emb = spark.read.parquet(emb_path)
+    pairs = (
+        drained.filter(F.col("cand_id").isNotNull())
+        .select("vec_id", "cand_id")
+        .dropDuplicates(["vec_id", "cand_id"])
+    )
+    scored = (
+        pairs.join(
+            emb.select(
+                F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+            ),
+            on="cand_id",
+        )
+        .join(emb.select("vec_id", F.col("embedding").alias("v")), on="vec_id")
+        .withColumn("cos", cosine(F.col("v"), F.col("cv")))
+    )
+    # the agg side re-derives from the same memory-sink view as base;
+    # a fresh key name sidesteps the self-join attribute conflict
+    agg = scored.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("nc"), F.max("cos").alias("mc")
+    ).withColumnRenamed("vec_id", "vec_id_r")
+    base = drained.select("vec_id").dropDuplicates(["vec_id"])
+    return base.join(
+        agg, on=base["vec_id"] == agg["vec_id_r"], how="left"
+    ).select(
+        "vec_id",
+        F.coalesce(F.col("nc"), F.lit(0)).cast("long").alias("n_cand"),
+        F.round(F.coalesce(F.col("mc"), F.lit(-2.0)), 6).alias("max_cos"),
+        F.when(F.col("mc").isNull() | (F.col("mc") <= 0.4), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_novel"),
+    )

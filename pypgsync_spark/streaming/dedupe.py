@@ -159,3 +159,76 @@ def curation_stream(
     return screened.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["__fp"]
     )
+
+
+def semantic_screen_stream(
+    stream: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    nbits: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Streaming SEMANTIC corpus screen — the embedding analogue of
+    :func:`stream_corpus_screen`'s exact-fingerprint anti join: for
+    each incoming vector, find its hyperplane-LSH candidate neighbors
+    in the standing corpus. Entirely STATELESS streaming: a map-only
+    signature (``nbits`` literal-plane dot products, the v2b seed-42
+    planes), a ×``bands`` explode, and a stream-STATIC left outer
+    equi-join on (band, value) against the corpus's LEAN band keys —
+    (band, val, candidate id) only; embeddings do NOT ride the shuffle
+    (the d3 band-table discipline). No watermark, no state store: the
+    join re-probes the static side per micro-batch, so corpus growth
+    costs a re-plan, never streaming state.
+
+    Emits one row per (incoming id, band, candidate id) — candidate id
+    NULL when a band finds nothing. The cosine verdict (exact scoring
+    of the few candidates, novel/duplicate decision) is per-batch
+    BATCH work downstream — in production inside ``foreachBatch``,
+    here on the drained result — because a per-key aggregate in-stream
+    would reintroduce state for what is a pure screen.
+
+    ``bands`` × (nbits // bands)-bit banding: any pair whose
+    signatures agree on some band becomes a candidate; with 8×2-bit
+    bands the S-curve admits generous candidates that exact cosine
+    then scores — recall tuning happens at this seam (more bits,
+    fewer bands = stricter).
+    """
+    from pyspark.sql import functions as F
+
+    from pypgsync_spark.operators.similarity import hyperplane_signature
+
+    if nbits % bands:
+        raise ValueError(f"bands ({bands}) must divide nbits ({nbits})")
+    width = nbits // bands
+    mask = (1 << width) - 1
+
+    def banded(df: DataFrame, out_id: str) -> DataFrame:
+        sig = hyperplane_signature(F.col(vec_col), dim, nbits)
+        return (
+            df.select(F.col(id_col).alias(out_id), sig.alias("__sig"))
+            .select(
+                out_id,
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("band"),
+                                F.shiftrightunsigned(F.col("__sig"), width * b)
+                                .bitwiseAND(F.lit(mask))
+                                .alias("val"),
+                            )
+                            for b in range(bands)
+                        ]
+                    )
+                ).alias("bk"),
+            )
+            .select(out_id, F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+        )
+
+    stream_bands = banded(stream, "vec_id_in")
+    corpus_bands = banded(corpus, "cand_id")
+    return stream_bands.join(corpus_bands, on=["band", "val"], how="left_outer").select(
+        F.col("vec_id_in").alias(id_col), "band", "cand_id"
+    )

@@ -688,3 +688,28 @@ def test_curation_pipeline_checkpoint_restart_exactly_once(
     assert got == want  # exactly-once through the COMPOSED pipeline:
     # the replayed epoch re-passed the gate and re-screened, and no
     # fingerprint was lost with the crashed epoch or emitted twice
+
+
+def test_semantic_screen_stream_is_stateless(spark, sf_small):
+    """pipe6's streaming stage must be ENTIRELY stateless: map-only
+    signature, explode, stream-static left join — no watermark, no
+    dedup, no aggregate, no state store. Corpus growth costs a
+    per-batch re-plan of the static side, never streaming state."""
+    from pypgsync_spark.streaming.dedupe import semantic_screen_stream
+
+    path = table_path(sf_small, "embeddings")
+    schema = spark.read.parquet(path).schema
+    incoming = (
+        spark.readStream.schema(schema).parquet(path).filter(F.col("vec_id") % 10 == 0)
+    )
+    corpus = spark.read.parquet(path).filter(F.col("vec_id") % 10 != 0)
+    composed = semantic_screen_stream(incoming, corpus)
+    plan = composed._jdf.queryExecution().analyzed().toString()
+    assert "Join LeftOuter" in plan  # the stream-static band probe
+    for stateful in (
+        "EventTimeWatermark",
+        "Deduplicate",
+        "Aggregate",
+        "FlatMapGroupsWithState",
+    ):
+        assert stateful not in plan, stateful
