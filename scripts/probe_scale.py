@@ -42,6 +42,19 @@ Ops:
            fingerprint dedup over a ×mult dup-heavy crawl. Copies
            share text, so the dedup STATE stays fixed while arrivals
            grow ×mult. Each run a from-scratch availableNow drain.
+  ssjoin — the t10 stream-stream interval join at ×mult arrivals with
+           DISJOINT user copies (fixed per-key window overlap), staged
+           as 8 time-ordered single-file waves drained with
+           maxFilesPerTrigger=1 so the watermark evicts mid-drain;
+           emits per-batch state rows (state_evidence). Verdict is
+           join_pairs_per_sec; pairs must equal the batch join.
+  semscreen — pipe6's stateless streaming semantic screen
+           (streaming/dedupe.py::semantic_screen_stream) at ×mult
+           incoming vectors against a fixed corpus; copies carry the
+           same vectors, so candidate volume grows exactly ×mult.
+           Verdict is cand_rows_per_sec (no state to measure — the
+           plan is stateless by construction, plan-asserted in
+           tests/test_streaming.py).
 
 Staged inputs live under a tempdir and are deleted afterwards.
 
@@ -449,6 +462,71 @@ def work_ssjoin(spark, path: str) -> int:
     ).count()
 
 
+def stage_semscreen(spark, mult: int, base: str) -> str:
+    """Incoming embedding stream at ×mult: id-shifted copies carry the
+    SAME vectors, so each copy probes the same corpus buckets and the
+    candidate volume grows exactly ×mult — the linear scale path for
+    pipe6's stateless screen (no state to grow; the knob is candidate
+    throughput)."""
+    e = load_table(spark, SF_DIR, "embeddings").filter(
+        F.col("vec_id") % 10 == 0
+    ).select("vec_id", "embedding")
+    path = f"{base}/semscreen_x{mult}"
+    _multiply(e, mult, "vec_id", 10**7).repartition(32).write.parquet(path)
+    return path
+
+
+def run_semscreen(spark, path: str) -> None:
+    from pypgsync_spark.streaming.balance import stream_shuffle_partitions
+    from pypgsync_spark.streaming.dedupe import semantic_screen_stream
+
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    corpus = load_table(spark, SF_DIR, "embeddings").filter(
+        F.col("vec_id") % 10 != 0
+    )
+    with stream_shuffle_partitions(spark, "auto"):
+        q = (
+            semantic_screen_stream(stream, corpus)
+            .writeStream.outputMode("append")
+            .format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+def work_semscreen(spark, path: str) -> int:
+    """Candidate-row count (the screen's intrinsic output work)."""
+    from pypgsync_spark.operators.similarity import hyperplane_signature
+
+    def bands(df, idc):
+        sig = hyperplane_signature(F.col("embedding"), 64, 16)
+        return df.select(F.col("vec_id").alias(idc), sig.alias("s")).select(
+            idc,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftrightunsigned(F.col("s"), 2 * b)
+                            .bitwiseAND(F.lit(3))
+                            .alias("val"),
+                        )
+                        for b in range(8)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(idc, "bk.band", "bk.val")
+
+    inc = bands(spark.read.parquet(path), "a")
+    corp = bands(
+        load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") % 10 != 0),
+        "b",
+    )
+    return inc.join(corp, on=["band", "val"], how="left_outer").count()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -464,6 +542,7 @@ def main() -> None:
             "decode",
             "curate",
             "ssjoin",
+            "semscreen",
         ],
     )
     ap.add_argument("multipliers", nargs="*", type=int, default=[1, 10])
@@ -497,6 +576,8 @@ def main() -> None:
         # output (×mult under disjoint-user copies); its extra
         # evidence line is per-batch state rows (ssjoin_state)
         "ssjoin": (stage_ssjoin, run_ssjoin, 2, work_ssjoin, "join_pairs"),
+        # pipe6's stateless screen: intrinsic work = candidate rows
+        "semscreen": (stage_semscreen, run_semscreen, 2, work_semscreen, "cand_rows"),
     }[args.op]
 
     results = []
