@@ -479,6 +479,14 @@ def main() -> None:
         "continuous_soak": soak,
         "auto_ab": auto_ab,
         "notes": {
+            "r12_a23_code_flag": "bench_diff r11->r12 flags "
+            "a23_event_funnel CODE (0.34 -> 0.57): the closure "
+            "changed only via the r12 helper consolidation - "
+            "_dsum/_events_ms moved VERBATIM to queries/common.py, "
+            "identical Column expressions, identical plan, no "
+            "mechanism for a slowdown; isolated min-of-5 sat in the "
+            "sub-second jitter band. Classifier conservatism "
+            "(fingerprint flags closure identity, not behavior).",
             "r12_d9_pipe2_triage": "the r11 verdict's two both-run "
             "movers, closed with r12 measurements (r11 verdict #5): "
             "d9 is FLAT round-over-round on quiet-start boxes (r11 "

