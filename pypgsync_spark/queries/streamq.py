@@ -579,27 +579,45 @@ from pypgsync_spark.queries.vector import _duck_hyperplane_sig  # noqa: E402
     survey="ext:similarity,ext:dedup,§2.10 ext",
     doc="Streaming SEMANTIC corpus screen — the embedding analogue of "
     "t12's exact-fingerprint screen, and the live-ingest half of "
-    "SemDeDup: incoming vectors (vec_id % 10 == 0, streamed from the "
-    "embeddings fixture) are hyperplane-LSH-signed (the v2b seed-42 "
-    "literal planes, map-only), exploded into 8×2-bit bands, and "
-    "stream-static LEFT-joined against the standing corpus's LEAN "
-    "band keys — (band, val, cand_id) only, embeddings never ride "
-    "the stream shuffle (the d3 band-table discipline). The stream "
-    "stage is entirely STATELESS (no watermark, no state store; "
-    "corpus growth costs a per-batch re-plan, never state); the "
-    "exact-cosine verdict on the few candidates is batch work on the "
-    "drained rows (production: inside foreachBatch). Output per "
-    "incoming vector: LSH candidate count, max exact cosine against "
-    "the corpus (-2 sentinel when no candidate), and the "
-    "novel/duplicate screen decision at cos 0.4 (v2b's near-dup threshold).",
+    "SemDeDup. Incoming = novel vectors (vec_id % 10 == 0, as-is) "
+    "plus RE-EMBEDDED near-duplicates (every vec_id % 7 == 3 corpus "
+    "member with its first component shifted +0.25, re-tagged "
+    "+1000000 — cos ≈ 0.99 against its original: the re-crawled-"
+    "content simulation in embedding space, exact float arithmetic "
+    "both engines share). Each incoming vector is hyperplane-LSH "
+    "signed (seed-42 literal planes, 32 bits, map-only), exploded "
+    "into 4×8-bit bands, and stream-static LEFT-joined against the "
+    "corpus's LEAN band keys — (band, val, cand_id) only, embeddings "
+    "never ride the stream shuffle. 8-bit bands put the probe in the "
+    "correct LSH regime for a SCREEN: a random pair shares a band "
+    "with p≈1.6% (candidates stay ~2% of the cross product) while a "
+    "cos 0.99 near-dup is caught with p>99.9% — the first pipe6 cut "
+    "used 2-bit bands, whose 90% candidate admission made the "
+    "\"screen\" a disguised cross join at scale. The stream stage is "
+    "entirely STATELESS (no watermark, no state store; plan-asserted); "
+    "the verdict on the ~2% candidates is batch work on the drained "
+    "rows (production: foreachBatch), scored by the exact-SEQUENTIAL "
+    "vectorized cosine kernel (cosine_scores_seq — cumsum folds, "
+    "bit-identical to list_dot_product, ~100× the interpreted HOF "
+    "path the first cut paid). Output per incoming vector: candidate "
+    "count, max exact cosine (-2 sentinel when no candidate), and "
+    "the novel/duplicate decision at cos 0.9.",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    si AS (SELECT vec_id, v, {{sig}} AS sig FROM e WHERE vec_id % 10 = 0),
-    sc AS (SELECT vec_id, v, {{sig}} AS sig FROM e WHERE vec_id % 10 <> 0),
-    bi AS (SELECT vec_id, v, band, (sig >> (2 * band)) & 3 AS val
-           FROM si, (SELECT unnest(range(8)) AS band) b),
-    bc AS (SELECT vec_id AS cand_id, v AS cv, band, (sig >> (2 * band)) & 3 AS val
-           FROM sc, (SELECT unnest(range(8)) AS band) b),
+    inc AS (
+      SELECT vec_id, v FROM e WHERE vec_id % 10 = 0
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_concat([v[1] + 0.25], v[2:]) AS v
+      FROM e WHERE vec_id % 7 = 3 AND vec_id % 10 <> 0
+    ),
+    corp AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 0),
+    si AS (SELECT vec_id, v, {{sig}} AS sig FROM inc),
+    sc AS (SELECT vec_id, v, {{sig}} AS sig FROM corp),
+    bi AS (SELECT vec_id, v, band, (sig >> (8 * band)) & 255 AS val
+           FROM si, (SELECT unnest(range(4)) AS band) b),
+    bc AS (SELECT vec_id AS cand_id, v AS cv, band, (sig >> (8 * band)) & 255 AS val
+           FROM sc, (SELECT unnest(range(4)) AS band) b),
     cand AS (
       SELECT DISTINCT l.vec_id, r.cand_id, l.v, r.cv
       FROM bi l JOIN bc r USING (band, val)
@@ -614,53 +632,84 @@ from pypgsync_spark.queries.vector import _duck_hyperplane_sig  # noqa: E402
     SELECT i.vec_id,
            CAST(COUNT(s.cand_id) AS BIGINT) AS n_cand,
            round(coalesce(MAX(s.cos), -2.0), 6) AS max_cos,
-           CAST(CASE WHEN MAX(s.cos) IS NULL OR MAX(s.cos) <= 0.4
+           CAST(CASE WHEN MAX(s.cos) IS NULL OR MAX(s.cos) <= 0.9
                 THEN 1 ELSE 0 END AS INT) AS is_novel
-    FROM si i LEFT JOIN scored s ON i.vec_id = s.vec_id
+    FROM inc i LEFT JOIN scored s ON i.vec_id = s.vec_id
     GROUP BY i.vec_id
-    """.replace("{sig}", _duck_hyperplane_sig("v", 16)),
+    """.replace("{sig}", _duck_hyperplane_sig("v", 32)),
 )
 def pipe6_stream_semantic_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from pypgsync_spark.operators.similarity import cosine
+    from pypgsync_spark.operators.similarity import cosine_scores_seq
     from pypgsync_spark.streaming.balance import _file_stream, drain_to_memory
     from pypgsync_spark.streaming.dedupe import semantic_screen_stream
 
     emb_path = table_path(sf_dir, "embeddings")
     schema = spark.read.parquet(emb_path).schema
-    incoming = _file_stream(spark, schema, emb_path).filter(F.col("vec_id") % 10 == 0)
+
+    def incoming_of(df: DataFrame) -> DataFrame:
+        """novel + perturbed re-crawl, from ONE source (works on the
+        stream and, re-applied to the batch read, reconstructs the
+        same vectors for post-drain scoring)."""
+        as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        novel = df.filter(F.col("vec_id") % 10 == 0).select(
+            "vec_id", as_double.alias("embedding")
+        )
+        pert = F.concat(
+            F.array(
+                F.element_at(F.col("embedding"), 1).cast("double") + F.lit(0.25)
+            ),
+            F.transform(
+                F.slice(F.col("embedding"), 2, 63),  # dim 64, fixed
+                lambda x: x.cast("double"),
+            ),
+        )
+        recrawl = df.filter(
+            (F.col("vec_id") % 7 == 3) & (F.col("vec_id") % 10 != 0)
+        ).select(
+            (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+            pert.alias("embedding"),
+        )
+        return novel.unionByName(recrawl)
+
     corpus = spark.read.parquet(emb_path).filter(F.col("vec_id") % 10 != 0)
     drained = drain_to_memory(
         spark,
-        semantic_screen_stream(incoming, corpus),
+        semantic_screen_stream(
+            incoming_of(_file_stream(spark, schema, emb_path)),
+            corpus,
+            nbits=32,
+            bands=4,
+        ),
         "pipe6_screen_mem",
         output_mode="append",
     )
 
     # batch verdict on the drained screen rows: collapse multi-band
-    # hits, score the few candidates with exact cosine, decide
-    emb = spark.read.parquet(emb_path)
+    # hits, score the ~2% candidates with the exact-sequential kernel,
+    # decide at cos 0.9
+    inc_vecs = incoming_of(spark.read.parquet(emb_path))
     pairs = (
         drained.filter(F.col("cand_id").isNotNull())
         .select("vec_id", "cand_id")
         .dropDuplicates(["vec_id", "cand_id"])
     )
-    scored = (
-        pairs.join(
-            emb.select(
-                F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
-            ),
-            on="cand_id",
-        )
-        .join(emb.select("vec_id", F.col("embedding").alias("v")), on="vec_id")
-        .withColumn("cos", cosine(F.col("v"), F.col("cv")))
-    )
+    with_vecs = pairs.join(
+        corpus.select(
+            F.col("vec_id").alias("cand_id"),
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("cv"),
+        ),
+        on="cand_id",
+    ).join(inc_vecs.select("vec_id", F.col("embedding").alias("v")), on="vec_id")
+    scored = cosine_scores_seq(with_vecs, "v", "cv")
     # the agg side re-derives from the same memory-sink view as base;
     # a fresh key name sidesteps the self-join attribute conflict
-    agg = scored.groupBy("vec_id").agg(
-        F.count(F.lit(1)).alias("nc"), F.max("cos").alias("mc")
-    ).withColumnRenamed("vec_id", "vec_id_r")
+    agg = (
+        scored.groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("nc"), F.max("cos").alias("mc"))
+        .withColumnRenamed("vec_id", "vec_id_r")
+    )
     base = drained.select("vec_id").dropDuplicates(["vec_id"])
     return base.join(
         agg, on=base["vec_id"] == agg["vec_id_r"], how="left"
@@ -668,7 +717,7 @@ def pipe6_stream_semantic_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.coalesce(F.col("nc"), F.lit(0)).cast("long").alias("n_cand"),
         F.round(F.coalesce(F.col("mc"), F.lit(-2.0)), 6).alias("max_cos"),
-        F.when(F.col("mc").isNull() | (F.col("mc") <= 0.4), F.lit(1))
+        F.when(F.col("mc").isNull() | (F.col("mc") <= 0.9), F.lit(1))
         .otherwise(F.lit(0))
         .cast("int")
         .alias("is_novel"),

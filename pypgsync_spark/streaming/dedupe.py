@@ -167,8 +167,8 @@ def semantic_screen_stream(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
-    nbits: int = 16,
-    bands: int = 8,
+    nbits: int = 32,
+    bands: int = 4,
 ) -> DataFrame:
     """Streaming SEMANTIC corpus screen — the embedding analogue of
     :func:`stream_corpus_screen`'s exact-fingerprint anti join: for
@@ -190,10 +190,13 @@ def semantic_screen_stream(
     would reintroduce state for what is a pure screen.
 
     ``bands`` × (nbits // bands)-bit banding: any pair whose
-    signatures agree on some band becomes a candidate; with 8×2-bit
-    bands the S-curve admits generous candidates that exact cosine
-    then scores — recall tuning happens at this seam (more bits,
-    fewer bands = stricter).
+    signatures agree on some band becomes a candidate. The 4×8-bit
+    default is the SCREEN regime: a random pair shares a band with
+    p ≈ 1.6% (candidates stay ~2% of the cross product) while a
+    cos ≈ 0.99 near-duplicate is caught with p > 99.9% — 2-bit bands
+    were tried first and admit ~90% of ALL pairs, which makes the
+    "screen" a disguised cross join at scale. Recall tuning happens
+    at this seam (more bits per band = stricter).
     """
     from pyspark.sql import functions as F
 

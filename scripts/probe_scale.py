@@ -501,7 +501,7 @@ def work_semscreen(spark, path: str) -> int:
     from pypgsync_spark.operators.similarity import hyperplane_signature
 
     def bands(df, idc):
-        sig = hyperplane_signature(F.col("embedding"), 64, 16)
+        sig = hyperplane_signature(F.col("embedding"), 64, 32)
         return df.select(F.col("vec_id").alias(idc), sig.alias("s")).select(
             idc,
             F.explode(
@@ -509,11 +509,11 @@ def work_semscreen(spark, path: str) -> int:
                     *[
                         F.struct(
                             F.lit(b).alias("band"),
-                            F.shiftrightunsigned(F.col("s"), 2 * b)
-                            .bitwiseAND(F.lit(3))
+                            F.shiftrightunsigned(F.col("s"), 8 * b)
+                            .bitwiseAND(F.lit(255))
                             .alias("val"),
                         )
-                        for b in range(8)
+                        for b in range(4)
                     ]
                 )
             ).alias("bk"),

@@ -717,17 +717,23 @@ def test_semantic_screen_stream_is_stateless(spark, sf_small):
 
 def test_semantic_screen_candidate_recall(spark, sf_small):
     """pipe6's banded probe must surface (nearly) every true
-    above-threshold neighbor as a candidate: with 8×2-bit bands the
-    S-curve is deliberately generous, and on the fixture the measured
-    recall vs an exhaustive cosine scan is 1.0 at both sf0.001 and
-    sf0.01; the floor pins 0.9 so a banding regression (wrong shift,
-    wrong mask, dropped band) fails loudly while leaving room for
-    fixture drift."""
+    above-threshold neighbor as a candidate. True pairs are the
+    re-embedded near-duplicates (first component +0.25, cos ~ 0.97
+    against their originals); 4x8-bit banding catches each with
+    p ~ 95% at that cosine, and the fixture measures 61/64 — the
+    floor pins 0.85 so a banding regression (wrong shift, wrong
+    mask, dropped band) fails loudly while leaving room for honest
+    per-pair LSH misses (which the DuckDB oracle reproduces exactly:
+    the miss set is deterministic given the seed-42 planes)."""
     from pypgsync_spark.operators.similarity import cosine, hyperplane_signature
 
     emb = spark.read.parquet(table_path(sf_small, "embeddings"))
-    inc = emb.filter(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("a"), F.col("embedding").alias("va")
+    pert = F.concat(
+        F.array(F.element_at(F.col("embedding"), 1).cast("double") + F.lit(0.25)),
+        F.transform(F.slice(F.col("embedding"), 2, 63), lambda x: x.cast("double")),
+    )
+    inc = emb.filter((F.col("vec_id") % 7 == 3) & (F.col("vec_id") % 10 != 0)).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("a"), pert.alias("va")
     )
     corp = emb.filter(F.col("vec_id") % 10 != 0).select(
         F.col("vec_id").alias("b"), F.col("embedding").alias("vb")
@@ -735,12 +741,12 @@ def test_semantic_screen_candidate_recall(spark, sf_small):
     true_pairs = (
         inc.crossJoin(corp)
         .withColumn("cos", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("cos") > 0.4)
+        .filter(F.col("cos") > 0.9)
         .select("a", "b")
     )
 
     def bands(df, vcol, idc):
-        s = df.select(idc, hyperplane_signature(F.col(vcol), 64, 16).alias("s"))
+        s = df.select(idc, hyperplane_signature(F.col(vcol), 64, 32).alias("s"))
         return s.select(
             idc,
             F.explode(
@@ -748,11 +754,11 @@ def test_semantic_screen_candidate_recall(spark, sf_small):
                     *[
                         F.struct(
                             F.lit(b).alias("band"),
-                            F.shiftrightunsigned(F.col("s"), 2 * b)
-                            .bitwiseAND(F.lit(3))
+                            F.shiftrightunsigned(F.col("s"), 8 * b)
+                            .bitwiseAND(F.lit(255))
                             .alias("val"),
                         )
-                        for b in range(8)
+                        for b in range(4)
                     ]
                 )
             ).alias("bk"),
@@ -767,4 +773,4 @@ def test_semantic_screen_candidate_recall(spark, sf_small):
     t = true_pairs.count()
     hit = true_pairs.join(cand, on=["a", "b"], how="left_semi").count()
     assert t > 0, "fixture must contain above-threshold neighbors"
-    assert hit / t >= 0.9, f"candidate recall {hit}/{t}"
+    assert hit / t >= 0.85, f"candidate recall {hit}/{t}"
