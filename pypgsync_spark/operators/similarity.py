@@ -766,3 +766,45 @@ def cosine_scores_seq(
             yield out
 
     return pairs.mapInPandas(score, schema)
+
+
+def hyperplane_signatures_seq(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nbits: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig): the :func:`hyperplane_signature` bits computed by an
+    Arrow-batched kernel instead of the Column HOF — bit i is the sign
+    of the SEQUENTIAL dot against plane i (cumsum fold, bit-identical
+    to the HOF fold and DuckDB's ``list_dot_product``, so the two
+    implementations are interchangeable under an exact oracle). The
+    HOF form evaluates nbits interpreted 64-element folds PER ROW
+    (~46k folds/s measured — 2.6 s just to sign pipe6's 1,800-vector
+    corpus); this kernel vectorizes over rows at C speed and is the
+    right form whenever signatures are computed in bulk. Map-only;
+    works on batch and streaming DataFrames alike."""
+    import pandas as pd
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    planes = _hyperplanes(dim, nbits, seed)
+    schema = T.StructType(
+        [df.schema[id_col], T.StructField("sig", T.LongType())]
+    )
+
+    def sign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            sig = np.zeros(len(v), dtype=np.int64)
+            for i in range(nbits):
+                d = (v * planes[i]).cumsum(axis=1)[:, -1]
+                sig |= (d > 0).astype(np.int64) << i
+            yield pd.DataFrame({id_col: pdf[id_col], "sig": sig})
+
+    return df.select(id_col, vec_col).mapInPandas(sign, schema)

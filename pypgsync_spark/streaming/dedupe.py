@@ -200,7 +200,7 @@ def semantic_screen_stream(
     """
     from pyspark.sql import functions as F
 
-    from pypgsync_spark.operators.similarity import hyperplane_signature
+    from pypgsync_spark.operators.similarity import hyperplane_signatures_seq
 
     if nbits % bands:
         raise ValueError(f"bands ({bands}) must divide nbits ({nbits})")
@@ -208,9 +208,15 @@ def semantic_screen_stream(
     mask = (1 << width) - 1
 
     def banded(df: DataFrame, out_id: str) -> DataFrame:
-        sig = hyperplane_signature(F.col(vec_col), dim, nbits)
+        # signatures via the vectorized sequential kernel — the Column
+        # HOF form pays nbits interpreted folds PER ROW and was
+        # measured as pipe6's bottleneck (2.6 s to sign an 1,800-row
+        # corpus); bit-identical swap (similarity.py docstring)
+        s = hyperplane_signatures_seq(
+            df, id_col=id_col, vec_col=vec_col, dim=dim, nbits=nbits
+        )
         return (
-            df.select(F.col(id_col).alias(out_id), sig.alias("__sig"))
+            s.select(F.col(id_col).alias(out_id), F.col("sig").alias("__sig"))
             .select(
                 out_id,
                 F.explode(
