@@ -92,3 +92,20 @@ def test_numpy_kernel_would_not_satisfy_this(sf_small):
             "canary is uninformative here; seq_cosine stays (bit "
             "identity is asserted by the property test above)"
         )
+
+
+@given(st.lists(st.tuples(finite, finite), min_size=1, max_size=128))
+@settings(max_examples=150, deadline=None)
+def test_cumsum_fold_bit_identical_to_seq_dot(pairs):
+    """The r12 vectorized kernels (cosine_scores_seq,
+    hyperplane_signatures_seq) rest on ONE claim: a float64
+    ``cumsum``'s last element is the same left-to-right sequential
+    fold as seq_dot and DuckDB's list_dot_product — NOT numpy's
+    pairwise ``.sum()``/``np.dot``. Property-pinned so the
+    oracle-neutral kernel swaps can never silently rot."""
+    from pypgsync_spark.operators.similarity import seq_dot
+
+    a = np.array([x for x, _ in pairs], dtype="float64")
+    b = np.array([y for _, y in pairs], dtype="float64")
+    got = float((a * b).cumsum()[-1])
+    assert got == seq_dot(list(a), list(b))

@@ -304,3 +304,32 @@ def test_argmax_assign_guards_zero_norm_vectors(spark):
     assert got[(0.0, 0.0, 0.0, 0.0)] == 0   # all-zero cosines, first max
     assert got[(1.0, 0.0, 0.0, 0.0)] == 1
     assert got[(0.0, 0.0, 1.0, 0.0)] == 2
+
+
+def test_signature_kernel_matches_column_hof(spark, sf_small):
+    """hyperplane_signatures_seq (the r12 vectorized kernel) must
+    produce the IDENTICAL 32-bit signature as the Column-HOF
+    hyperplane_signature on every fixture vector — the bit-identity
+    that makes the kernel swap oracle-neutral (a sign flip on any
+    near-zero plane dot would silently change pipe6's candidate
+    sets)."""
+    from pyspark.sql import functions as F
+
+    from pypgsync_spark.catalog import load_table
+    from pypgsync_spark.operators.similarity import (
+        hyperplane_signature,
+        hyperplane_signatures_seq,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    hof = emb.select(
+        "vec_id", hyperplane_signature(F.col("embedding"), 64, 32).alias("sig")
+    )
+    kern = hyperplane_signatures_seq(emb, nbits=32)
+    diff = (
+        hof.withColumnRenamed("sig", "sig_hof")
+        .join(kern.withColumnRenamed("sig", "sig_kern"), on="vec_id")
+        .filter(F.col("sig_hof") != F.col("sig_kern"))
+        .count()
+    )
+    assert diff == 0
