@@ -527,6 +527,31 @@ def work_semscreen(spark, path: str) -> int:
     return inc.join(corp, on=["band", "val"], how="left_outer").count()
 
 
+def stage_phash(spark, mult: int, base: str) -> str:
+    """Document ids at ×mult for the image near-dup chain: shifted
+    copies (shift a multiple of PH_GROUP) keep the roles-of-5 group
+    structure, and the md5 content key includes the shifted group id,
+    so copies are mutually unrelated — near-dup pairs grow exactly
+    ×mult (0.6/doc at every scale, the mm9 fixture invariant)."""
+    d = load_table(spark, SF_DIR, "documents").select("doc_id")
+    path = f"{base}/phash_x{mult}"
+    _multiply(d, mult, "doc_id", 10**7).repartition(32).write.parquet(path)
+    return path
+
+
+def run_phash(spark, path: str) -> None:
+    from pypgsync_spark.operators.multimodal import (
+        dhash_near_pairs,
+        image_dhash_bands,
+        with_neardup_image_payload,
+    )
+
+    dhash_near_pairs(
+        image_dhash_bands(with_neardup_image_payload(spark.read.parquet(path))),
+        max_hamming=3,
+    ).write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -543,6 +568,7 @@ def main() -> None:
             "curate",
             "ssjoin",
             "semscreen",
+            "phash",
         ],
     )
     ap.add_argument("multipliers", nargs="*", type=int, default=[1, 10])
@@ -578,6 +604,8 @@ def main() -> None:
         "ssjoin": (stage_ssjoin, run_ssjoin, 2, work_ssjoin, "join_pairs"),
         # pipe6's stateless screen: intrinsic work = candidate rows
         "semscreen": (stage_semscreen, run_semscreen, 2, work_semscreen, "cand_rows"),
+        # mm9's encode->decode->hash->band-join chain; linear family
+        "phash": (stage_phash, run_phash, 3, None, None),
     }[args.op]
 
     results = []
