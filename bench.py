@@ -329,7 +329,6 @@ def main() -> None:
         times[name] = round(min(warm), 3)
 
     bench_round = _infer_round()
-    auto_ab = _auto_ab(spark, times, bench_round)
 
     # sync throughput: rows merged per second through the upsert
     # pipeline. This is THE headline figure vs the reference baseline,
@@ -458,6 +457,15 @@ def main() -> None:
             shutil.rmtree(base, ignore_errors=True)
     else:
         soak = {"skipped": "SPARK_GRAFT_SOAK=0 set; unset to run the continuous-mode soak"}
+
+    # auto-A/B LAST among the measured sections (r12 self-review): the
+    # movers' isolated re-measures used to run straight off the steady
+    # loop's own load ramp (observed 1-min load ~10 at probe time),
+    # which could stamp CONFIRMED-ELEVATED from co-tenant noise alone.
+    # Here every timed section is already captured and the box has the
+    # soak/RocksDB tail to settle through; the probe's own load still
+    # rides along in load_1min_at_probe for the reader.
+    auto_ab = _auto_ab(spark, times, bench_round)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     load_end = [round(x, 2) for x in os.getloadavg()]

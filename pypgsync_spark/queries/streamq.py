@@ -661,7 +661,9 @@ def pipe6_stream_semantic_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.element_at(F.col("embedding"), 1).cast("double") + F.lit(0.25)
             ),
             F.transform(
-                F.slice(F.col("embedding"), 2, 63),  # dim 64, fixed
+                F.slice(
+                    F.col("embedding"), 2, F.size(F.col("embedding")) - 1
+                ),  # dimension-agnostic, like the oracle's v[2:]
                 lambda x: x.cast("double"),
             ),
         )

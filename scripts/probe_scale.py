@@ -497,34 +497,18 @@ def run_semscreen(spark, path: str) -> None:
 
 
 def work_semscreen(spark, path: str) -> int:
-    """Candidate-row count (the screen's intrinsic output work)."""
-    from pypgsync_spark.operators.similarity import hyperplane_signature
+    """Candidate-row count (the screen's intrinsic output work) —
+    computed by running the PRODUCT operator itself on the staged
+    batch frames (semantic_screen_stream works on batch and streaming
+    inputs alike), so there is exactly one copy of the banding logic
+    and a geometry change can never silently diverge the probe's
+    work metric from what the screen actually does."""
+    from pypgsync_spark.streaming.dedupe import semantic_screen_stream
 
-    def bands(df, idc):
-        sig = hyperplane_signature(F.col("embedding"), 64, 32)
-        return df.select(F.col("vec_id").alias(idc), sig.alias("s")).select(
-            idc,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.shiftrightunsigned(F.col("s"), 8 * b)
-                            .bitwiseAND(F.lit(255))
-                            .alias("val"),
-                        )
-                        for b in range(4)
-                    ]
-                )
-            ).alias("bk"),
-        ).select(idc, "bk.band", "bk.val")
-
-    inc = bands(spark.read.parquet(path), "a")
-    corp = bands(
-        load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") % 10 != 0),
-        "b",
+    corpus = load_table(spark, SF_DIR, "embeddings").filter(
+        F.col("vec_id") % 10 != 0
     )
-    return inc.join(corp, on=["band", "val"], how="left_outer").count()
+    return semantic_screen_stream(spark.read.parquet(path), corpus).count()
 
 
 def stage_phash(spark, mult: int, base: str) -> str:

@@ -730,7 +730,10 @@ def test_semantic_screen_candidate_recall(spark, sf_small):
     emb = spark.read.parquet(table_path(sf_small, "embeddings"))
     pert = F.concat(
         F.array(F.element_at(F.col("embedding"), 1).cast("double") + F.lit(0.25)),
-        F.transform(F.slice(F.col("embedding"), 2, 63), lambda x: x.cast("double")),
+        F.transform(
+            F.slice(F.col("embedding"), 2, F.size(F.col("embedding")) - 1),
+            lambda x: x.cast("double"),
+        ),
     )
     inc = emb.filter((F.col("vec_id") % 7 == 3) & (F.col("vec_id") % 10 != 0)).select(
         (F.col("vec_id") + F.lit(1000000)).alias("a"), pert.alias("va")
