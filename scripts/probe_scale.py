@@ -622,6 +622,20 @@ def main() -> None:
             if args.op == "ssjoin" and SSJOIN_EVIDENCE:
                 ev = dict(SSJOIN_EVIDENCE[-1])  # the last (steady) drain
                 ev["multiplier"] = m
+                # ADVICE r12: the docstring's 'pairs must equal the
+                # batch join' claim is now ASSERTED, not left to a
+                # manual two-field comparison — a staging/watermark
+                # regression (the silent late-row drop that
+                # one-file-per-wave staging exists to prevent) fails
+                # the probe loudly instead of shipping a quiet lie.
+                ev["pairs_lossless"] = ev["pairs_emitted"] == work
+                if not ev["pairs_lossless"]:
+                    raise AssertionError(
+                        f"ssjoin x{m}: streaming drain emitted "
+                        f"{ev['pairs_emitted']} pairs but the batch "
+                        f"join counts {work} — late rows dropped "
+                        "behind the watermark (check wave staging)"
+                    )
                 r["state_evidence"] = ev
             results.append(r)
             print(json.dumps(r))
