@@ -138,6 +138,62 @@ def gopher_metrics(tk: Column) -> dict[str, Column]:
     }
 
 
+# Gopher structural-gate THRESHOLDS (Rae et al. 2021 appendix A1.1) —
+# the one product constant for the keep/drop policy shared by tx14's
+# flags, pipe4's batch gate and pipe5's streaming gate (r12 self-review
+# #4: the composed-restart test restated these four ranges verbatim, so
+# it would have kept passing against its private copy if the product
+# gate drifted; now the test imports the same policy the queries run).
+GOPHER_WORD_COUNT_RANGE = (50, 100000)
+GOPHER_MEAN_WORD_LEN_RANGE = (3.0, 10.0)
+GOPHER_MAX_SYMBOL_WORD_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+
+
+def gopher_structural_rules(
+    n_words: Column, mwl: Column, swr: Column, awf: Column
+) -> dict[str, Column]:
+    """Per-rule boolean Columns of the four structural Gopher gates
+    over already-computed :func:`gopher_metrics` outputs. tx14 flags
+    each rule individually; the pipelines AND them via
+    :func:`gopher_structural_gate`."""
+    return {
+        "word_count": n_words.between(*GOPHER_WORD_COUNT_RANGE),
+        "mean_word_len": mwl.between(*GOPHER_MEAN_WORD_LEN_RANGE),
+        "symbol_ratio": swr <= GOPHER_MAX_SYMBOL_WORD_RATIO,
+        "alpha_words": awf >= GOPHER_MIN_ALPHA_WORD_FRAC,
+    }
+
+
+def gopher_structural_gate(
+    n_words: Column, mwl: Column, swr: Column, awf: Column
+) -> Column:
+    """The conjunction keep/drop gate pipe4 (batch) and pipe5
+    (streaming) run — one Column, map-only."""
+    r = gopher_structural_rules(n_words, mwl, swr, awf)
+    return (
+        r["word_count"] & r["mean_word_len"] & r["symbol_ratio"] & r["alpha_words"]
+    )
+
+
+def gopher_gate_sql(
+    n_words: str = "n_tokens",
+    mwl: str = "mwl",
+    swr: str = "swr",
+    awf: str = "awf",
+) -> str:
+    """The same gate as ANSI-SQL text for the DuckDB oracles — built
+    from the identical constants so the two sides cannot drift."""
+    return (
+        f"{n_words} BETWEEN {GOPHER_WORD_COUNT_RANGE[0]} "
+        f"AND {GOPHER_WORD_COUNT_RANGE[1]} "
+        f"AND {mwl} BETWEEN {GOPHER_MEAN_WORD_LEN_RANGE[0]} "
+        f"AND {GOPHER_MEAN_WORD_LEN_RANGE[1]} "
+        f"AND {swr} <= {GOPHER_MAX_SYMBOL_WORD_RATIO} "
+        f"AND {awf} >= {GOPHER_MIN_ALPHA_WORD_FRAC}"
+    )
+
+
 def lang_id_tokens(toks: Column) -> Column:
     """:func:`lang_id` over a PRE-TOKENIZED array — use this form when
     the caller already aliased the token array in its own select (the

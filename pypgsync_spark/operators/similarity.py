@@ -231,8 +231,13 @@ def cosine_pairs_lsh_gated(
     import pandas as pd
 
     rb = nbits // n_bands
-    sig = hyperplane_signature(F.col(vec_col), dim, nbits, seed)
-    v = vectors.select(F.col(id_col), F.col(vec_col)).withColumn("__sig", sig)
+    # r13: signatures via the Arrow-batched sequential kernel (same
+    # bits as the Column-HOF form — see hyperplane_signatures_seq —
+    # but vectorized over rows instead of nbits interpreted folds per
+    # row); keep_vec carries the vector to the bucket GEMM map-only.
+    v = hyperplane_signatures_seq(
+        vectors, id_col, vec_col, dim, nbits, seed, keep_vec=True
+    )
     banded = v.select(
         id_col,
         vec_col,
@@ -241,7 +246,7 @@ def cosine_pairs_lsh_gated(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("__sig"), b * rb)
+                        F.shiftrightunsigned(F.col("sig"), b * rb)
                         .bitwiseAND(F.lit((1 << rb) - 1))
                         .alias("val"),
                     )
@@ -349,10 +354,12 @@ def lsh_ann_topk(
         # with list_dot_product's sequential fold (r11 oracle work)
         if seq_dot(planes[i], qv) > 0:
             qsig |= 1 << i
-    sig = hyperplane_signature(F.col(vec_col), dim, nbits, seed)
-    cand = vectors.withColumn("__sig", sig).filter(
-        F.bit_count(F.col("__sig").bitwiseXOR(F.lit(qsig))) <= max_hamming
-    )
+    # r13: kernel signer (same bits, C-speed over rows) replaces the
+    # per-row Column-HOF signature; keep_vec carries the vector into
+    # the exact re-rank without a join back on id.
+    cand = hyperplane_signatures_seq(
+        vectors, id_col, vec_col, dim, nbits, seed, keep_vec=True
+    ).filter(F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= max_hamming)
     return brute_force_topk(cand, query_vec, k, id_col, vec_col, sim_col)
 
 
@@ -368,34 +375,45 @@ def ivf_assign(
     sampled k-means and are broadcast. Write the result partitioned by
     ``cell`` so query-time probes prune partitions.
 
-    Argmax is array-based: the k cosines land in ONE array column,
-    aliased in its own projection (each cosine evaluated once — the
-    tx6 CollapseProject discipline), and the cell is
-    ``array_position(sims, array_max(sims)) - 1`` — first-max wins,
-    i.e. ties break to the LOWEST centroid index, the same semantics
-    as a strict `>` fold. The previous iterative when-chain embedded
-    the running best TWICE per level (condition + otherwise): 2^k
-    expression copies, a ~7 MB task binary and ~17 s of per-run
-    analysis at k=8, d=64. Linear expression size restores
-    millisecond planning. Zero-norm vectors (NaN cosine) are assumed
-    absent, as everywhere in this family."""
-    sims = F.array(
-        *[
-            cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-            for c in centroids
-        ]
+    Kernel-backed as of r13: the k×dim cosines are sequential float64
+    ``cumsum`` folds in one Arrow-batched ``mapInPandas`` — bit-identical
+    to the previous Column-expression form (``dot``'s left fold; the
+    same interchange :func:`cosine_scores_seq` and
+    :func:`hyperplane_signatures_seq` pinned in r12) but vectorized
+    over rows at C speed instead of k×dim interpreted HOF evaluations
+    per row (the r7 HOF lesson applied to assignment — the evaluator
+    was the dominant cost of every IVF build). First-max-wins argmax =
+    the array-based ``array_position(sims, array_max(sims))`` tie
+    rule = ties break to the LOWEST centroid index. All input columns
+    pass through (map-only, partitioning inherited); zero-norm vectors
+    (NaN cosine) are assumed absent, as everywhere in this family."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    c = np.asarray([[float(x) for x in row] for row in centroids], dtype=np.float64)
+    # sequential-fold centroid norms (match the Column form's norm())
+    c_norm = np.sqrt((c * c).cumsum(axis=1)[:, -1])
+    schema = T.StructType(
+        list(vectors.schema.fields) + [T.StructField(cell_col, T.IntegerType())]
     )
-    return (
-        vectors.withColumn("__sims", sims)
-        .withColumn(
-            cell_col,
-            (
-                F.array_position(F.col("__sims"), F.array_max(F.col("__sims")))
-                - 1
-            ).cast("int"),
-        )
-        .drop("__sims")
-    )
+    cols = vectors.columns
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            v_norm = np.sqrt((v * v).cumsum(axis=1)[:, -1])
+            sims = np.empty((len(v), len(c)), dtype=np.float64)
+            for i in range(len(c)):
+                d = (v * c[i]).cumsum(axis=1)[:, -1]
+                sims[:, i] = d / (v_norm * c_norm[i])
+            out = pdf[cols].copy()
+            out[cell_col] = np.argmax(sims, axis=1).astype(np.int32)
+            yield out
+
+    return vectors.mapInPandas(assign, schema)
 
 
 def ivf_topk(
@@ -775,6 +793,7 @@ def hyperplane_signatures_seq(
     dim: int = 64,
     nbits: int = 32,
     seed: int = 42,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """(id, sig): the :func:`hyperplane_signature` bits computed by an
     Arrow-batched kernel instead of the Column HOF — bit i is the sign
@@ -785,15 +804,22 @@ def hyperplane_signatures_seq(
     (~46k folds/s measured — 2.6 s just to sign pipe6's 1,800-vector
     corpus); this kernel vectorizes over rows at C speed and is the
     right form whenever signatures are computed in bulk. Map-only;
-    works on batch and streaming DataFrames alike."""
+    works on batch and streaming DataFrames alike.
+
+    ``keep_vec=True`` passes the vector column through as well —
+    (id, vec, sig) — for callers that band the signature and then need
+    the vector inside the bucket (``cosine_pairs_lsh_gated``'s GEMM
+    verify, ``lsh_ann_topk``'s exact re-rank) without re-joining the
+    vector table back on id."""
     import pandas as pd
     import numpy as np
 
     from pyspark.sql import types as T
 
     planes = _hyperplanes(dim, nbits, seed)
+    keep = [id_col, vec_col] if keep_vec else [id_col]
     schema = T.StructType(
-        [df.schema[id_col], T.StructField("sig", T.LongType())]
+        [df.schema[c] for c in keep] + [T.StructField("sig", T.LongType())]
     )
 
     def sign(batches):
@@ -805,6 +831,8 @@ def hyperplane_signatures_seq(
             for i in range(nbits):
                 d = (v * planes[i]).cumsum(axis=1)[:, -1]
                 sig |= (d > 0).astype(np.int64) << i
-            yield pd.DataFrame({id_col: pdf[id_col], "sig": sig})
+            out = pdf[keep].copy()
+            out["sig"] = sig
+            yield out
 
     return df.select(id_col, vec_col).mapInPandas(sign, schema)

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from pypgsync_spark.catalog import table_path
+from pypgsync_spark.functions.text import gopher_gate_sql
 from pypgsync_spark.queries import register
 from pypgsync_spark.streaming.balance import (
     session_window_stats,
@@ -455,7 +456,7 @@ def t14_stream_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "time; the base day keeps it above Spark's INITIAL zero watermark, "
     "under which an epoch-0 event time is born late and silently "
     "dropped).",
-    oracle="""
+    oracle=f"""
     WITH tkd AS (
       SELECT doc_id,
              regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
@@ -477,8 +478,7 @@ def t14_stream_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv AS (
       SELECT DISTINCT f, norm_chars, n_tokens FROM m
       WHERE (doc_id % 10 = 0 OR doc_id % 7 = 3)
-        AND n_tokens BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
-        AND swr <= 0.1 AND awf >= 0.8
+        AND {gopher_gate_sql()}
     )
     SELECT s.f AS fp, s.norm_chars, s.n_tokens
     FROM surv s
@@ -490,6 +490,7 @@ def pipe5_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pypgsync_spark.functions.text import (
         gopher_metrics,
+        gopher_structural_gate,
         normalized_text,
         tokens,
     )
@@ -535,10 +536,9 @@ def pipe5_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             gm["alpha_word_frac"].alias("awf"),
         )
         .filter(
-            F.col("n_tokens").between(50, 100000)
-            & F.col("mwl").between(3.0, 10.0)
-            & (F.col("swr") <= 0.1)
-            & (F.col("awf") >= 0.8)
+            gopher_structural_gate(
+                F.col("n_tokens"), F.col("mwl"), F.col("swr"), F.col("awf")
+            )
         )
         .select(
             "text",

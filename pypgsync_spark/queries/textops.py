@@ -25,7 +25,13 @@ from pypgsync_spark.functions.text import (
     LANG_MARKERS,
     bpe_ish_token_count,
     content_fingerprint,
+    GOPHER_MAX_SYMBOL_WORD_RATIO,
+    GOPHER_MEAN_WORD_LEN_RANGE,
+    GOPHER_MIN_ALPHA_WORD_FRAC,
+    GOPHER_WORD_COUNT_RANGE,
+    gopher_gate_sql,
     gopher_metrics,
+    gopher_structural_rules,
     lang_id,
     lang_id_tokens,
     quality_features,
@@ -2336,20 +2342,17 @@ def tx13_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
            alpha_word_frac, n_marker_stopwords,
-           CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+           CAST(CASE WHEN n_words BETWEEN {GOPHER_WORD_COUNT_RANGE[0]} AND {GOPHER_WORD_COUNT_RANGE[1]} THEN 1 ELSE 0 END
                 AS BIGINT) AS r_word_count,
-           CAST(CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END
+           CAST(CASE WHEN mean_word_len BETWEEN {GOPHER_MEAN_WORD_LEN_RANGE[0]} AND {GOPHER_MEAN_WORD_LEN_RANGE[1]} THEN 1 ELSE 0 END
                 AS BIGINT) AS r_mean_word_len,
-           CAST(CASE WHEN symbol_word_ratio <= 0.1 THEN 1 ELSE 0 END
+           CAST(CASE WHEN symbol_word_ratio <= {GOPHER_MAX_SYMBOL_WORD_RATIO} THEN 1 ELSE 0 END
                 AS BIGINT) AS r_symbol_ratio,
-           CAST(CASE WHEN alpha_word_frac >= 0.8 THEN 1 ELSE 0 END
+           CAST(CASE WHEN alpha_word_frac >= {GOPHER_MIN_ALPHA_WORD_FRAC} THEN 1 ELSE 0 END
                 AS BIGINT) AS r_alpha_words,
            CAST(CASE WHEN n_marker_stopwords >= 2 THEN 1 ELSE 0 END
                 AS BIGINT) AS r_stopwords,
-           CAST(CASE WHEN n_words BETWEEN 50 AND 100000
-                      AND mean_word_len BETWEEN 3.0 AND 10.0
-                      AND symbol_word_ratio <= 0.1
-                      AND alpha_word_frac >= 0.8
+           CAST(CASE WHEN {gopher_gate_sql(n_words='n_words', mwl='mean_word_len', swr='symbol_word_ratio', awf='alpha_word_frac')}
                       AND n_marker_stopwords >= 2 THEN 1 ELSE 0 END
                 AS BIGINT) AS passes
     FROM m
@@ -2380,10 +2383,18 @@ def tx14_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_marker_stopwords"),
     )
-    r_wc = F.col("n_words").between(50, 100000)
-    r_mwl = F.col("mean_word_len").between(3.0, 10.0)
-    r_sym = F.col("symbol_word_ratio") <= 0.1
-    r_alpha = F.col("alpha_word_frac") >= 0.8
+    # the ONE gate policy (functions/text.py constants), shared with
+    # pipe4/pipe5 and imported by the composed-restart test
+    rules = gopher_structural_rules(
+        F.col("n_words"),
+        F.col("mean_word_len"),
+        F.col("symbol_word_ratio"),
+        F.col("alpha_word_frac"),
+    )
+    r_wc = rules["word_count"]
+    r_mwl = rules["mean_word_len"]
+    r_sym = rules["symbol_ratio"]
+    r_alpha = rules["alpha_words"]
     r_sw = F.col("n_marker_stopwords") >= 2
 
     def _flag(c: F.Column) -> F.Column:

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pypgsync_spark.catalog import load_table
+from pypgsync_spark.functions.text import gopher_gate_sql
 from pypgsync_spark.operators.similarity import (
     _hyperplanes,
     brute_force_topk,
@@ -820,8 +821,7 @@ _DUCK_TOKENS = "string_split_regex(lower(trim(text)), '\\s+')"
     ),
     surv AS (
       SELECT doc_id, source, n_tokens FROM m
-      WHERE n_tokens BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
-        AND swr <= 0.1 AND awf >= 0.8
+      WHERE {gopher_gate_sql()}
     ),
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
@@ -861,7 +861,11 @@ _DUCK_TOKENS = "string_split_regex(lower(trim(text)), '\\s+')"
     """,
 )
 def pipe4_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pypgsync_spark.functions.text import gopher_metrics, tokens
+    from pypgsync_spark.functions.text import (
+        gopher_metrics,
+        gopher_structural_gate,
+        tokens,
+    )
     from pypgsync_spark.operators.packing import pack_chunks
     from pypgsync_spark.operators.similarity import cell_cosine_pairs
 
@@ -885,10 +889,9 @@ def pipe4_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreted HOF metrics above would run twice
     surv = (
         m.filter(
-            F.col("n_tokens").between(50, 100000)
-            & F.col("mwl").between(3.0, 10.0)
-            & (F.col("swr") <= 0.1)
-            & (F.col("awf") >= 0.8)
+            gopher_structural_gate(
+                F.col("n_tokens"), F.col("mwl"), F.col("swr"), F.col("awf")
+            )
         )
         .select("doc_id", "source", "n_tokens")
         .localCheckpoint(eager=False)

@@ -161,6 +161,11 @@ def curation_stream(
     )
 
 
+# single-slot cache for the corpus band table (the _PH_BANDS_CACHE /
+# _SHINGLE_CACHE convention): at most one live copy per process
+_CORPUS_BANDS_CACHE: list = []
+
+
 def semantic_screen_stream(
     stream: DataFrame,
     corpus: DataFrame,
@@ -237,7 +242,21 @@ def semantic_screen_stream(
         )
 
     stream_bands = banded(stream, "vec_id_in")
-    corpus_bands = banded(corpus, "cand_id")
+    # ADVICE r12: a stream-static join re-evaluates the static side on
+    # EVERY micro-batch, so without a cache the whole corpus is
+    # re-signed per batch — invisible in an availableNow drain, a
+    # linear-in-batches tax in a continuous run. Persist the lean band
+    # table (3 small columns, the expensive signing paid once per
+    # corpus version) under the single-slot convention dhash_near_pairs
+    # uses (operators/multimodal.py _PH_BANDS_CACHE): at most one live
+    # copy per process, the previous one released on the next call.
+    while _CORPUS_BANDS_CACHE:
+        try:
+            _CORPUS_BANDS_CACHE.pop().unpersist()
+        except Exception:
+            pass
+    corpus_bands = banded(corpus, "cand_id").persist()
+    _CORPUS_BANDS_CACHE.append(corpus_bands)
     return stream_bands.join(corpus_bands, on=["band", "val"], how="left_outer").select(
         F.col("vec_id_in").alias(id_col), "band", "cand_id"
     )

@@ -306,6 +306,50 @@ def test_argmax_assign_guards_zero_norm_vectors(spark):
     assert got[(0.0, 0.0, 1.0, 0.0)] == 2
 
 
+def test_ivf_assign_kernel_matches_column_form(spark, sf_small):
+    """ivf_assign (kernel-backed as of r13) must assign the IDENTICAL
+    cell as the Column-expression argmax form it replaced, on every
+    fixture vector — the bit-identity that makes the swap
+    oracle-neutral (a 1-ulp cosine divergence between two near-tied
+    centroids would flip a cell and with it every downstream
+    IVF/SemDeDup hash row). The reference form lives here verbatim:
+    one cosine() fold per centroid, array-based first-max-wins argmax."""
+    from pyspark.sql import functions as F
+
+    from pypgsync_spark.catalog import load_table
+    from pypgsync_spark.operators.similarity import cosine, ivf_assign
+
+    emb = load_table(spark, sf_small, "embeddings")
+    cents = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    sims = F.array(
+        *[
+            cosine(F.col("embedding"), F.array(*[F.lit(float(x)) for x in c]))
+            for c in cents
+        ]
+    )
+    column_form = (
+        emb.withColumn("__sims", sims)
+        .withColumn(
+            "cell_ref",
+            (
+                F.array_position(F.col("__sims"), F.array_max(F.col("__sims")))
+                - 1
+            ).cast("int"),
+        )
+        .select("vec_id", "cell_ref")
+    )
+    kern = ivf_assign(emb, cents).select("vec_id", "cell")
+    diff = (
+        column_form.join(kern, on="vec_id")
+        .filter(F.col("cell_ref") != F.col("cell"))
+        .count()
+    )
+    assert diff == 0
+
+
 def test_signature_kernel_matches_column_hof(spark, sf_small):
     """hyperplane_signatures_seq (the r12 vectorized kernel) must
     produce the IDENTICAL 32-bit signature as the Column-HOF

@@ -550,6 +550,7 @@ def _gated_doc_stream(spark, incoming, schema):
     and the base-day-offset synthesized event time."""
     from pypgsync_spark.functions.text import (
         gopher_metrics,
+        gopher_structural_gate,
         normalized_text,
         tokens,
     )
@@ -575,10 +576,9 @@ def _gated_doc_stream(spark, incoming, schema):
             gm["alpha_word_frac"].alias("awf"),
         )
         .filter(
-            F.col("n_tokens").between(50, 100000)
-            & F.col("mwl").between(3.0, 10.0)
-            & (F.col("swr") <= 0.1)
-            & (F.col("awf") >= 0.8)
+            gopher_structural_gate(
+                F.col("n_tokens"), F.col("mwl"), F.col("swr"), F.col("awf")
+            )
         )
         .select(
             "text",
@@ -636,6 +636,7 @@ def test_curation_pipeline_checkpoint_restart_exactly_once(
     from pypgsync_spark.functions.text import (
         content_fingerprint,
         gopher_metrics,
+        gopher_structural_gate,
         normalized_text,
         tokens,
     )
@@ -653,10 +654,9 @@ def test_curation_pipeline_checkpoint_restart_exactly_once(
             gm["alpha_word_frac"].alias("awf"),
         )
         .filter(
-            F.col("n_tokens").between(50, 100000)
-            & F.col("mwl").between(3.0, 10.0)
-            & (F.col("swr") <= 0.1)
-            & (F.col("awf") >= 0.8)
+            gopher_structural_gate(
+                F.col("n_tokens"), F.col("mwl"), F.col("swr"), F.col("awf")
+            )
         )
         .select(
             content_fingerprint("text").alias("__fp"),
