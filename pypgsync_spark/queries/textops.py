@@ -1637,29 +1637,12 @@ def mm8_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_window_energy(with_audio_payload(_docs(spark, sf_dir)))
 
 
-@register(
-    "mm9_image_phash_pairs",
-    bench=125,
-    survey="ext:multimodal,ext:dedup",
-    doc="MULTIMODAL near-dup: perceptual-hash (dHash) pairs over REAL "
-    "decoded pixels (r11 verdict #2) — the capability real decode "
-    "unlocked. Per document, a 9×8 RGB image with md5-derived "
-    "near-dup group structure (groups of 5: two exact duplicates, one "
-    "single-pixel near-dup, two unrelated) rides a genuine PPM/BMP "
-    "container through a binary column; decode → integer-luma "
-    "grayscale → 64 horizontal-comparison bits packed as 4×16-bit "
-    "bands → banded-LSH equi-join candidates (pigeonhole-complete at "
-    "radius 3 with one shuffle, the d3/d4 formulation on pixels "
-    "instead of tokens) → exact hamming verify via per-band "
-    "bit_count(xor). The oracle restates the ENTIRE decode-to-pair "
-    "chain — md5 pixel bytes, bump, gray, bits, bands, bucket join, "
-    "hamming — so the hash check covers container parsing, the "
-    "sampling grid, and the LSH recall argument at once. Arithmetic "
-    "pixel formulas were rejected: near-constant gray gradients made "
-    "thousands of docs share one dHash (quadratic pair growth); md5 "
-    "content keeps pairs exactly linear (0.6/doc at every scale).",
-    oracle="""
-    WITH bytes AS (
+# The dHash decode-to-signature chain in DuckDB SQL, shared verbatim by
+# mm9 (self-join pairs) and mm10 (streaming ingest screen): md5 pixel
+# bytes -> role-2 single-byte bump -> integer luma -> 64 comparison
+# bits -> 4x16-bit bands -> per-doc signature. Defines CTEs bytes/
+# bumped/gray/bits/bands(doc_id, bi, bv)/sig(doc_id, b0..b3).
+_DUCK_PH_SIG_CHAIN = """WITH bytes AS (
       SELECT doc_id, 16 * blk + j AS i,
              CAST(concat('0x', substr(md5(
                CASE WHEN doc_id % 5 <= 2 THEN 'g:' || (doc_id - doc_id % 5)
@@ -1699,7 +1682,32 @@ def mm8_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
              MAX(CASE WHEN bi = 2 THEN bv END) AS b2,
              MAX(CASE WHEN bi = 3 THEN bv END) AS b3
       FROM bands GROUP BY doc_id
-    ),
+    ),"""
+
+
+@register(
+    "mm9_image_phash_pairs",
+    bench=125,
+    survey="ext:multimodal,ext:dedup",
+    doc="MULTIMODAL near-dup: perceptual-hash (dHash) pairs over REAL "
+    "decoded pixels (r11 verdict #2) — the capability real decode "
+    "unlocked. Per document, a 9×8 RGB image with md5-derived "
+    "near-dup group structure (groups of 5: two exact duplicates, one "
+    "single-pixel near-dup, two unrelated) rides a genuine PPM/BMP "
+    "container through a binary column; decode → integer-luma "
+    "grayscale → 64 horizontal-comparison bits packed as 4×16-bit "
+    "bands → banded-LSH equi-join candidates (pigeonhole-complete at "
+    "radius 3 with one shuffle, the d3/d4 formulation on pixels "
+    "instead of tokens) → exact hamming verify via per-band "
+    "bit_count(xor). The oracle restates the ENTIRE decode-to-pair "
+    "chain — md5 pixel bytes, bump, gray, bits, bands, bucket join, "
+    "hamming — so the hash check covers container parsing, the "
+    "sampling grid, and the LSH recall argument at once. Arithmetic "
+    "pixel formulas were rejected: near-constant gray gradients made "
+    "thousands of docs share one dHash (quadratic pair growth); md5 "
+    "content keeps pairs exactly linear (0.6/doc at every scale).",
+    oracle=f"""
+    {_DUCK_PH_SIG_CHAIN}
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
@@ -1726,6 +1734,97 @@ def mm9_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_near_pairs(
         image_dhash_bands(with_neardup_image_payload(_docs(spark, sf_dir))),
         max_hamming=3,
+    )
+
+
+@register(
+    "mm10_stream_image_screen",
+    bench=127,
+    survey="ext:multimodal,ext:dedup,§2.10 ext",
+    doc="Streaming MULTIMODAL ingest screen (r12 verdict #4) — live "
+    "image ingest near-dup'd against a standing corpus: mm9's "
+    "perceptual-hash chain (real PPM/BMP container decode → integer "
+    "dHash → 4×16-bit bands) as the stream side of pipe6's stateless "
+    "band screen. Incoming = every doc_id % 10 == 0 document's image "
+    "(role 0 of its content group, so the standing corpus holds its "
+    "exact duplicate at id+1 and a single-pixel near-dup at id+2 — "
+    "guaranteed cross-split matches); corpus = all other documents. "
+    "The stream stage is entirely STATELESS (plan-asserted): one "
+    "Arrow-batched encode→decode→dHash map, a ×4 band explode, and a "
+    "stream-STATIC left outer equi-join on (band index, band value) "
+    "against the PERSISTED corpus band table — payloads never ride "
+    "the stream shuffle, the corpus decode is paid once per corpus "
+    "version (single-slot cache), and the exact hamming rides the "
+    "joined row as a map-only bit_count(xor) (pigeonhole-complete at "
+    "radius 3, dhash_near_pairs' argument). The per-incoming verdict "
+    "(match count / best hamming / novelty) is batch work on the "
+    "drained rows (production: foreachBatch). The oracle restates the "
+    "ENTIRE chain — md5 pixels, bump, gray, bits, bands, split, "
+    "bucket join, hamming, aggregate — so the hash check covers "
+    "container parsing, the LSH recall argument, and the "
+    "incoming/corpus split at once.",
+    oracle=f"""
+    {_DUCK_PH_SIG_CHAIN}
+    inc AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS in_id, b.doc_id AS cand_id
+      FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    ),
+    ham AS (
+      SELECT c.in_id, c.cand_id,
+             bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+           + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+             AS hamming
+      FROM cand c
+      JOIN sig sa ON c.in_id = sa.doc_id
+      JOIN sig sb ON c.cand_id = sb.doc_id
+    ),
+    hits AS (
+      SELECT in_id, count(*) AS nm, min(hamming) AS bh
+      FROM ham WHERE hamming <= 3 GROUP BY in_id
+    )
+    SELECT i.doc_id,
+           CAST(coalesce(h.nm, 0) AS BIGINT) AS n_matches,
+           CAST(coalesce(h.bh, -1) AS INT) AS best_hamming,
+           CAST(CASE WHEN h.nm IS NULL THEN 1 ELSE 0 END AS INT) AS is_novel
+    FROM inc i LEFT JOIN hits h ON i.doc_id = h.in_id
+    """,
+)
+def mm10_stream_image_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.catalog import table_path
+    from pypgsync_spark.streaming.balance import _file_stream, drain_to_memory
+    from pypgsync_spark.streaming.dedupe import image_screen_stream
+
+    path = table_path(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    stream = _file_stream(spark, schema, path).filter(F.col("doc_id") % 10 == 0)
+    corpus = spark.read.parquet(path).filter(F.col("doc_id") % 10 != 0)
+    drained = drain_to_memory(
+        spark,
+        image_screen_stream(stream, corpus, max_hamming=3),
+        "mm10_screen_mem",
+        output_mode="append",
+    )
+    # batch verdict on the drained screen rows: collapse multi-band
+    # multiplicity, keep radius-3 hits, aggregate per incoming image
+    hits = (
+        drained.filter(F.col("cand_id").isNotNull() & (F.col("hamming") <= 3))
+        .dropDuplicates(["doc_id", "cand_id"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nm"), F.min("hamming").alias("bh"))
+        .withColumnRenamed("doc_id", "doc_id_r")
+    )
+    base = drained.select("doc_id").dropDuplicates(["doc_id"])
+    return base.join(
+        hits, on=base["doc_id"] == hits["doc_id_r"], how="left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("nm"), F.lit(0)).cast("long").alias("n_matches"),
+        F.coalesce(F.col("bh"), F.lit(-1)).cast("int").alias("best_hamming"),
+        F.when(F.col("nm").isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_novel"),
     )
 
 

@@ -260,3 +260,109 @@ def semantic_screen_stream(
     return stream_bands.join(corpus_bands, on=["band", "val"], how="left_outer").select(
         F.col("vec_id_in").alias(id_col), "band", "cand_id"
     )
+
+
+# single-slot cache for the corpus IMAGE band table (same convention)
+_IMG_BANDS_CACHE: list = []
+
+
+def image_screen_stream(
+    stream_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Streaming MULTIMODAL corpus screen — live image ingest near-dup'd
+    against a standing corpus: mm9's perceptual-hash chain
+    (operators/multimodal.py: real container decode → integer dHash →
+    4×16-bit bands) as the stream side of pipe6's stateless band
+    screen. Reference parity: the reference has no media pipeline at
+    all (540-LoC SQLAlchemy sync CLI); this is extension-layer
+    capability for a pretraining ingest.
+
+    Entirely STATELESS streaming, the :func:`semantic_screen_stream`
+    shape: per incoming image one Arrow-batched encode→decode→dHash
+    map stage, a ×PH_BANDS explode into (band index, band value) keys,
+    and a stream-STATIC left outer equi-join against the corpus's
+    PERSISTED band table — pixels/payloads never ride the stream
+    shuffle; the corpus side carries only (band key, candidate id, four
+    16-bit signature bands), and its decode is paid once per corpus
+    version (single-slot cache), not once per micro-batch. The exact
+    hamming verify is a map-only ``bit_count(xor)`` on the joined row,
+    so the emitted row already carries the verdict input; the
+    per-incoming aggregate (match count / best hamming / novelty) is
+    batch work on the drained rows (production: foreachBatch) — a
+    per-key aggregate in-stream would reintroduce state for a pure
+    screen.
+
+    By the pigeonhole argument (operators/multimodal.dhash_near_pairs):
+    any corpus image within hamming PH_BANDS - 1 = 3 of an incoming
+    image shares at least one full band, so the bucket join finds ALL
+    near-duplicates at radius ``max_hamming`` ≤ 3 with ONE shuffle and
+    no cross join. Emits (incoming id, candidate id, hamming) — one row
+    per shared band (the post-drain aggregate collapses multiplicity),
+    candidate NULL when a band bucket is empty.
+    """
+    from pyspark.sql import functions as F
+
+    from pypgsync_spark.operators.multimodal import (
+        PH_BANDS,
+        image_dhash_bands,
+        with_neardup_image_payload,
+    )
+
+    if max_hamming > PH_BANDS - 1:
+        raise ValueError(
+            f"band-LSH only guarantees radius {PH_BANDS - 1} with {PH_BANDS} bands"
+        )
+
+    def banded(df: DataFrame, id_out: str, p: str) -> DataFrame:
+        sig_cols = [F.col(f"b{b}").alias(f"{p}{b}") for b in range(PH_BANDS)]
+        return (
+            image_dhash_bands(with_neardup_image_payload(df, id_col=id_col))
+            .select(
+                F.col("doc_id").alias(id_out),
+                *sig_cols,
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("bi"), F.col(f"b{b}").alias("bv")
+                            )
+                            for b in range(PH_BANDS)
+                        ]
+                    )
+                ).alias("bk"),
+            )
+            .select(
+                id_out,
+                *[f"{p}{b}" for b in range(PH_BANDS)],
+                F.col("bk.bi").alias("bi"),
+                F.col("bk.bv").alias("bv"),
+            )
+        )
+
+    stream_bands = banded(stream_docs, "in_id", "s")
+    while _IMG_BANDS_CACHE:
+        try:
+            _IMG_BANDS_CACHE.pop().unpersist()
+        except Exception:
+            pass
+    corpus_bands = banded(corpus_docs, "cand_id", "c").persist()
+    _IMG_BANDS_CACHE.append(corpus_bands)
+
+    hamming = sum(
+        F.bit_count(F.col(f"s{b}").bitwiseXOR(F.col(f"c{b}")))
+        for b in range(PH_BANDS)
+    )
+    return (
+        stream_bands.join(corpus_bands, on=["bi", "bv"], how="left_outer")
+        .select(
+            F.col("in_id").alias(id_col),
+            "bi",
+            "cand_id",
+            F.when(F.col("cand_id").isNotNull(), hamming)
+            .cast("int")
+            .alias("hamming"),
+        )
+    )

@@ -536,6 +536,58 @@ def run_phash(spark, path: str) -> None:
     ).write.format("noop").mode("overwrite").save()
 
 
+
+def stage_mmscreen(spark, mult: int, base: str) -> str:
+    """Incoming image-doc ids at ×mult for mm10's streaming screen:
+    id-shifted copies (shift a multiple of 10 preserves the %10
+    incoming split and the roles-of-5 group structure) carry NEW md5
+    content groups, so each copy probes the corpus buckets with fresh
+    signatures — incoming work grows exactly ×mult while the standing
+    corpus stays fixed, the live-ingest scale axis. Copy 0 keeps the
+    original ids, so the matched pairs (exact dup at id+1, near-dup at
+    id+2) are present at every multiplier."""
+    d = load_table(spark, SF_DIR, "documents").select("doc_id").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    path = f"{base}/mmscreen_x{mult}"
+    _multiply(d, mult, "doc_id", 10**7).repartition(32).write.parquet(path)
+    return path
+
+
+def run_mmscreen(spark, path: str) -> None:
+    from pypgsync_spark.streaming.balance import stream_shuffle_partitions
+    from pypgsync_spark.streaming.dedupe import image_screen_stream
+
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    corpus = load_table(spark, SF_DIR, "documents").filter(
+        F.col("doc_id") % 10 != 0
+    )
+    with stream_shuffle_partitions(spark, "auto"):
+        q = (
+            image_screen_stream(stream, corpus)
+            .writeStream.outputMode("append")
+            .format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+def work_mmscreen(spark, path: str) -> int:
+    """Screen-row count (the probe's intrinsic output work) — computed
+    by the PRODUCT operator itself on the staged batch frame (the
+    work_semscreen discipline: one copy of the banding logic, so a
+    geometry change cannot silently diverge probe work from screen
+    work)."""
+    from pypgsync_spark.streaming.dedupe import image_screen_stream
+
+    corpus = load_table(spark, SF_DIR, "documents").filter(
+        F.col("doc_id") % 10 != 0
+    )
+    return image_screen_stream(spark.read.parquet(path), corpus).count()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -553,6 +605,7 @@ def main() -> None:
             "ssjoin",
             "semscreen",
             "phash",
+            "mmscreen",
         ],
     )
     ap.add_argument("multipliers", nargs="*", type=int, default=[1, 10])
@@ -590,6 +643,8 @@ def main() -> None:
         "semscreen": (stage_semscreen, run_semscreen, 2, work_semscreen, "cand_rows"),
         # mm9's encode->decode->hash->band-join chain; linear family
         "phash": (stage_phash, run_phash, 3, None, None),
+        # mm10's stateless image screen: intrinsic work = screen rows
+        "mmscreen": (stage_mmscreen, run_mmscreen, 2, work_mmscreen, "screen_rows"),
     }[args.op]
 
     results = []

@@ -777,3 +777,48 @@ def test_semantic_screen_candidate_recall(spark, sf_small):
     hit = true_pairs.join(cand, on=["a", "b"], how="left_semi").count()
     assert t > 0, "fixture must contain above-threshold neighbors"
     assert hit / t >= 0.85, f"candidate recall {hit}/{t}"
+
+
+def test_image_screen_stream_is_stateless_and_complete(spark, sf_small):
+    """mm10's streaming stage must be ENTIRELY stateless (pipe6's
+    contract: map-only decode→dHash, band explode, stream-static left
+    join — no watermark, no dedup, no aggregate, no state store), and
+    the banded probe must be COMPLETE at radius 3 (the pigeonhole
+    argument): every incoming image whose group-mates exist in the
+    corpus must surface its exact duplicate (id+1, hamming 0) and its
+    single-pixel near-dup (id+2, hamming <= 2) among the verdicts."""
+    from pypgsync_spark.queries import REGISTRY
+    from pypgsync_spark.streaming.dedupe import image_screen_stream
+
+    path = table_path(sf_small, "documents")
+    schema = spark.read.parquet(path).schema
+    incoming = (
+        spark.readStream.schema(schema).parquet(path).filter(F.col("doc_id") % 10 == 0)
+    )
+    corpus = spark.read.parquet(path).filter(F.col("doc_id") % 10 != 0)
+    composed = image_screen_stream(incoming, corpus)
+    plan = composed._jdf.queryExecution().analyzed().toString()
+    assert "Join LeftOuter" in plan  # the stream-static band probe
+    for stateful in (
+        "EventTimeWatermark",
+        "Deduplicate",
+        "Aggregate",
+        "FlatMapGroupsWithState",
+    ):
+        assert stateful not in plan, stateful
+
+    out = {
+        r["doc_id"]: (r["n_matches"], r["best_hamming"], r["is_novel"])
+        for r in REGISTRY["mm10_stream_image_screen"].fn(spark, sf_small).collect()
+    }
+    max_id = spark.read.parquet(path).agg(F.max("doc_id")).first()[0]
+    whole_group = [i for i in out if i + 2 <= max_id]
+    assert whole_group, "fixture too small for any complete group"
+    for i in whole_group:
+        nm, bh, novel = out[i]
+        # exact dup at i+1 (hamming 0) and near-dup at i+2 (<= 2 bits
+        # flipped by the single-pixel bump) both share a band by
+        # pigeonhole, so the screen must report >= 2 matches, best 0
+        assert nm >= 2, (i, out[i])
+        assert bh == 0, (i, out[i])
+        assert novel == 0, (i, out[i])
