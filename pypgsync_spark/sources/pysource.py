@@ -227,9 +227,14 @@ class SqlSliceDataSource(DataSource):
     def schema(self):
         import duckdb
 
-        rows = duckdb.connect().execute(
-            f"DESCRIBE SELECT * FROM read_parquet('{self.options['table_path']}')"
-        ).fetchall()
+        db_path = self.options.get("db_path")
+        if db_path:
+            conn = duckdb.connect(db_path, read_only=True)
+            src = '"' + self.options["table_path"].replace('"', '""') + '"'
+        else:
+            conn = duckdb.connect()
+            src = f"read_parquet('{self.options['table_path']}')"
+        rows = conn.execute(f"DESCRIBE SELECT * FROM {src}").fetchall()
         fields = []
         for name, dtype, *_ in rows:
             spark_t = _TYPE_MAP.get(dtype.upper())
@@ -315,18 +320,33 @@ class SqlCdcStreamReader(DataSourceStreamReader):
         self.partition_column = options["partition_column"]
         self.num_partitions = int(options.get("num_partitions", 4))
         self.fetch_size = int(options.get("fetch_size", 10_000))
+        # db mode (r12 verdict #5): table_path names a TABLE inside the
+        # DuckDB database file at db_path — the reference's actual
+        # shape (session.py:127-133 slices a live RDBMS table, not an
+        # export). The parquet stand-in remains the default.
+        self.db_path = options.get("db_path")
         start = options.get("start_offset")
         self._start = int(start) if start is not None else -1
 
     def initialOffset(self):  # noqa: N802
         return {"last": self._start}
 
+    def _from_clause(self) -> str:
+        if self.db_path:
+            return '"' + self.table_path.replace('"', '""') + '"'
+        return f"read_parquet('{self.table_path}')"
+
     def _max_id(self) -> int | None:
         import duckdb
 
-        (hi,) = duckdb.connect().execute(
+        conn = (
+            duckdb.connect(self.db_path, read_only=True)
+            if self.db_path
+            else duckdb.connect()
+        )
+        (hi,) = conn.execute(
             f'SELECT max("{self.partition_column}") '
-            f"FROM read_parquet('{self.table_path}')"
+            f"FROM {self._from_clause()}"
         ).fetchone()
         return None if hi is None else int(hi)
 
@@ -348,13 +368,13 @@ class SqlCdcStreamReader(DataSourceStreamReader):
 
     def _slice_sql(self, lo: int, hi: int) -> str:
         return (
-            f"SELECT * FROM read_parquet('{self.table_path}') "
+            f"SELECT * FROM {self._from_clause()} "
             f'WHERE "{self.partition_column}" >= {lo} '
             f'AND "{self.partition_column}" <= {hi}'
         )
 
     def read(self, partition):
-        yield from _read_arrow_slices(partition.sql, self.fetch_size)
+        yield from _read_arrow_slices(partition.sql, self.fetch_size, self.db_path)
 
     def commit(self, end: dict) -> None:
         # offset durability is the checkpoint's job; the source keeps
@@ -391,17 +411,22 @@ def read_cdc_stream(
     partition_column: str,
     num_partitions: int = 4,
     fetch_size: int = 10_000,
+    db_path: str | None = None,
 ):
-    """Fresh streaming read through the CDC source."""
+    """Fresh streaming read through the CDC source. ``db_path`` switches
+    to db mode: ``table_path`` then names a table inside the DuckDB
+    database file — the reference's live-RDBMS shape, executed."""
     register_cdc_stream_source(spark)
-    return (
+    reader = (
         spark.readStream.format(CDC_SOURCE_NAME)
         .option("table_path", table_path)
         .option("partition_column", partition_column)
         .option("num_partitions", str(num_partitions))
         .option("fetch_size", str(fetch_size))
-        .load()
     )
+    if db_path is not None:
+        reader = reader.option("db_path", db_path)
+    return reader.load()
 
 
 @dataclass
@@ -435,14 +460,17 @@ def _stage_arrow(staging_dir: str, iterator) -> _StagedFile:
     return _StagedFile(path=path, rows=rows)
 
 
-def _read_arrow_slices(sql: str, fetch_size: int):
+def _read_arrow_slices(sql: str, fetch_size: int, db_path: str | None = None):
     """Execute one slice's SQL and stream Arrow record batches — the
-    shared cursor body of the batch and CDC readers."""
+    shared cursor body of the batch and CDC readers. ``db_path`` points
+    the cursor at a real DuckDB database FILE (read-only: many reader
+    processes may share it, the task-parallel shape; the upsert writer
+    must have released the file first — DuckDB's single-writer rule);
+    None keeps the parquet stand-in (anonymous in-memory engine)."""
     import duckdb
 
-    reader = duckdb.connect().execute(sql).fetch_record_batch(
-        rows_per_batch=fetch_size
-    )
+    conn = duckdb.connect(db_path, read_only=True) if db_path else duckdb.connect()
+    reader = conn.execute(sql).fetch_record_batch(rows_per_batch=fetch_size)
     for batch in reader:
         yield batch
 

@@ -1,0 +1,149 @@
+"""EXECUTED slice-scan CDC against a live DuckDB database (r12 verdict #5).
+
+tests/test_upsert_exec.py closed the SINK half of the reference's SQL
+surface in r12 (session.py:135-151's ON CONFLICT, executed). This file
+closes the SOURCE half (session.py:127-133): the ``pypgsync_cdc``
+streaming source in db mode reads a TABLE inside a real DuckDB database
+file — MAX-probe per micro-batch, delta sliced by the interval planner,
+per-slice SQL cursors streaming Arrow batches — while the test plays
+the application concurrently upserting that table through the
+reference's rendered ON CONFLICT statement (the same executemany loop
+write_upsert runs). Offset/delta exactness is asserted across four
+micro-batches: every drain emits EXACTLY the rows above the previous
+watermark, once.
+
+DuckDB's concurrency rule shapes the interleaving: one read-write
+process OR many read-only processes, never both — so the upserting
+writer closes before each drain starts (the drain's tasks then share
+read-only connections). A real RDBMS source has no such handoff; the
+slice/offset machinery under test is identical either way.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from pypgsync_spark.sources.pysource import read_cdc_stream
+from pypgsync_spark.sources.jdbc import upsert_sql
+
+COLS = ["id", "updated", "value", "note"]
+UPSERT = upsert_sql("events_src", COLS, keys=["id"], dialect="duckdb")
+
+
+def _upsert_wave(db: str, rows) -> None:
+    """The application side: open the single writer, apply the wave
+    through the reference's executed ON CONFLICT statement, release the
+    file (DuckDB single-writer rule — see module docstring)."""
+    conn = duckdb.connect(db)
+    try:
+        conn.executemany(UPSERT, [tuple(r) for r in rows])
+    finally:
+        conn.close()
+
+
+def test_cdc_db_mode_delta_exactness_across_microbatches(spark, tmp_path):
+    db = str(tmp_path / "src.duckdb")
+    ck = str(tmp_path / "cdc_ck")
+    conn = duckdb.connect(db)
+    conn.execute(
+        "CREATE TABLE events_src ("
+        "id BIGINT PRIMARY KEY, updated BIGINT, value DOUBLE, note VARCHAR)"
+    )
+    conn.close()
+
+    def drain(name: str):
+        # foreachBatch, not a memory sink: the memory sink refuses to
+        # recover from an existing checkpoint, and recovery-across-
+        # drains is exactly what this test exercises
+        emitted: list = []
+
+        def capture(batch_df, _batch_id):
+            emitted.extend(batch_df.collect())
+
+        q = (
+            read_cdc_stream(spark, "events_src", "id", db_path=db)
+            .writeStream.foreachBatch(capture)
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["id"]: (r["updated"], r["value"], r["note"]) for r in emitted}
+
+    # wave 0: initial load — ids 1..5
+    wave0 = [(i, 100 + i, float(i), f"n{i}") for i in range(1, 6)]
+    _upsert_wave(db, wave0)
+    got = drain("cdc_w0")
+    assert got == {i: (100 + i, float(i), f"n{i}") for i in range(1, 6)}
+
+    # wave 1: three new ids PLUS a re-delivery of id 3 with a newer
+    # version — the upsert updates the table in place, but the CDC
+    # watermark rides the append column, so only ids > 5 may re-emit
+    wave1 = [(3, 999, 3.5, "updated"), (6, 106, 6.0, "n6"), (7, 107, 7.0, "n7"), (8, 108, 8.0, "n8")]
+    _upsert_wave(db, wave1)
+    got = drain("cdc_w1")
+    assert got == {6: (106, 6.0, "n6"), 7: (107, 7.0, "n7"), 8: (108, 8.0, "n8")}
+
+    # wave 2: a single new id — the minimal delta
+    _upsert_wave(db, [(9, 109, 9.0, "n9")])
+    got = drain("cdc_w2")
+    assert got == {9: (109, 9.0, "n9")}
+
+    # wave 3: a gap in the id sequence (deleted/skipped sequence values
+    # upstream) — slices spanning the gap must emit nothing phantom
+    _upsert_wave(db, [(15, 115, 15.0, "n15"), (17, 117, 17.0, "n17")])
+    got = drain("cdc_w3")
+    assert got == {15: (115, 15.0, "n15"), 17: (117, 17.0, "n17")}
+
+    # idle pass: no new rows — the empty micro-batch emits nothing and
+    # the offset stays put (the reference's converged polling loop)
+    got = drain("cdc_w4")
+    assert got == {}
+
+    # final ground truth: the table holds wave 0's rows with id 3's
+    # newer version applied (the SINK-side LWW the upsert executed),
+    # and the stream emitted every id exactly once
+    final = duckdb.connect(db, read_only=True).execute(
+        "SELECT id, updated FROM events_src ORDER BY id"
+    ).fetchall()
+    assert [i for i, _ in final] == [1, 2, 3, 4, 5, 6, 7, 8, 9, 15, 17]
+    assert dict(final)[3] == 999
+
+
+def test_cdc_db_mode_restart_resumes_after_checkpoint(spark, tmp_path):
+    """Kill-and-restart with the same checkpoint: the restarted query
+    re-reads NOTHING already committed — offsets live in the
+    checkpoint, not in the source (T2/T4 on the executed SQL path)."""
+    db = str(tmp_path / "src2.duckdb")
+    ck = str(tmp_path / "cdc_ck2")
+    conn = duckdb.connect(db)
+    conn.execute(
+        "CREATE TABLE events_src ("
+        "id BIGINT PRIMARY KEY, updated BIGINT, value DOUBLE, note VARCHAR)"
+    )
+    conn.close()
+    _upsert_wave(db, [(1, 101, 1.0, "a"), (2, 102, 2.0, "b")])
+
+    def drain(name: str):
+        emitted: list = []
+
+        def capture(batch_df, _batch_id):
+            emitted.extend(batch_df.collect())
+
+        q = (
+            read_cdc_stream(spark, "events_src", "id", db_path=db)
+            .writeStream.foreachBatch(capture)
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r["id"] for r in emitted)
+
+    assert drain("cdc_r0") == [1, 2]
+    # restart with NO new data: a fresh query object, same checkpoint
+    assert drain("cdc_r1") == []
+    _upsert_wave(db, [(3, 103, 3.0, "c")])
+    assert drain("cdc_r2") == [3]
