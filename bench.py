@@ -568,6 +568,46 @@ def main() -> None:
         "continuous_soak": soak,
         "auto_ab": auto_ab,
         "notes": {
+            "r13_v9_v8_d11_triage": "the r12 auto-A/B's one "
+            "CONFIRMED-ELEVATED flag (v9, probed at load 4.93) and its "
+            "two unprobed overflow movers (v8 +32%, d11 +31%) are ALL "
+            "AMBIENT, closed two ways on a quiet-start r13 morning "
+            "(co-tenant load 0.07): (1) a full scratch bench measured "
+            "steadies v9 0.719 / v8 2.052 / d11 2.149 — inside their "
+            "r8-r12 historical bands (v9 0.61-0.80, v8 1.67-2.21, d11 "
+            "1.63-2.37; v8's r12 2.202 ~= its r9 2.214) with "
+            "fingerprints identical throughout; (2) the r11 committed "
+            "figures these ratios were computed against are the "
+            "all-time MINIMA for all three — the flags were "
+            "regression-to-the-mean from an unusually good r11 run, "
+            "not code. No action; v5/v8/d14/pipe4's r13 kernel "
+            "migration then moved the whole family DOWN (see "
+            "r13_hof_migration).",
+            "r13_hof_migration": "ivf_assign's k x dim interpreted "
+            "Column-HOF cosines per row became one Arrow-batched "
+            "sequential-cumsum kernel, and cosine_pairs_lsh_gated / "
+            "lsh_ann_topk moved to the r12 vectorized hyperplane "
+            "signer (keep_vec passthrough, no join back). "
+            "Bit-identical by construction (cumsum = the left fold; "
+            "pinned by test_ivf_assign_kernel_matches_column_form) and "
+            "oracle-neutral (driver_sim 206/206 post-migration). "
+            "Same-morning same-box warm min-of-3 vs the pre-migration "
+            "scratch steadies: v8 2.05->1.15, v2b 2.09->0.80, d14 "
+            "2.17->1.15, pipe4 3.94->2.27 — roughly minus 45% across "
+            "the family; expect the r12->r13 bench_diff to flag these "
+            "as CODE movers in the good direction.",
+            "r13_rank_retirement": "restated per r12 verdict #7: NOT "
+            "yet triggered. r13 carries 126 ranks (+2: mm10 at 127 "
+            "alongside r12's mm9/pipe6) at ~110-125 s quiet steady; "
+            "the r13 kernel migration bought back ~4 s, so growth "
+            "remains slower than the r12 projection. 150 s crossing "
+            "still projects ~r17; revisit at r15 or at 135 s steady, "
+            "whichever first. First candidates unchanged (d6 vs d5, "
+            "d13 vs d12, d9 vs pipe2's embedded canonicalization).",
+            "r13_catalog_growth": "r13 adds mm10_stream_image_screen "
+            "at rank 127 (124 -> 125 benched ranks); compare "
+            "round-over-round on shared keys (bench_diff.py), not "
+            "totals.",
             "r13_load_gates": "r12 verdict #1: the start gate alone "
             "let both r12 runs finish polluted (0.13->8.22 ramp; "
             "auto-A/B probes at loads 3.97-10.87). As of r13: "
