@@ -66,22 +66,41 @@ def _const_payload(obj, depth: int = 0) -> str | None:
     the fingerprint system exists to close. Containers of constants
     now hash by value (sets/dicts in sorted order, so iteration order
     cannot perturb the fingerprint); containers holding runtime
-    objects (REGISTRY, caches) still contribute nothing."""
+    objects (REGISTRY, caches) still contribute nothing.
+
+    r13 determinism fix: the by-value rule captured module-level
+    RUNTIME containers whenever their momentary contents were
+    constant-shaped — an empty single-slot cache list hashed as
+    ``list[]`` on a fresh import but vanished once a query persisted a
+    DataFrame into it, and a stats ``Counter`` hashed its run-dependent
+    tallies — so the same HEAD produced DIFFERENT fingerprints
+    depending on what had already run in the process (found as a
+    flaky golden-pin test: gen_goldens computes warm, the recorder
+    computes fresh). Two rules close it without reopening the r10
+    hole: (1) EMPTY mutable containers contribute nothing — at rest
+    an empty list/set/dict is indistinguishable from a runtime
+    accumulator, and a real config is never empty; (2) container
+    SUBCLASSES (Counter, defaultdict — the accumulator types)
+    contribute nothing, only exact list/tuple/set/frozenset/dict hash
+    by value. Both states of every known runtime container now map to
+    "contributes nothing", so fingerprints are process-state-free."""
     if isinstance(obj, (str, bytes, int, float, bool, type(None))):
         return repr(obj)
     if depth >= 5:
         return None
-    if isinstance(obj, (tuple, list)):
+    if type(obj) in (list, set, dict) and len(obj) == 0:
+        return None  # empty mutable container = accumulator at rest
+    if type(obj) in (tuple, list):
         parts = [_const_payload(x, depth + 1) for x in obj]
         if any(p is None for p in parts):
             return None
         return f"{type(obj).__name__}[{','.join(parts)}]"
-    if isinstance(obj, (set, frozenset)):
+    if type(obj) in (set, frozenset):
         parts = [_const_payload(x, depth + 1) for x in obj]
         if any(p is None for p in parts):
             return None
         return f"{type(obj).__name__}[{','.join(sorted(parts))}]"
-    if isinstance(obj, dict):
+    if type(obj) is dict:
         items = []
         for k, v in obj.items():
             kp = _const_payload(k, depth + 1)

@@ -66,7 +66,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Filled by d5_near_dup_components on each run; bench.py reports it so
 # every BENCH_r*.json records how many CC rounds the hybrid spent.
-D5_CC_STATS: dict = {}
+# A Counter, not a plain dict (r13): fingerprinting hashes exact-type
+# dicts of constants BY VALUE, so a warm plain-dict accumulator would
+# make the same HEAD fingerprint differently after d5 ran; accumulator
+# SUBCLASSES contribute nothing in any state (fingerprint.py).
+from collections import Counter as _Counter  # noqa: E402
+
+D5_CC_STATS: _Counter = _Counter()
 
 
 # DuckDB-side shared fragments (tokens / shingles) mirroring

@@ -299,3 +299,53 @@ def test_sweep_promotes_at_most_one():
     assert names.index("new000") == SWEEP_CAP - 1  # oldest rank wins the slot
     assert names.index("new001") > 60  # the rest wait behind every green
     assert names.index("new002") > 60
+
+
+def test_fingerprint_ignores_runtime_container_state():
+    """r13 determinism fix: a query's fingerprint must not depend on
+    what already RAN in the process. The single-slot persist caches
+    (operators/dedup._SHINGLE_CACHE and friends) are module-level
+    lists a closure reads — empty on a fresh import, holding a
+    DataFrame once warm — and the stats Counter (queries/textops.
+    D5_CC_STATS) accumulates run-dependent tallies. Before the fix an
+    empty cache hashed as the constant 'list[]' and vanished when
+    warm, so gen_goldens (computes warm) and record_fingerprints
+    (computes fresh) pinned DIFFERENT fingerprints for the same HEAD
+    (found as a flaky golden-pin test). Simulate both states and
+    assert the fingerprint is identical."""
+    from collections import Counter
+
+    from pypgsync_spark.operators import dedup
+    from pypgsync_spark.queries import REGISTRY
+    from pypgsync_spark.queries.fingerprint import spec_fingerprint
+
+    spec = REGISTRY["d3_minhash_lsh_pairs"]
+    fresh = spec_fingerprint(spec.fn, spec.oracle)
+
+    class _FakeDF:  # stands in for the persisted DataFrame a warm run leaves
+        def unpersist(self):
+            return self
+
+    saved = list(dedup._SHINGLE_CACHE)
+    try:
+        dedup._SHINGLE_CACHE.append(_FakeDF())
+        warm = spec_fingerprint(spec.fn, spec.oracle)
+    finally:
+        dedup._SHINGLE_CACHE.clear()
+        dedup._SHINGLE_CACHE.extend(saved)
+    assert warm == fresh, "fingerprint must not see cache occupancy"
+
+    # the Counter case: exact-type rule — accumulator subclasses of
+    # dict contribute nothing whatever they momentarily hold
+    from pypgsync_spark.queries import textops
+
+    spec5 = REGISTRY["d5_near_dup_components"]
+    fresh5 = spec_fingerprint(spec5.fn, spec5.oracle)
+    saved5 = Counter(textops.D5_CC_STATS)
+    try:
+        textops.D5_CC_STATS["rounds"] = 7
+        warm5 = spec_fingerprint(spec5.fn, spec5.oracle)
+    finally:
+        textops.D5_CC_STATS.clear()
+        textops.D5_CC_STATS.update(saved5)
+    assert warm5 == fresh5, "fingerprint must not see Counter tallies"
