@@ -1,0 +1,74 @@
+"""Unit tests for bench.py's r13 load gates (r12 verdict what's-wrong #1).
+
+The r12 bench runs were polluted mid-run (start gate 0.13, ramp to
+8.22; auto-A/B probes at loads up to 10.87) because the only gate was
+at process start. The r13 machinery — `_wait_for_quiet` under the
+probes and the settled-end check behind `--round-artifact` — is what
+keeps a verdict like AMBIENT/CONFIRMED-ELEVATED from inheriting the
+noise it exists to remove, so the primitive's behavior is pinned here
+(no Spark session; load and sleep are simulated).
+"""
+
+from __future__ import annotations
+
+import bench
+
+
+def _fake_loads(monkeypatch, sequence):
+    """getloadavg returns successive 1-min values from ``sequence``
+    (last value repeats); sleep advances instantly and is recorded."""
+    state = {"i": 0, "slept": []}
+
+    def loadavg():
+        i = min(state["i"], len(sequence) - 1)
+        return (sequence[i], 0.0, 0.0)
+
+    def sleep(sec):
+        state["slept"].append(sec)
+        state["i"] += 1
+
+    monkeypatch.setattr(bench.os, "getloadavg", loadavg)
+    monkeypatch.setattr(bench.time, "sleep", sleep)
+    return state
+
+
+def test_wait_for_quiet_immediate(monkeypatch):
+    state = _fake_loads(monkeypatch, [0.3])
+    quiet, load, waited = bench._wait_for_quiet(100.0)
+    assert quiet and load == 0.3 and waited == 0.0
+    assert state["slept"] == []  # never sleeps when already quiet
+
+
+def test_wait_for_quiet_decays(monkeypatch):
+    # a post-bench self-load ramp decaying through the threshold
+    state = _fake_loads(monkeypatch, [8.0, 4.0, 2.0, 1.2])
+    quiet, load, waited = bench._wait_for_quiet(100.0)
+    assert quiet and load == 1.2
+    assert waited == 30.0  # three 10 s polls
+    assert state["slept"] == [10.0, 10.0, 10.0]
+
+
+def test_wait_for_quiet_budget_exhausted(monkeypatch):
+    # co-tenant load that never drops: the budget bounds the stall and
+    # the caller must report UNPROBED-HOT instead of a verdict
+    state = _fake_loads(monkeypatch, [6.0])
+    quiet, load, waited = bench._wait_for_quiet(25.0)
+    assert not quiet and load == 6.0
+    assert waited == 25.0
+    # the final partial poll is clamped to the remaining budget
+    assert state["slept"] == [10.0, 10.0, 5.0]
+
+
+def test_wait_for_quiet_threshold_boundary(monkeypatch):
+    # exactly AT the threshold counts as quiet (<=), matching the
+    # start gate's strict > refusal: a 1.50 box passes both
+    _fake_loads(monkeypatch, [bench.PROBE_QUIET_LOAD1])
+    quiet, _, waited = bench._wait_for_quiet(50.0)
+    assert quiet and waited == 0.0
+
+
+def test_auto_ab_cap_covers_r12_overflow():
+    """The r12 run left +30% movers unprobed at cap 3 (v8/d11,
+    overflow_not_probed). The raised cap must cover every mover count
+    any round has produced (max observed: 3 flagged + 2 overflow)."""
+    assert bench.AUTO_AB_MAX >= 5
