@@ -186,6 +186,16 @@ PROBE_QUIET_LOAD1 = 1.5
 # letting a busy box stall the run indefinitely.
 PROBE_WAIT_BUDGET_SEC = 420.0
 
+# Per-rank hot gate for round artifacts (r12 verdict #1's ">N ranks
+# measured hot"): ranks run back-to-back, so their start-sample load
+# mixes self-load with co-tenant — but local[32] self-load between
+# ranks sits ~2-6 on a quiet box, while the first r13 attempt's
+# co-tenant window pushed 27 ranks (some sub-second) past 8-20. The
+# cap tolerates a brief spike (~10% of ranks) without accepting a
+# polluted steady loop.
+HOT_RANK_LOAD1 = 8.0
+MAX_HOT_RANKS = 12
+
 
 def _wait_for_quiet(budget_sec: float, threshold: float = PROBE_QUIET_LOAD1,
                     poll_sec: float = 10.0) -> tuple[bool, float, float]:
@@ -548,6 +558,23 @@ def main() -> None:
             "quiet box before committing this round's artifact.",
             file=sys.stderr,
         )
+    # r13: the settle gate alone missed a MID-run co-tenant spike that
+    # ended before run end (the first r13 --round-artifact attempt:
+    # steady total 195.8 s vs 122.6 quiet, 27 ranks sampled above
+    # load 8 — several of them sub-second queries, which local[32]
+    # self-load alone never pushes past ~6 between back-to-back
+    # ranks). A round artifact additionally refuses when too many
+    # ranks were HOT at their start sample.
+    hot_ranks = [k for k, v in rank_load.items() if v > HOT_RANK_LOAD1]
+    if round_artifact and len(hot_ranks) > MAX_HOT_RANKS:
+        round_artifact = False
+        print(
+            f"DOWNGRADED to scratch: {len(hot_ranks)} ranks started above "
+            f"1-min load {HOT_RANK_LOAD1} (cap {MAX_HOT_RANKS}) — a "
+            "co-tenant window overlapped the steady loop; re-run on a "
+            "quiet box before committing this round's artifact.",
+            file=sys.stderr,
+        )
     out = {
         "round_artifact": round_artifact,
         "load_avg": {"start": load_start, "end": load_end,
@@ -618,8 +645,11 @@ def main() -> None:
             "420 s budget, largest movers first) and report "
             "UNPROBED-HOT instead of a verdict when it never does; "
             "(c) --round-artifact additionally requires the END load "
-            "to settle below 1.5 within 180 s or the artifact "
-            "self-downgrades to scratch and the process exits 2; "
+            "to settle below 1.5 within 180 s AND fewer than 13 ranks "
+            "hot (start-sample load > 8; a mid-run co-tenant spike "
+            "that ends before run end poisoned the first r13 "
+            "attempt), else the artifact self-downgrades to scratch "
+            "and the process exits 2; "
             "(d) AUTO_AB_MAX raised 3->6 so +30% movers are never "
             "silently unprobed (r12's v8/d11 overflow).",
             "r12_a23_code_flag": "bench_diff r11->r12 flags "
