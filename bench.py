@@ -595,6 +595,25 @@ def main() -> None:
         "continuous_soak": soak,
         "auto_ab": auto_ab,
         "notes": {
+            "r13_t5_tail_watch": "the committed r13 artifact's TAIL "
+            "sections (t5/rocksdb/soak run after the 126-rank steady "
+            "loop) overlapped end-of-run ambient: rocksdb 23.9k and "
+            "soak 11.2 s re-measured QUIET same-day at 39.1k / 6.2 s "
+            "converged — read those as the r13 figures. t5 is the one "
+            "watch item: 40.2k in-run AND 39.7k quiet-isolated, below "
+            "its 49.7-59.8k r8-r12 band, while t8 sits exactly in-band "
+            "(46.7k) and t5's closure fingerprint is unchanged. +0.4 s "
+            "absolute on a ~1 s memory-sink drain, measured on a day "
+            "with two ambient-poisoned full runs — not claimed as a "
+            "regression; re-measure isolated-vs-isolated on a quiet "
+            "r14 window before reading anything into it.",
+            "r13_j14_flag": "auto-A/B's one r13 CONFIRMED-ELEVATED "
+            "(j14 0.91 -> 1.26 steady, quiet-isolated min5 1.11 at "
+            "load 1.34) is the same fingerprint-identical j14 that "
+            "moved +33% in the r7->r8 ambient cohort (CLAUDE.md "
+            "triage note); 1.22x on a sub-1.3 s TPC-H join shape is "
+            "inside this box's documented small-query band. Watch, "
+            "don't bisect: nothing in its closure changed since r5.",
             "r13_v9_v8_d11_triage": "the r12 auto-A/B's one "
             "CONFIRMED-ELEVATED flag (v9, probed at load 4.93) and its "
             "two unprobed overflow movers (v8 +32%, d11 +31%) are ALL "
