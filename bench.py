@@ -595,6 +595,20 @@ def main() -> None:
         "continuous_soak": soak,
         "auto_ab": auto_ab,
         "notes": {
+            "r13_mm9_code_flag": "bench_diff r12->r13 labels mm9 CODE "
+            "(0.95 -> 1.38): a FALSE positive of the r13 fingerprint-"
+            "determinism fix — mm9's fingerprint changed because the "
+            "ALGORITHM stopped hashing its empty _PH_BANDS_CACHE, not "
+            "because code did (git diff r12..r13 on operators/"
+            "multimodal.py is EMPTY and mm9's fn body is untouched; "
+            "the oracle refactor to the shared _DUCK_PH_SIG_CHAIN "
+            "renders byte-identical SQL, verified at refactor time). "
+            "Same-day same-code warm steadies spanned 0.84-1.38 "
+            "across three runs on an afternoon whose co-tenant swings "
+            "poisoned two of them — ambient. d3/d5 carry the same "
+            "algorithm-only fingerprint delta; the r13 sweep re-greens "
+            "all three and re-records their fingerprints, after which "
+            "the label heals. Expect NO such false positive in r14+.",
             "r13_t5_tail_watch": "the committed r13 artifact's TAIL "
             "sections (t5/rocksdb/soak run after the 126-rank steady "
             "loop) overlapped end-of-run ambient: rocksdb 23.9k and "
