@@ -616,11 +616,13 @@ def main() -> None:
             "converged — read those as the r13 figures. t5 is the one "
             "watch item: 40.2k in-run AND 39.7k quiet-isolated, below "
             "its 49.7-59.8k r8-r12 band, while t8 sits exactly in-band "
-            "(46.7k) and t5's closure fingerprint is unchanged. +0.4 s "
-            "absolute on a ~1 s memory-sink drain, measured on a day "
-            "with two ambient-poisoned full runs — not claimed as a "
-            "regression; re-measure isolated-vs-isolated on a quiet "
-            "r14 window before reading anything into it.",
+            "(46.7k) and t5's closure fingerprint is unchanged. "
+            "CLOSED same-day by a controlled tree A/B on one box: "
+            "fresh-session min-of-3 at the r12 TREE 1.749 s (57.2k) "
+            "vs r13 HEAD 1.890 s (52.9k) — 8%, inside the streaming-"
+            "drain jitter band; the two ~40k readings were the slow "
+            "edge of a 1.75-2.52 s same-day spread on identical code. "
+            "AMBIENT; nothing to bisect.",
             "r13_j14_flag": "auto-A/B's one r13 CONFIRMED-ELEVATED "
             "(j14 0.91 -> 1.26 steady, quiet-isolated min5 1.11 at "
             "load 1.34) is the same fingerprint-identical j14 that "
