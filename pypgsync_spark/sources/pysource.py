@@ -151,7 +151,24 @@ class SqlSliceReader(DataSourceReader):
         self.partition_column = options["partition_column"]
         self.num_partitions = int(options.get("num_partitions", 4))
         self.fetch_size = int(options.get("fetch_size", 10_000))
+        # db mode (r13, symmetric with the CDC source): table_path
+        # names a TABLE inside the DuckDB database file at db_path —
+        # the reference's live-RDBMS shape for the BATCH slice read
+        # too (session.py:127-151). Parquet stand-in is the default.
+        self.db_path = options.get("db_path")
         self.pushed_sql: list[str] = []
+
+    def _connect(self):
+        import duckdb
+
+        if self.db_path:
+            return duckdb.connect(self.db_path, read_only=True)
+        return duckdb.connect()
+
+    def _from_clause(self) -> str:
+        if self.db_path:
+            return '"' + self.table_path.replace('"', '""') + '"'
+        return f"read_parquet('{self.table_path}')"
 
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
         # replace, never append: Spark holds ONE reader instance per
@@ -172,11 +189,9 @@ class SqlSliceReader(DataSourceReader):
         """MIN/MAX of the partition column — the same probe the
         reference issues before slicing (reference session.py:216-218);
         one metadata-scale query on the driver."""
-        import duckdb
-
-        lo, hi = duckdb.connect().execute(
+        lo, hi = self._connect().execute(
             f'SELECT min("{self.partition_column}"), max("{self.partition_column}") '
-            f"FROM read_parquet('{self.table_path}')"
+            f"FROM {self._from_clause()}"
         ).fetchone()
         if lo is None:
             return None
@@ -186,7 +201,7 @@ class SqlSliceReader(DataSourceReader):
         from pypgsync_spark.plans.intervals import plan_slices
 
         bounds = self._bounds()
-        base = f"SELECT * FROM read_parquet('{self.table_path}')"
+        base = f"SELECT * FROM {self._from_clause()}"
         where = list(self.pushed_sql)
         if bounds is None:
             sql = base + (" WHERE " + " AND ".join(where) if where else "")
@@ -208,7 +223,7 @@ class SqlSliceReader(DataSourceReader):
         return parts
 
     def read(self, partition):
-        yield from _read_arrow_slices(partition.sql, self.fetch_size)
+        yield from _read_arrow_slices(partition.sql, self.fetch_size, self.db_path)
 
 
 class SqlSliceDataSource(DataSource):
@@ -267,6 +282,7 @@ def read_sql_table(
     partition_column: str,
     num_partitions: int = 4,
     fetch_size: int = 10_000,
+    db_path: str | None = None,
 ):
     """Fresh range-partitioned read through the Python SQL source.
 
@@ -278,14 +294,16 @@ def read_sql_table(
     query is also how the JDBC reader is idiomatically used.
     """
     register_sql_source(spark)
-    return (
+    reader = (
         spark.read.format(SOURCE_NAME)
         .option("table_path", table_path)
         .option("partition_column", partition_column)
         .option("num_partitions", str(num_partitions))
         .option("fetch_size", str(fetch_size))
-        .load()
     )
+    if db_path is not None:
+        reader = reader.option("db_path", db_path)
+    return reader.load()
 
 
 class SqlCdcStreamReader(DataSourceStreamReader):
