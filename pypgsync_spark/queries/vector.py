@@ -481,7 +481,11 @@ def v8_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
     centroids = [list(r["embedding"]) for r in cent_rows]
     qvec = _query_vec(spark, sf_dir)
-    assigned = ivf_assign(emb, centroids)
+    # lazily checkpointed (pipe4's pattern): the assignment feeds BOTH
+    # the ivf_topk branch and the candidate census below — without it
+    # the plan runs the Arrow assign kernel once per branch (observed
+    # as MapInPandas x2 in the r13 executed plan)
+    assigned = ivf_assign(emb, centroids).localCheckpoint(eager=False)
     # THE shared probe selector (similarity.probe_cells) — the census
     # below and ivf_topk's internal probing must agree on the cells
     probe = probe_cells(centroids, qvec, 2)
