@@ -446,3 +446,47 @@ def test_phash_pairs_one_bucket_shuffle_decode_once(spark, sf_small):
     # occurrences in the string are not execution counts)
     assert p.count("InMemoryTableScan") >= 2
     assert "BatchEvalPython" not in p  # never the row-at-a-time path
+
+def test_screen_corpus_band_tables_are_persisted(spark, sf_small):
+    """ADVICE r12: a stream-static join re-evaluates the static side
+    on EVERY micro-batch, so pipe6's and mm10's corpus band tables
+    must be PERSISTED — corpus signing/decoding paid once per corpus
+    version, not once per micro-batch. Assert the cache is live on the
+    operator's static side (an InMemoryTableScan in the corpus band
+    plan once materialized), for both screens."""
+    from pyspark.sql import functions as F
+
+    from pypgsync_spark.catalog import table_path
+    from pypgsync_spark.streaming import dedupe as sd
+
+    path = table_path(sf_small, "embeddings")
+    corpus = spark.read.parquet(path).filter(F.col("vec_id") % 10 != 0)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .parquet(path)
+        .filter(F.col("vec_id") % 10 == 0)
+    )
+    sd.semantic_screen_stream(stream, corpus)
+    assert len(sd._CORPUS_BANDS_CACHE) == 1
+    cached = sd._CORPUS_BANDS_CACHE[0]
+    cached.count()  # materialize the cache
+    p = cached._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in p
+
+    dpath = table_path(sf_small, "documents")
+    dcorpus = spark.read.parquet(dpath).filter(F.col("doc_id") % 10 != 0)
+    dstream = (
+        spark.readStream.schema(spark.read.parquet(dpath).schema)
+        .parquet(dpath)
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    sd.image_screen_stream(dstream, dcorpus)
+    assert len(sd._IMG_BANDS_CACHE) == 1
+    icached = sd._IMG_BANDS_CACHE[0]
+    icached.count()
+    ip = icached._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in ip
+
+    # single-slot discipline: a second call releases the previous copy
+    sd.semantic_screen_stream(stream, corpus)
+    assert len(sd._CORPUS_BANDS_CACHE) == 1
