@@ -990,6 +990,50 @@ def image_dhash_bands(df: DataFrame) -> DataFrame:
 _PH_BANDS_CACHE: list = []
 
 
+def single_slot_persist(cache: list, df: DataFrame) -> DataFrame:
+    """THE single-slot persist convention (r13 review: it had grown
+    four line-identical copies): release the previous occupant, persist
+    and cache the new DataFrame, return it. One live copy per slot per
+    process; safe under the no-concurrent-jobs bench discipline, not
+    under concurrent callers (ADVICE r12 #3, accepted)."""
+    while cache:
+        try:
+            cache.pop().unpersist()
+        except Exception:
+            pass
+    df = df.persist()
+    cache.append(df)
+    return df
+
+
+def dhash_band_explode(bands: DataFrame) -> DataFrame:
+    """(doc_id, b0..b3, bi, bv): each signature row fanned out to one
+    row per (band index, band value) bucket key, the full signature
+    riding along for the downstream exact-hamming verify. THE one copy
+    of the band geometry the mm9 self-join and mm10's streaming screen
+    share (r13 review: two drifting copies defeat the point of the
+    shared _DUCK_PH_SIG_CHAIN oracle fragment)."""
+    return bands.select(
+        "doc_id",
+        *[f"b{b}" for b in range(PH_BANDS)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bi"), F.col(f"b{b}").alias("bv")
+                    )
+                    for b in range(PH_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select(
+        "doc_id",
+        *[f"b{b}" for b in range(PH_BANDS)],
+        F.col("e.bi").alias("bi"),
+        F.col("e.bv").alias("bv"),
+    )
+
+
 def dhash_near_pairs(bands: DataFrame, max_hamming: int = 3) -> DataFrame:
     """(id_a, id_b, hamming) pairs within ``max_hamming`` of 64 bits.
 
@@ -1010,30 +1054,8 @@ def dhash_near_pairs(bands: DataFrame, max_hamming: int = 3) -> DataFrame:
         raise ValueError(
             f"band-LSH only guarantees radius {PH_BANDS - 1} with {PH_BANDS} bands"
         )
-    while _PH_BANDS_CACHE:
-        try:
-            _PH_BANDS_CACHE.pop().unpersist()
-        except Exception:
-            pass
-    bands = bands.persist()
-    _PH_BANDS_CACHE.append(bands)
-    exploded = bands.select(
-        "doc_id",
-        "b0",
-        "b1",
-        "b2",
-        "b3",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("bi"), F.col(f"b{b}").alias("bv")
-                    )
-                    for b in range(PH_BANDS)
-                ]
-            )
-        ).alias("e"),
-    ).select("doc_id", "b0", "b1", "b2", "b3", F.col("e.bi").alias("bi"), F.col("e.bv").alias("bv"))
+    bands = single_slot_persist(_PH_BANDS_CACHE, bands)
+    exploded = dhash_band_explode(bands)
     left = exploded.select(
         "bi", "bv", F.col("doc_id").alias("id_a"),
         *[F.col(f"b{b}").alias(f"a{b}") for b in range(PH_BANDS)],

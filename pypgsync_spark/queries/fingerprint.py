@@ -88,8 +88,14 @@ def _const_payload(obj, depth: int = 0) -> str | None:
         return repr(obj)
     if depth >= 5:
         return None
-    if type(obj) in (list, set, dict) and len(obj) == 0:
-        return None  # empty mutable container = accumulator at rest
+    if depth == 0 and type(obj) in (list, set, dict) and len(obj) == 0:
+        # empty mutable container = accumulator at rest. DEPTH 0 ONLY
+        # (r13 review): module-global caches are what flip between
+        # runs; an empty container NESTED inside a config constant
+        # ({"stopwords": [], "min": 50}) is part of the config's value
+        # and must keep hashing — a blanket rule would let the sibling
+        # fields change without staling anything (the r10 hole).
+        return None
     if type(obj) in (tuple, list):
         parts = [_const_payload(x, depth + 1) for x in obj]
         if any(p is None for p in parts):

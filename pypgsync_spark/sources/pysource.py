@@ -139,6 +139,30 @@ def _compile_filter(f: Filter) -> str | None:
     return None
 
 
+def _duck_connect(db_path: str | None):
+    """One connection policy for every probe/cursor in this module:
+    db mode opens the DuckDB database file READ-ONLY (many reader
+    processes may share it — the task-parallel shape; DuckDB's
+    single-writer rule means the upserting application must have
+    released the file first), parquet stand-in mode uses an anonymous
+    in-memory engine."""
+    import duckdb
+
+    if db_path:
+        return duckdb.connect(db_path, read_only=True)
+    return duckdb.connect()
+
+
+def _sql_from_clause(table_path: str, db_path: str | None) -> str:
+    """One FROM-clause policy: in db mode ``table_path`` names a TABLE
+    inside the database (quoted; schema-qualified names are NOT
+    supported — the whole string is one quoted identifier), otherwise
+    it is a parquet path served through read_parquet."""
+    if db_path:
+        return '"' + table_path.replace('"', '""') + '"'
+    return f"read_parquet('{table_path}')"
+
+
 @dataclass
 class SqlSlicePartition(InputPartition):
     sql: str
@@ -159,16 +183,10 @@ class SqlSliceReader(DataSourceReader):
         self.pushed_sql: list[str] = []
 
     def _connect(self):
-        import duckdb
-
-        if self.db_path:
-            return duckdb.connect(self.db_path, read_only=True)
-        return duckdb.connect()
+        return _duck_connect(self.db_path)
 
     def _from_clause(self) -> str:
-        if self.db_path:
-            return '"' + self.table_path.replace('"', '""') + '"'
-        return f"read_parquet('{self.table_path}')"
+        return _sql_from_clause(self.table_path, self.db_path)
 
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
         # replace, never append: Spark holds ONE reader instance per
@@ -240,16 +258,11 @@ class SqlSliceDataSource(DataSource):
         return SOURCE_NAME
 
     def schema(self):
-        import duckdb
-
         db_path = self.options.get("db_path")
-        if db_path:
-            conn = duckdb.connect(db_path, read_only=True)
-            src = '"' + self.options["table_path"].replace('"', '""') + '"'
-        else:
-            conn = duckdb.connect()
-            src = f"read_parquet('{self.options['table_path']}')"
-        rows = conn.execute(f"DESCRIBE SELECT * FROM {src}").fetchall()
+        src = _sql_from_clause(self.options["table_path"], db_path)
+        rows = _duck_connect(db_path).execute(
+            f"DESCRIBE SELECT * FROM {src}"
+        ).fetchall()
         fields = []
         for name, dtype, *_ in rows:
             spark_t = _TYPE_MAP.get(dtype.upper())
@@ -350,19 +363,10 @@ class SqlCdcStreamReader(DataSourceStreamReader):
         return {"last": self._start}
 
     def _from_clause(self) -> str:
-        if self.db_path:
-            return '"' + self.table_path.replace('"', '""') + '"'
-        return f"read_parquet('{self.table_path}')"
+        return _sql_from_clause(self.table_path, self.db_path)
 
     def _max_id(self) -> int | None:
-        import duckdb
-
-        conn = (
-            duckdb.connect(self.db_path, read_only=True)
-            if self.db_path
-            else duckdb.connect()
-        )
-        (hi,) = conn.execute(
+        (hi,) = _duck_connect(self.db_path).execute(
             f'SELECT max("{self.partition_column}") '
             f"FROM {self._from_clause()}"
         ).fetchone()
@@ -485,10 +489,9 @@ def _read_arrow_slices(sql: str, fetch_size: int, db_path: str | None = None):
     processes may share it, the task-parallel shape; the upsert writer
     must have released the file first — DuckDB's single-writer rule);
     None keeps the parquet stand-in (anonymous in-memory engine)."""
-    import duckdb
-
-    conn = duckdb.connect(db_path, read_only=True) if db_path else duckdb.connect()
-    reader = conn.execute(sql).fetch_record_batch(rows_per_batch=fetch_size)
+    reader = _duck_connect(db_path).execute(sql).fetch_record_batch(
+        rows_per_batch=fetch_size
+    )
     for batch in reader:
         yield batch
 

@@ -250,13 +250,11 @@ def semantic_screen_stream(
     # corpus version) under the single-slot convention dhash_near_pairs
     # uses (operators/multimodal.py _PH_BANDS_CACHE): at most one live
     # copy per process, the previous one released on the next call.
-    while _CORPUS_BANDS_CACHE:
-        try:
-            _CORPUS_BANDS_CACHE.pop().unpersist()
-        except Exception:
-            pass
-    corpus_bands = banded(corpus, "cand_id").persist()
-    _CORPUS_BANDS_CACHE.append(corpus_bands)
+    from pypgsync_spark.operators.multimodal import single_slot_persist
+
+    corpus_bands = single_slot_persist(
+        _CORPUS_BANDS_CACHE, banded(corpus, "cand_id")
+    )
     return stream_bands.join(corpus_bands, on=["band", "val"], how="left_outer").select(
         F.col("vec_id_in").alias(id_col), "band", "cand_id"
     )
@@ -302,12 +300,24 @@ def image_screen_stream(
     no cross join. Emits (incoming id, candidate id, hamming) — one row
     per shared band (the post-drain aggregate collapses multiplicity),
     candidate NULL when a band bucket is empty.
+
+    ``max_hamming`` is a COMPLETENESS guard only: it validates that the
+    caller's intended radius is within what the banding guarantees; the
+    emitted rows carry the raw hamming of every shared-band candidate,
+    and the radius cut belongs to the caller's verdict step (mm10
+    filters ``hamming <= 3`` post-drain). Filtering in-stream would be
+    wrong here: a doc whose only shared-band candidates exceed the
+    radius would lose ALL its rows and silently vanish from the
+    novelty verdict, since left-outer NULLs are only produced for
+    EMPTY buckets.
     """
     from pyspark.sql import functions as F
 
     from pypgsync_spark.operators.multimodal import (
         PH_BANDS,
+        dhash_band_explode,
         image_dhash_bands,
+        single_slot_persist,
         with_neardup_image_payload,
     )
 
@@ -317,39 +327,23 @@ def image_screen_stream(
         )
 
     def banded(df: DataFrame, id_out: str, p: str) -> DataFrame:
-        sig_cols = [F.col(f"b{b}").alias(f"{p}{b}") for b in range(PH_BANDS)]
-        return (
+        # THE shared band geometry (multimodal.dhash_band_explode —
+        # one copy for mm9's self-join and this screen), re-prefixed
+        # so the join can carry both sides' signatures
+        e = dhash_band_explode(
             image_dhash_bands(with_neardup_image_payload(df, id_col=id_col))
-            .select(
-                F.col("doc_id").alias(id_out),
-                *sig_cols,
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(b).alias("bi"), F.col(f"b{b}").alias("bv")
-                            )
-                            for b in range(PH_BANDS)
-                        ]
-                    )
-                ).alias("bk"),
-            )
-            .select(
-                id_out,
-                *[f"{p}{b}" for b in range(PH_BANDS)],
-                F.col("bk.bi").alias("bi"),
-                F.col("bk.bv").alias("bv"),
-            )
+        )
+        return e.select(
+            F.col("doc_id").alias(id_out),
+            *[F.col(f"b{b}").alias(f"{p}{b}") for b in range(PH_BANDS)],
+            "bi",
+            "bv",
         )
 
     stream_bands = banded(stream_docs, "in_id", "s")
-    while _IMG_BANDS_CACHE:
-        try:
-            _IMG_BANDS_CACHE.pop().unpersist()
-        except Exception:
-            pass
-    corpus_bands = banded(corpus_docs, "cand_id", "c").persist()
-    _IMG_BANDS_CACHE.append(corpus_bands)
+    corpus_bands = single_slot_persist(
+        _IMG_BANDS_CACHE, banded(corpus_docs, "cand_id", "c")
+    )
 
     hamming = sum(
         F.bit_count(F.col(f"s{b}").bitwiseXOR(F.col(f"c{b}")))

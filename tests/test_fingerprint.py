@@ -349,3 +349,22 @@ def test_fingerprint_ignores_runtime_container_state():
         textops.D5_CC_STATS.clear()
         textops.D5_CC_STATS.update(saved5)
     assert warm5 == fresh5, "fingerprint must not see Counter tallies"
+
+
+def test_const_payload_nested_empty_still_hashes():
+    """r13 review: the empty-accumulator rule applies at DEPTH 0 only.
+    An empty container nested inside a config constant is part of the
+    config's value — a blanket rule would let sibling fields change
+    without staling anything (the r10 hole, reopened one level down)."""
+    from pypgsync_spark.queries.fingerprint import _const_payload
+
+    # module-global accumulator at rest: contributes nothing
+    assert _const_payload([]) is None
+    assert _const_payload({}) is None
+    assert _const_payload(set()) is None
+    # nested empties inside a real config: hash by value, and sibling
+    # edits change the payload
+    a = _const_payload({"stopwords": [], "min": 50})
+    b = _const_payload({"stopwords": [], "min": 80})
+    assert a is not None and b is not None and a != b
+    assert _const_payload(("x", ())) is not None  # immutable empties too
