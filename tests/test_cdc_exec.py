@@ -175,3 +175,15 @@ def test_batch_db_mode_range_scan_with_pushdown(spark, tmp_path):
     # the read is genuinely sliced: >1 input partition planned
     fresh = read_sql_table(spark, "events_src", "id", num_partitions=4, db_path=db)
     assert fresh.rdd.getNumPartitions() > 1
+
+
+def test_sql_from_clause_quoting():
+    """db mode quotes the whole table name as ONE identifier (embedded
+    quotes doubled; schema-qualification deliberately unsupported —
+    the dot stays inside the quotes rather than splitting silently)."""
+    from pypgsync_spark.sources.pysource import _sql_from_clause
+
+    assert _sql_from_clause("events_src", "/x.db") == '"events_src"'
+    assert _sql_from_clause('we"ird', "/x.db") == '"we""ird"'
+    assert _sql_from_clause("a.b", "/x.db") == '"a.b"'
+    assert _sql_from_clause("/p/t.parquet", None) == "read_parquet('/p/t.parquet')"
