@@ -65,6 +65,91 @@ def dedup_exact(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    para_words: int = 12,
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup — the C4/RefinedWeb
+    curation pass: explode every document into paragraphs, keep the
+    FIRST occurrence of each distinct paragraph corpus-wide (min
+    ``(id, para_idx)`` wins — the same deterministic keep-first-by-key
+    merge semantic as document-level dedup, reference
+    session.py:135-151, applied at sub-document grain), and reassemble
+    each document from its surviving paragraphs.
+
+    The fixture corpus has no newlines, so "paragraph" is synthesized
+    deterministically: consecutive ``para_words``-token chunks of the
+    lower-cased whitespace tokenization (last chunk short; a document
+    always yields at least one paragraph). Real corpora would swap the
+    chunker for ``split(text, '\\n')`` — every downstream stage is
+    chunker-agnostic.
+
+    Returns one row per input document: ``(id, n_paras, kept_paras,
+    removed_frac, clean_text)`` where ``clean_text`` is the surviving
+    paragraphs re-joined in document order (empty string when every
+    paragraph first occurred in an earlier document).
+
+    Scale shape — exactly two shuffles, both on high-cardinality keys:
+    (1) the keep-first window partitions by the paragraph string
+    itself (hash-partitioned by Spark; paragraph text must ride this
+    shuffle anyway because reassembly needs it on the far side, so a
+    separate fingerprint column would only widen the row), and (2) the
+    per-document reassembly groupBy on ``id``. Paragraph groups are
+    tiny (duplicate multiplicity) and document groups are bounded by
+    document length, so neither shuffle skews. Everything else is
+    map-side: tokenize → chunk-index explode → slice/join, all
+    whole-stage-codegen builtins, no HOF lambda captures anything
+    beyond bound variables (the reassembly ``transform`` only projects
+    a struct field).
+    """
+    k = para_words
+    toks = df.select(id_col, tokens(F.col(text_col)).alias("__ws"))
+    chunked = toks.select(
+        id_col,
+        "__ws",
+        F.greatest(F.ceil(F.size("__ws") / F.lit(k)), F.lit(1))
+        .cast("int")
+        .alias("__np"),
+    )
+    paras = chunked.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.col("__np") - 1)).alias("__para_idx"),
+        "__ws",
+    ).select(
+        id_col,
+        "__para_idx",
+        F.array_join(F.slice("__ws", F.col("__para_idx") * k + 1, k), " ").alias(
+            "__para"
+        ),
+    )
+    w = Window.partitionBy("__para").orderBy(id_col, "__para_idx")
+    flagged = paras.withColumn("__rn", F.row_number().over(w))
+    kept = F.col("__rn") == 1
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(kept.cast("int")).cast("bigint").alias("kept_paras"),
+            F.sort_array(
+                F.collect_list(F.when(kept, F.struct("__para_idx", "__para")))
+            ).alias("__kp"),
+        )
+        .select(
+            id_col,
+            "n_paras",
+            "kept_paras",
+            F.round(F.lit(1.0) - F.col("kept_paras") / F.col("n_paras"), 6).alias(
+                "removed_frac"
+            ),
+            F.array_join(
+                F.transform("__kp", lambda x: x["__para"]), " "
+            ).alias("clean_text"),
+        )
+    )
+
+
 def with_shingles(
     df: DataFrame, text_col: str = "text", n: int = 3, out: str = "shingles"
 ) -> DataFrame:

@@ -50,6 +50,7 @@ from pypgsync_spark.operators.dedup import (
     dedup_exact,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    paragraph_dedup,
     simhash_pairs,
 )
 from pypgsync_spark.operators.multimodal import (
@@ -2364,6 +2365,62 @@ def d13_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(j > 0.9, 1).otherwise(0)).cast("long").alias("n_pairs_09"),
         F.round(F.max(j), 6).alias("max_jaccard"),
     )
+
+
+@register(
+    "d15_paragraph_dedup",
+    bench=128,
+    survey="ext:dedup,S3",
+    doc="Corpus-wide paragraph-level exact dedup — the C4/RefinedWeb "
+    "curation pass the document-level family (d1-d14) doesn't cover: "
+    "explode documents into 12-token paragraphs (the fixture has no "
+    "newlines, so the chunker is deterministic fixed-width; real "
+    "corpora swap in split-on-newline), keep the FIRST occurrence of "
+    "each distinct paragraph corpus-wide (min (doc_id, para_idx) — "
+    "the S3 keep-first-by-key merge semantic, reference "
+    "session.py:135-151, at sub-document grain), reassemble each "
+    "document from its survivors. Per-doc output: paragraph counts, "
+    "removed fraction, md5 of the reassembled text (so the oracle "
+    "hash-checks the full reassembly, not just the counts). Exactly "
+    "two shuffles — keep-first window on the paragraph, reassembly "
+    "groupBy on doc_id — both skew-free (plan-asserted).",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS ws FROM documents),
+    paras AS (
+      SELECT doc_id, CAST(i AS INT) AS para_idx,
+             array_to_string(
+               ws[(CAST(i AS INT)*12+1):(CAST(i AS INT)*12+12)], ' ') AS para
+      FROM toks,
+           UNNEST(range(greatest(CAST(ceil(len(ws)/12.0) AS BIGINT), 1))) AS t(i)
+    ),
+    flagged AS (
+      SELECT doc_id, para_idx, para,
+             row_number() OVER (PARTITION BY para
+                                ORDER BY doc_id, para_idx) AS rn
+      FROM paras
+    )
+    SELECT doc_id,
+           count(*) AS n_paras,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_paras,
+           round(1.0 - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0
+                       / count(*), 6) AS removed_frac,
+           md5(coalesce(string_agg(CASE WHEN rn = 1 THEN para END, ' '
+                                   ORDER BY para_idx), '')) AS clean_md5
+    FROM flagged
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def d15_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cleaned = paragraph_dedup(_docs(spark, sf_dir), para_words=12)
+    return cleaned.select(
+        "doc_id",
+        "n_paras",
+        "kept_paras",
+        "removed_frac",
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
 
 
 @register(

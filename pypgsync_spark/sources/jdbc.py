@@ -17,9 +17,15 @@ Spark-native mapping:
   statements. Executors write in parallel; idempotent on PK, so retries
   are safe (the reference's crash-resume property, README.md:90).
 
-No Postgres is available in the test container — these paths are
-exercised only at the SQL-text level in tests; the pure-Spark merge
-(:mod:`pypgsync_spark.operators.merge`) is the tested equivalent.
+No Postgres is available in the test container, but the statements
+these paths render are EXECUTED against a live DuckDB database in
+tests: the ON CONFLICT upsert sink in tests/test_upsert_exec.py
+(rendered statement applied through a real connection, convergence
+asserted) and the slice-scan/CDC source in tests/test_cdc_exec.py
+(four micro-batches against a concurrently-upserted table — delta
+exactness, checkpoint-restart resume). Only the Postgres wire
+protocol itself is untested here; the pure-Spark merge
+(:mod:`pypgsync_spark.operators.merge`) is the in-engine equivalent.
 """
 
 from __future__ import annotations

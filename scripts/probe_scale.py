@@ -143,6 +143,14 @@ def run_dedup(spark, path: str) -> None:
     ).save()
 
 
+def run_paradedup(spark, path: str) -> None:
+    from pypgsync_spark.operators.dedup import paragraph_dedup
+
+    paragraph_dedup(spark.read.parquet(path)).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
 def stage_tokens(spark, mult: int, base: str) -> str:
     from pypgsync_spark.functions.text import token_count
 
@@ -596,6 +604,7 @@ def main() -> None:
         choices=[
             "merge",
             "dedup",
+            "paradedup",
             "pack",
             "gate",
             "cellpairs",
@@ -626,6 +635,9 @@ def main() -> None:
     stage, run, n_warm, work_fn, work_key = {
         "merge": (stage_events, run_merge, 3, None, None),
         "dedup": (stage_docs, run_dedup, 3, None, None),
+        # d15's paragraph-level pass: same doc staging, linear family
+        # (two hash shuffles, both keyed on high-cardinality values)
+        "paradedup": (stage_docs, run_paradedup, 3, None, None),
         "pack": (stage_tokens, run_pack, 3, None, None),
         "gate": (stage_gate, make_run_gate(base), 2, None, None),  # drains are slow
         # the GEMM family's intrinsic work is quadratic in cell/corpus

@@ -12,6 +12,7 @@ from pypgsync_spark.operators.dedup import (
     dedup_exact,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    paragraph_dedup,
     simhash_pairs,
 )
 
@@ -132,6 +133,58 @@ def test_dedup_exact_deterministic_and_minimal(spark, sf_small):
     kept2 = dedup_exact(both)
     assert kept2.count() == docs.count()
     assert kept2.agg(F.max("doc_id")).first()[0] < 100000
+
+
+def test_paragraph_dedup_handcrafted(spark):
+    """Handcrafted corpus pinning the keep-first semantics at every
+    edge: a short doc (< para_words tokens → one short paragraph), an
+    exact-duplicate doc (loses ALL paragraphs → empty clean_text), a
+    partial overlap (loses only the shared aligned chunk), and
+    case/whitespace normalization (tokens() lower-cases and splits on
+    runs, so 'A  B' and 'a b' are the same paragraph)."""
+    k = 3
+    rows = [
+        (1, "a b c d e"),        # paras: 'a b c', 'd e'
+        (2, "a b c d e"),        # exact dup of 1 → keeps nothing
+        (3, "a b c x y z"),      # loses 'a b c', keeps 'x y z'
+        (4, "D  E"),             # normalizes to 'd e' — dup of doc 1's 2nd para
+        (5, "q"),                # short doc, unique → kept whole
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(df, para_words=k).collect()
+    }
+    assert out[1]["n_paras"] == 2 and out[1]["kept_paras"] == 2
+    assert out[1]["clean_text"] == "a b c d e"
+    assert out[2]["kept_paras"] == 0 and out[2]["clean_text"] == ""
+    assert out[2]["removed_frac"] == 1.0
+    assert out[3]["kept_paras"] == 1 and out[3]["clean_text"] == "x y z"
+    assert out[4]["kept_paras"] == 0 and out[4]["clean_text"] == ""
+    assert out[5]["n_paras"] == 1 and out[5]["clean_text"] == "q"
+    assert out[5]["removed_frac"] == 0.0
+
+
+def test_paragraph_dedup_fixture_invariants(spark, sf_small):
+    """On the fixture: every doc emits exactly ceil(tokens/12) rows,
+    kept ≤ total, and duplicating the whole corpus under shifted ids
+    removes ALL paragraphs of every copy (the copies' paragraphs all
+    first occur at the original ids)."""
+    docs = load_table(spark, sf_small, "documents")
+    out = paragraph_dedup(docs)
+    assert out.count() == docs.count()
+    assert out.filter(F.col("kept_paras") > F.col("n_paras")).count() == 0
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    both = paragraph_dedup(docs.unionByName(dup))
+    copies = both.filter(F.col("doc_id") >= 100000)
+    assert copies.filter(F.col("kept_paras") != 0).count() == 0
+    # originals keep exactly what they kept without the copies present
+    orig_alone = {r["doc_id"]: r["kept_paras"] for r in out.collect()}
+    orig_with = {
+        r["doc_id"]: r["kept_paras"]
+        for r in both.filter(F.col("doc_id") < 100000).collect()
+    }
+    assert orig_alone == orig_with
 
 
 def test_connected_components_handcrafted_graph(spark):

@@ -368,3 +368,42 @@ def test_const_payload_nested_empty_still_hashes():
     b = _const_payload({"stopwords": [], "min": 80})
     assert a is not None and b is not None and a != b
     assert _const_payload(("x", ())) is not None  # immutable empties too
+
+
+def test_no_container_subclass_config_constants_in_package():
+    """r13 ADVICE (low): exact-type hashing means container SUBCLASSES
+    (namedtuple, OrderedDict, ...) contribute nothing to fingerprints.
+    That is deliberate for the accumulator types (Counter, defaultdict,
+    deque — runtime state must not leak into fingerprints), but a
+    CONFIG constant of such a type could then change behavior without
+    staling any query. Lint: no module-level value anywhere in the
+    package may be a container-subclass instance outside the
+    accumulator allowlist."""
+    import collections
+    import importlib
+    import pkgutil
+
+    import pypgsync_spark
+
+    allowed = (collections.Counter, collections.defaultdict, collections.deque)
+    builtin_containers = (list, tuple, set, frozenset, dict)
+    offenders = []
+    for info in pkgutil.walk_packages(
+        pypgsync_spark.__path__, prefix="pypgsync_spark."
+    ):
+        mod = importlib.import_module(info.name)
+        for attr, val in vars(mod).items():
+            if attr.startswith("__"):
+                continue
+            if not isinstance(val, builtin_containers):
+                continue
+            if type(val) in builtin_containers:
+                continue
+            if isinstance(val, allowed):
+                continue
+            offenders.append(f"{info.name}.{attr} = {type(val).__name__}")
+    assert not offenders, (
+        "container-subclass module constants would fingerprint as "
+        f"nothing — use exact builtin types or add to the accumulator "
+        f"allowlist knowingly: {offenders}"
+    )

@@ -117,6 +117,18 @@ def test_single_shuffle_for_merge(spark, sf_small):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_paragraph_dedup_exactly_two_hash_shuffles(spark, sf_small):
+    """d15's scale contract: exactly two hash exchanges — the
+    keep-first window partitioned by the paragraph string and the
+    reassembly groupBy on doc_id — and no SinglePartition funnel
+    anywhere (the final orderBy is a range exchange). A third hash
+    exchange would mean the exploded paragraph stream was
+    repartitioned separately from the window."""
+    plan = plan_of(spark, sf_small, "d15_paragraph_dedup")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "SinglePartition" not in plan
+
+
 @pytest.mark.parametrize("name", ["q6_forecast_revenue", "p3_filter_range_closed"])
 def test_range_predicates_push_to_parquet(spark, sf_small, name):
     """Range filters must appear in PushedFilters so parquet row-group
