@@ -145,12 +145,26 @@ def _duck_connect(db_path: str | None):
     processes may share it — the task-parallel shape; DuckDB's
     single-writer rule means the upserting application must have
     released the file first), parquet stand-in mode uses an anonymous
-    in-memory engine."""
+    in-memory engine.
+
+    Callers must close what they open (``contextlib.closing`` around
+    every probe/cursor body in this module — r13 ADVICE): the CDC
+    driver issues one MAX probe per micro-batch plus one connection
+    per slice cursor, and relying on GC accumulates file handles for
+    the lifetime of a long-running stream."""
     import duckdb
 
     if db_path:
         return duckdb.connect(db_path, read_only=True)
     return duckdb.connect()
+
+
+def _is_writer_lock_error(exc: Exception) -> bool:
+    """True when a read-only open failed because the single writer
+    still holds the database file — the documented handoff race. Only
+    the lock conflict is retryable; any other IO error (missing file,
+    corruption) must keep raising."""
+    return "lock" in str(exc).lower()
 
 
 def _sql_from_clause(table_path: str, db_path: str | None) -> str:
@@ -207,10 +221,14 @@ class SqlSliceReader(DataSourceReader):
         """MIN/MAX of the partition column — the same probe the
         reference issues before slicing (reference session.py:216-218);
         one metadata-scale query on the driver."""
-        lo, hi = self._connect().execute(
-            f'SELECT min("{self.partition_column}"), max("{self.partition_column}") '
-            f"FROM {self._from_clause()}"
-        ).fetchone()
+        from contextlib import closing
+
+        with closing(self._connect()) as con:
+            lo, hi = con.execute(
+                f'SELECT min("{self.partition_column}"), '
+                f'max("{self.partition_column}") '
+                f"FROM {self._from_clause()}"
+            ).fetchone()
         if lo is None:
             return None
         return int(lo), int(hi)
@@ -258,11 +276,12 @@ class SqlSliceDataSource(DataSource):
         return SOURCE_NAME
 
     def schema(self):
+        from contextlib import closing
+
         db_path = self.options.get("db_path")
         src = _sql_from_clause(self.options["table_path"], db_path)
-        rows = _duck_connect(db_path).execute(
-            f"DESCRIBE SELECT * FROM {src}"
-        ).fetchall()
+        with closing(_duck_connect(db_path)) as con:
+            rows = con.execute(f"DESCRIBE SELECT * FROM {src}").fetchall()
         fields = []
         for name, dtype, *_ in rows:
             spark_t = _TYPE_MAP.get(dtype.upper())
@@ -358,6 +377,12 @@ class SqlCdcStreamReader(DataSourceStreamReader):
         self.db_path = options.get("db_path")
         start = options.get("start_offset")
         self._start = int(start) if start is not None else -1
+        # Highest offset this instance has ever RETURNED from
+        # latestOffset — the writer-lock fallback below must be
+        # monotone: handing Spark a lower offset than one already
+        # recorded in the offset log would re-emit rows on the next
+        # batch (a duplicate, breaking effectively-once).
+        self._last_returned: int | None = None
 
     def initialOffset(self):  # noqa: N802
         return {"last": self._start}
@@ -366,15 +391,40 @@ class SqlCdcStreamReader(DataSourceStreamReader):
         return _sql_from_clause(self.table_path, self.db_path)
 
     def _max_id(self) -> int | None:
-        (hi,) = _duck_connect(self.db_path).execute(
-            f'SELECT max("{self.partition_column}") '
-            f"FROM {self._from_clause()}"
-        ).fetchone()
+        from contextlib import closing
+
+        with closing(_duck_connect(self.db_path)) as con:
+            (hi,) = con.execute(
+                f'SELECT max("{self.partition_column}") '
+                f"FROM {self._from_clause()}"
+            ).fetchone()
         return None if hi is None else int(hi)
 
     def latestOffset(self):  # noqa: N802
-        hi = self._max_id()
-        return {"last": self._start if hi is None else max(hi, self._start)}
+        import duckdb
+
+        try:
+            hi = self._max_id()
+        except duckdb.IOException as e:
+            # Writer still holds the file (the documented single-writer
+            # handoff race, r13 ADVICE): mid-stream, idle at the last
+            # offset this instance returned and let the NEXT trigger
+            # retry, instead of failing the stream. A FRESH instance
+            # (restart racing the writer) has no offset to idle at —
+            # re-raising is the only answer that cannot regress the
+            # offset log (the checkpointed start is not visible here).
+            if (
+                self.db_path
+                and _is_writer_lock_error(e)
+                and self._last_returned is not None
+            ):
+                return {"last": self._last_returned}
+            raise
+        last = self._start if hi is None else max(hi, self._start)
+        if self._last_returned is not None:
+            last = max(last, self._last_returned)
+        self._last_returned = last
+        return {"last": last}
 
     def partitions(self, start: dict, end: dict):
         from pypgsync_spark.plans.intervals import plan_slices
@@ -489,11 +539,12 @@ def _read_arrow_slices(sql: str, fetch_size: int, db_path: str | None = None):
     processes may share it, the task-parallel shape; the upsert writer
     must have released the file first — DuckDB's single-writer rule);
     None keeps the parquet stand-in (anonymous in-memory engine)."""
-    reader = _duck_connect(db_path).execute(sql).fetch_record_batch(
-        rows_per_batch=fetch_size
-    )
-    for batch in reader:
-        yield batch
+    from contextlib import closing
+
+    with closing(_duck_connect(db_path)) as con:
+        reader = con.execute(sql).fetch_record_batch(rows_per_batch=fetch_size)
+        for batch in reader:
+            yield batch
 
 
 def _message_staging_dirs(messages) -> set[str]:

@@ -187,3 +187,58 @@ def test_sql_from_clause_quoting():
     assert _sql_from_clause('we"ird', "/x.db") == '"we""ird"'
     assert _sql_from_clause("a.b", "/x.db") == '"a.b"'
     assert _sql_from_clause("/p/t.parquet", None) == "read_parquet('/p/t.parquet')"
+
+
+def test_cdc_offset_probe_tolerates_mid_stream_writer_lock(tmp_path):
+    """r13 ADVICE: the per-trigger MAX probe races DuckDB's single
+    writer — a conflicting lock must idle the micro-batch at the last
+    offset this reader instance already RETURNED (monotone: a lower
+    value would regress the offset log and re-emit rows), not fail the
+    stream. A FRESH instance under the same lock must still raise —
+    with no offset ever returned, any fallback could regress the
+    checkpoint. The lock is held by a real second process (in-process
+    DuckDB would dedupe to a shared database instance instead)."""
+    import subprocess
+    import sys
+
+    import pytest
+
+    from pypgsync_spark.sources.pysource import SqlCdcStreamReader
+
+    db = str(tmp_path / "locked_src.duckdb")
+    conn = duckdb.connect(db)
+    conn.execute(
+        "CREATE TABLE events_src ("
+        "id BIGINT PRIMARY KEY, updated BIGINT, value DOUBLE, note VARCHAR)"
+    )
+    conn.close()
+    _upsert_wave(db, [(1, 101, 1.0, "n1")])
+
+    opts = {"table_path": "events_src", "partition_column": "id", "db_path": db}
+    warm = SqlCdcStreamReader(None, dict(opts))
+    assert warm.latestOffset() == {"last": 1}
+
+    holder = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            f"import duckdb,sys,time; c = duckdb.connect({db!r}); "
+            "print('held', flush=True); time.sleep(30)",
+        ],
+        stdout=subprocess.PIPE,
+    )
+    try:
+        assert holder.stdout.readline().strip() == b"held"
+        # warm reader: idles at its last returned offset, no raise
+        assert warm.latestOffset() == {"last": 1}
+        # fresh reader under the lock: must raise, not guess
+        fresh = SqlCdcStreamReader(None, dict(opts))
+        with pytest.raises(duckdb.IOException):
+            fresh.latestOffset()
+    finally:
+        holder.kill()
+        holder.wait()
+
+    # writer released: the stream resumes and the offset advances
+    _upsert_wave(db, [(2, 102, 2.0, "n2")])
+    assert warm.latestOffset() == {"last": 2}
