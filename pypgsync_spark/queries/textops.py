@@ -1835,6 +1835,110 @@ def mm10_stream_image_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The audio fingerprint decode-to-signature chain in DuckDB SQL — the
+# modality twin of _DUCK_PH_SIG_CHAIN, shared by mm11 (self-join
+# pairs) and any future streaming audio screen: md5 sample bytes ->
+# role-2 single-sample bump -> int16 -> per-frame energy l^2+r^2 ->
+# 64 circular-comparison bits -> 4x16-bit bands -> per-doc signature.
+# Defines CTEs au/asamp/aenergy/abits/abands(doc_id, bi, bv)/
+# asig(doc_id, b0..b3).
+_DUCK_AUD_KEY = (
+    "CASE WHEN doc_id % 5 <= 2 THEN 'ag:' || (doc_id - doc_id % 5) "
+    "ELSE 'au:' || doc_id END || ':' || blk"
+)
+_DUCK_AUD_SIG_CHAIN = f"""WITH au AS (
+      SELECT doc_id, 8 * blk + s AS si,
+             CAST(concat('0x', substr(md5({_DUCK_AUD_KEY}), 4 * s + 1, 2))
+                  AS BIGINT) * 256
+           + CAST(concat('0x', substr(md5({_DUCK_AUD_KEY}), 4 * s + 3, 2))
+                  AS BIGINT) AS u
+      FROM documents,
+           (SELECT unnest(range(16)) AS blk) blks,
+           (SELECT unnest(range(8)) AS s) ss
+    ),
+    asamp AS (
+      SELECT doc_id, si,
+             CASE WHEN doc_id % 5 = 2
+                       AND si = ((doc_id - 2) // 5) % 128
+                  THEN (u + 4096) % 65536 ELSE u END - 32768 AS v
+      FROM au
+    ),
+    aenergy AS (
+      SELECT doc_id, si // 2 AS f, SUM(v * v) AS e
+      FROM asamp GROUP BY doc_id, si // 2
+    ),
+    abits AS (
+      SELECT l.doc_id, l.f AS k,
+             CASE WHEN l.e < r.e THEN 1 ELSE 0 END AS bit
+      FROM aenergy l JOIN aenergy r
+        ON l.doc_id = r.doc_id AND r.f = (l.f + 1) % 64
+    ),
+    abands AS (
+      SELECT doc_id, k // 16 AS bi,
+             CAST(SUM(bit * (1 << (k % 16))) AS BIGINT) AS bv
+      FROM abits GROUP BY doc_id, k // 16
+    ),
+    asig AS (
+      SELECT doc_id,
+             MAX(CASE WHEN bi = 0 THEN bv END) AS b0,
+             MAX(CASE WHEN bi = 1 THEN bv END) AS b1,
+             MAX(CASE WHEN bi = 2 THEN bv END) AS b2,
+             MAX(CASE WHEN bi = 3 THEN bv END) AS b3
+      FROM abands GROUP BY doc_id
+    ),"""
+
+
+@register(
+    "mm11_audio_fp_pairs",
+    bench=129,
+    survey="ext:multimodal,ext:dedup",
+    doc="AUDIO near-dup pairs — modality parity with mm9 (r13 verdict "
+    "#4): per document, a deterministic md5-derived stereo PCM stream "
+    "with near-dup group structure (groups of 5: two exact "
+    "duplicates, one single-SAMPLE edit, two unrelated) rides a "
+    "genuine RIFF/WAVE container (odd ids carry the junk LIST chunk, "
+    "so the chain exercises the chunk walk + pad-byte rule) through a "
+    "binary column; decode → integer frame energies l²+r² → 64 "
+    "circular energy-derivative comparison bits (the Haitsma-Kalker "
+    "sign core, FFT subbands being the documented production seam) "
+    "packed as 4×16-bit bands → the SAME banded-LSH bucket join and "
+    "exact hamming verify as the image chain (pigeonhole-complete at "
+    "radius 3, one shuffle). A single-sample edit flips at most the 2 "
+    "bits whose comparisons touch its frame, so role-2 docs are "
+    "guaranteed candidates. The oracle restates the ENTIRE "
+    "decode-to-pair chain: md5 sample bytes, bump, energies, bits, "
+    "bands, bucket join, hamming.",
+    oracle=f"""
+    {_DUCK_AUD_SIG_CHAIN}
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM abands a JOIN abands b
+        ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+              + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+             AS INT) AS hamming
+    FROM cand
+    JOIN asig sa ON cand.id_a = sa.doc_id
+    JOIN asig sb ON cand.id_b = sb.doc_id
+    WHERE bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+        + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3)) <= 3
+    """,
+)
+def mm11_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.operators.multimodal import (
+        audio_fingerprint_bands,
+        audio_near_pairs,
+        with_neardup_audio_payload,
+    )
+
+    return audio_near_pairs(
+        audio_fingerprint_bands(with_neardup_audio_payload(_docs(spark, sf_dir))),
+        max_hamming=3,
+    )
+
+
 @register(
     "mm6_video_frame_stats",
     bench=121,

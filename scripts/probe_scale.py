@@ -545,6 +545,21 @@ def run_phash(spark, path: str) -> None:
 
 
 
+def run_afp(spark, path: str) -> None:
+    # mm11's audio chain on phash's staging (same roles-of-5 group
+    # geometry, same shift argument — pairs grow exactly ×mult)
+    from pypgsync_spark.operators.multimodal import (
+        audio_fingerprint_bands,
+        audio_near_pairs,
+        with_neardup_audio_payload,
+    )
+
+    audio_near_pairs(
+        audio_fingerprint_bands(with_neardup_audio_payload(spark.read.parquet(path))),
+        max_hamming=3,
+    ).write.format("noop").mode("overwrite").save()
+
+
 def stage_mmscreen(spark, mult: int, base: str) -> str:
     """Incoming image-doc ids at ×mult for mm10's streaming screen:
     id-shifted copies (shift a multiple of 10 preserves the %10
@@ -614,6 +629,7 @@ def main() -> None:
             "ssjoin",
             "semscreen",
             "phash",
+            "afp",
             "mmscreen",
         ],
     )
@@ -655,6 +671,8 @@ def main() -> None:
         "semscreen": (stage_semscreen, run_semscreen, 2, work_semscreen, "cand_rows"),
         # mm9's encode->decode->hash->band-join chain; linear family
         "phash": (stage_phash, run_phash, 3, None, None),
+        # mm11's audio decode->fingerprint->band-join chain; linear
+        "afp": (stage_phash, run_afp, 3, None, None),
         # mm10's stateless image screen: intrinsic work = screen rows
         "mmscreen": (stage_mmscreen, run_mmscreen, 2, work_mmscreen, "screen_rows"),
     }[args.op]
