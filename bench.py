@@ -237,6 +237,26 @@ def _infer_round() -> int:
     return n
 
 
+def _alltime_min_per_rank(artifact_paths) -> dict:
+    """Per-rank minimum steady time across prior bench_local artifacts
+    (r13 verdict #3, the v9 lesson): a mover ratio computed against a
+    prior figure that is the rank's ALL-TIME minimum is the classic
+    regression-to-the-mean shape — the mover record says so, so the
+    flag is self-documenting instead of costing a triage next round.
+    Unreadable artifacts are skipped (scratch runs, partial writes)."""
+    alltime: dict = {}
+    for p in artifact_paths:
+        try:
+            with open(p) as f:
+                queries = json.load(f).get("queries") or {}
+        except (OSError, json.JSONDecodeError):
+            continue
+        for k, v in queries.items():
+            if isinstance(v, (int, float)):
+                alltime[k] = min(alltime.get(k, v), v)
+    return alltime
+
+
 def _auto_ab(spark, times: dict, bench_round: int) -> dict:
     """Same-session isolated min-of-5 for fingerprint-identical ranks
     that moved >= AUTO_AB_THRESHOLD x vs the prior round's committed
@@ -262,6 +282,7 @@ def _auto_ab(spark, times: dict, bench_round: int) -> dict:
     _, prior_path = max(priors)
     with open(prior_path) as f:
         prior_q = json.load(f).get("queries", {})
+    alltime_min = _alltime_min_per_rank(p for _, p in priors)
 
     rec = _recorded_fingerprints()
     movers = []
@@ -299,6 +320,11 @@ def _auto_ab(spark, times: dict, bench_round: int) -> dict:
             "ratio_vs_prior": round(ratio, 2),
             "load_1min_at_probe": load_now,
             "quiet_wait_sec": waited,
+            # True when the prior-round figure is the best this rank
+            # has EVER recorded — an elevated ratio against an all-time
+            # minimum is regression-to-the-mean until proven otherwise
+            # (r13's v9/v8/d11 triage, verdict #3)
+            "prior_is_alltime_min": old <= alltime_min.get(k, old),
         }
         if not quiet:
             entry["verdict"] = "UNPROBED-HOT"

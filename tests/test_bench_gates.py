@@ -72,3 +72,30 @@ def test_auto_ab_cap_covers_r12_overflow():
     overflow_not_probed). The raised cap must cover every mover count
     any round has produced (max observed: 3 flagged + 2 overflow)."""
     assert bench.AUTO_AB_MAX >= 5
+
+
+def test_alltime_min_per_rank(tmp_path):
+    """The r14 mover field's source (r13 verdict #3): per-rank minimum
+    across every prior artifact, skipping unreadable files and
+    non-numeric entries."""
+    import json
+
+    a = tmp_path / "bench_local_r11.json"
+    b = tmp_path / "bench_local_r12.json"
+    c = tmp_path / "bench_local_r13.json"
+    a.write_text(json.dumps({"queries": {"v9": 0.61, "j14": 0.95}}))
+    b.write_text(json.dumps({"queries": {"v9": 0.80, "j14": 0.91, "x": "n/a"}}))
+    c.write_text("{not json")
+    got = bench._alltime_min_per_rank([str(a), str(b), str(c), str(tmp_path / "missing.json")])
+    assert got == {"v9": 0.61, "j14": 0.91}
+
+
+def test_prior_is_alltime_min_semantics():
+    """The mover-entry predicate: prior == the all-time floor marks the
+    flag as regression-to-the-mean-shaped; a prior above the floor does
+    not."""
+    alltime = {"v9": 0.61}
+    assert (0.61 <= alltime.get("v9", 0.61)) is True
+    assert (0.80 <= alltime.get("v9", 0.80)) is False
+    # a rank with no history defaults to True (its only figure IS the min)
+    assert (1.0 <= alltime.get("new_rank", 1.0)) is True
