@@ -656,6 +656,20 @@ def main() -> None:
             "triage note); 1.22x on a sub-1.3 s TPC-H join shape is "
             "inside this box's documented small-query band. Watch, "
             "don't bisect: nothing in its closure changed since r5.",
+            "r14_j14_closed": "the r13 CONFIRMED-ELEVATED flag CLOSED "
+            "AMBIENT by the controlled tree A/B the r13 verdict asked "
+            "for (the r13_t5_tail_watch pattern): interleaved "
+            "fresh-session isolated min-of-5 at sf0.1 on one box at "
+            "1-min load 0.7-1.9, r12 TREE (4db44c0) vs r14 HEAD, two "
+            "rounds each — r12 tree {1.033, 1.213}, HEAD {1.209, "
+            "1.086}. Fully overlapping bands and the ordering REVERSES "
+            "between rounds, so HEAD is not slower than the tree that "
+            "produced the 0.91 baseline; that figure was a warm-bench "
+            "steady (100+ prior ranks warm the worker pool — the r10 "
+            "isolated-vs-steady caveat) and the r13 1.26 was the slow "
+            "edge of the same jitter band. Fingerprint unchanged since "
+            "r5; nothing to bisect. The new prior_is_alltime_min mover "
+            "field makes this flag shape self-documenting from r14 on.",
             "r13_v9_v8_d11_triage": "the r12 auto-A/B's one "
             "CONFIRMED-ELEVATED flag (v9, probed at load 4.93) and its "
             "two unprobed overflow movers (v8 +32%, d11 +31%) are ALL "
