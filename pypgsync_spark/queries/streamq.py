@@ -724,3 +724,148 @@ def pipe6_stream_semantic_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_novel"),
     )
+
+
+from pypgsync_spark.queries.textops import _DUCK_PH_SIG_CHAIN  # noqa: E402
+
+
+@register(
+    "pipe7_cross_modal_screen",
+    bench=130,
+    survey="ext:quality,ext:multimodal,ext:dedup,§2.10 ext",
+    doc="CROSS-MODAL streaming curation (r13 verdict #7): the text "
+    "gate (pipe5's stage 1 — the shared Gopher kernel with pipe4's "
+    "product-constant thresholds) and the image near-dup screen "
+    "(mm10's stateless band screen) composed over the SAME document "
+    "stream in ONE availableNow pipeline — the stream is read once "
+    "and flows gate → screen as chained stateless stages feeding a "
+    "single sink, so the two modalities are screened without "
+    "double-materializing the source (the composition proof the two "
+    "standalone screens don't give). Incoming = doc_id % 10 == 0; the "
+    "map-only gate drops junk BEFORE any image work (cheapest stage "
+    "first — at 100 TB the decode is the cost, so gate placement is "
+    "the scale decision), survivors' images ride mm9's real "
+    "container-decode dHash chain into the stream-static band join "
+    "against the persisted corpus band table. Per passing doc: token "
+    "count (gate leg) + match count / best hamming / novelty (image "
+    "leg), the per-incoming verdict being batch work on the drained "
+    "rows as in mm10. The oracle restates BOTH legs end-to-end: "
+    "tokenize → Gopher gate → md5 pixels → dHash bands → bucket join "
+    "→ hamming → verdict.",
+    oracle=f"""
+    {_DUCK_PH_SIG_CHAIN}
+    tkd7 AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    g7 AS (
+      SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+             round(list_sum(list_transform(tk, w -> length(w))) * 1.0
+                   / greatest(len(tk), 1), 6) AS mwl,
+             round(len(list_filter(tk, w -> regexp_matches(w, '#|\\.\\.\\.'))) * 1.0
+                   / greatest(len(tk), 1), 6) AS swr,
+             round(len(list_filter(tk, w -> regexp_matches(w, '[a-z]'))) * 1.0
+                   / greatest(len(tk), 1), 6) AS awf
+      FROM tkd7
+    ),
+    inc AS (SELECT doc_id, n_tokens FROM g7 WHERE {gopher_gate_sql()}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS in_id, b.doc_id AS cand_id
+      FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+      WHERE a.doc_id IN (SELECT doc_id FROM inc) AND b.doc_id % 10 <> 0
+    ),
+    ham AS (
+      SELECT c.in_id, c.cand_id,
+             bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+           + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+             AS hamming
+      FROM cand c
+      JOIN sig sa ON c.in_id = sa.doc_id
+      JOIN sig sb ON c.cand_id = sb.doc_id
+    ),
+    hits AS (
+      SELECT in_id, count(*) AS nm, min(hamming) AS bh
+      FROM ham WHERE hamming <= 3 GROUP BY in_id
+    )
+    SELECT i.doc_id, i.n_tokens,
+           CAST(coalesce(h.nm, 0) AS BIGINT) AS n_matches,
+           CAST(coalesce(h.bh, -1) AS INT) AS best_hamming,
+           CAST(CASE WHEN h.nm IS NULL THEN 1 ELSE 0 END AS INT) AS is_novel
+    FROM inc i LEFT JOIN hits h ON i.doc_id = h.in_id
+    """,
+)
+def pipe7_cross_modal_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from pypgsync_spark.functions.text import (
+        gopher_metrics,
+        gopher_structural_gate,
+        tokens,
+    )
+    from pypgsync_spark.streaming.balance import _file_stream, drain_to_memory
+    from pypgsync_spark.streaming.dedupe import image_screen_stream
+
+    path = table_path(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+
+    def gate(df: DataFrame) -> DataFrame:
+        """pipe5's stage-1 shape: token array aliased in its own
+        select (tx6 CollapseProject discipline), metrics from THE
+        shared kernel — applied to the stream AND, re-applied to the
+        batch read, re-deriving the same (doc_id, n_tokens) for the
+        post-drain verdict row."""
+        tkd = df.filter(F.col("doc_id") % 10 == 0).select(
+            "doc_id", tokens(F.col("text")).alias("tk")
+        )
+        gm = gopher_metrics(F.col("tk"))
+        return (
+            tkd.select(
+                "doc_id",
+                gm["n_words"].alias("n_tokens"),
+                gm["mean_word_len"].alias("mwl"),
+                gm["symbol_word_ratio"].alias("swr"),
+                gm["alpha_word_frac"].alias("awf"),
+            )
+            .filter(
+                gopher_structural_gate(
+                    F.col("n_tokens"), F.col("mwl"), F.col("swr"), F.col("awf")
+                )
+            )
+            .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+        )
+
+    # ONE stream: gate -> image screen, chained stateless stages into
+    # a single sink (no second listing/scan of the source)
+    corpus = spark.read.parquet(path).filter(F.col("doc_id") % 10 != 0)
+    drained = drain_to_memory(
+        spark,
+        image_screen_stream(
+            gate(_file_stream(spark, schema, path)), corpus, max_hamming=3
+        ),
+        "pipe7_cross_mem",
+        output_mode="append",
+    )
+
+    # batch verdict on the drained screen rows (mm10's shape), token
+    # counts re-derived through the same gate on the batch read
+    hits = (
+        drained.filter(F.col("cand_id").isNotNull() & (F.col("hamming") <= 3))
+        .dropDuplicates(["doc_id", "cand_id"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nm"), F.min("hamming").alias("bh"))
+        .withColumnRenamed("doc_id", "doc_id_r")
+    )
+    base = drained.select("doc_id").dropDuplicates(["doc_id"]).join(
+        gate(spark.read.parquet(path)), on="doc_id"
+    )
+    return base.join(
+        hits, on=base["doc_id"] == hits["doc_id_r"], how="left"
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("nm"), F.lit(0)).cast("long").alias("n_matches"),
+        F.coalesce(F.col("bh"), F.lit(-1)).cast("int").alias("best_hamming"),
+        F.when(F.col("nm").isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_novel"),
+    )

@@ -822,3 +822,133 @@ def test_image_screen_stream_is_stateless_and_complete(spark, sf_small):
         assert nm >= 2, (i, out[i])
         assert bh == 0, (i, out[i])
         assert novel == 0, (i, out[i])
+
+
+@pytest.mark.parametrize("crash_after_write", [False, True])
+def test_cross_modal_screen_checkpoint_restart_exactly_once(
+    spark, sf_small, tmp_path, crash_after_write
+):
+    """pipe7's composition proof (r13 verdict #7), extended to the
+    multimodal leg: text gate -> image band screen chained over ONE
+    stream into one sink, crashed mid-drain and restarted from the
+    checkpoint. The reassembled epochs must equal the one-shot batch
+    verdict computed through the SAME kernels — the replayed epoch
+    re-passed the gate and re-screened (overwrite idempotence), and no
+    incoming doc was lost with the crashed epoch or screened twice."""
+    from pypgsync_spark.functions.text import (
+        gopher_metrics,
+        gopher_structural_gate,
+        tokens,
+    )
+    from pypgsync_spark.operators.multimodal import (
+        PH_BANDS,
+        dhash_band_explode,
+        image_dhash_bands,
+        with_neardup_image_payload,
+    )
+    from pypgsync_spark.streaming.dedupe import image_screen_stream
+
+    incoming, schema = _stage_documents(spark, sf_small, tmp_path)
+    contrib = tmp_path / "contrib"
+    ckpt = str(tmp_path / "ckpt")
+
+    def gate(df):
+        tkd = df.filter(F.col("doc_id") % 10 == 0).select(
+            "doc_id", tokens(F.col("text")).alias("tk")
+        )
+        gm = gopher_metrics(F.col("tk"))
+        return (
+            tkd.select(
+                "doc_id",
+                gm["n_words"].alias("n_tokens"),
+                gm["mean_word_len"].alias("mwl"),
+                gm["symbol_word_ratio"].alias("swr"),
+                gm["alpha_word_frac"].alias("awf"),
+            )
+            .filter(
+                gopher_structural_gate(
+                    F.col("n_tokens"), F.col("mwl"), F.col("swr"), F.col("awf")
+                )
+            )
+            .select("doc_id")
+        )
+
+    corpus = spark.read.parquet(table_path(sf_small, "documents")).filter(
+        F.col("doc_id") % 10 != 0
+    )
+
+    def run(writer):
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(incoming))
+        )
+        composed = image_screen_stream(gate(src), corpus, max_hamming=3)
+        q = (
+            composed.writeStream.foreachBatch(writer)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _crash_then_restart(spark, run, contrib, crash_after_write)
+
+    # one-shot batch expectation through the SAME kernels: gate the
+    # batch read, band-join gate survivors against the corpus bands,
+    # per-doc verdict
+    docs = spark.read.parquet(table_path(sf_small, "documents"))
+    inc = gate(docs)
+    e = dhash_band_explode(image_dhash_bands(with_neardup_image_payload(docs)))
+    left = e.join(inc, on="doc_id").select(
+        F.col("doc_id").alias("in_id"),
+        *[F.col(f"b{b}").alias(f"a{b}") for b in range(PH_BANDS)],
+        "bi",
+        "bv",
+    )
+    right = e.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("cand_id"),
+        *[F.col(f"b{b}").alias(f"x{b}") for b in range(PH_BANDS)],
+        "bi",
+        "bv",
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{b}").bitwiseXOR(F.col(f"x{b}")))
+        for b in range(PH_BANDS)
+    )
+    pairs = (
+        left.join(right, on=["bi", "bv"])
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .dropDuplicates(["in_id", "cand_id"])
+    )
+    agg = pairs.groupBy("in_id").agg(
+        F.count(F.lit(1)).alias("nm"), F.min("hamming").alias("bh")
+    )
+    want = sorted(
+        (r["doc_id"], r["nm"] or 0, r["bh"] if r["bh"] is not None else -1)
+        for r in inc.join(
+            agg, on=inc["doc_id"] == agg["in_id"], how="left"
+        ).collect()
+    )
+    assert want and any(nm > 0 for _, nm, _ in want), (
+        "fixture must include gate-passing incoming docs with corpus matches"
+    )
+
+    drained = spark.read.parquet(str(contrib))
+    hits = (
+        drained.filter(F.col("cand_id").isNotNull() & (F.col("hamming") <= 3))
+        .dropDuplicates(["doc_id", "cand_id"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nm"), F.min("hamming").alias("bh"))
+        .withColumnRenamed("doc_id", "doc_id_r")
+    )
+    base = drained.select("doc_id").dropDuplicates(["doc_id"])
+    got = sorted(
+        (r["doc_id"], r["nm"] or 0, r["bh"] if r["bh"] is not None else -1)
+        for r in base.join(
+            hits, on=base["doc_id"] == hits["doc_id_r"], how="left"
+        ).collect()
+    )
+    assert got == want
