@@ -698,6 +698,25 @@ def main() -> None:
             "2.17->1.15, pipe4 3.94->2.27 — roughly minus 45% across "
             "the family; expect the r12->r13 bench_diff to flag these "
             "as CODE movers in the good direction.",
+            "r14_rank_retirement": "restated per r13 verdict #6: NOT "
+            "yet triggered. The committed r14 artifact carries 128 "
+            "ranks at 125.8 s quiet steady (start load 0.45, "
+            "settled end 1.43) — r13's 131.2 s with one MORE rank's "
+            "work, i.e. flat-to-down round-over-round and still "
+            "under the 135 s revisit trigger. r14 adds three more "
+            "ranks after the artifact (v13/tx17/mm12 at 131-133, "
+            "first figures land in the driver's BENCH_r14), so "
+            "project ~131 ranks / ~130 s next round; the 150 s "
+            "crossing still sits ~r16-r17. First candidates "
+            "unchanged (d6 vs d5, d13 vs d12, d9 vs pipe2's "
+            "embedded canonicalization).",
+            "r14_catalog_growth": "r14 adds d15_paragraph_dedup / "
+            "mm11_audio_fp_pairs / pipe7_cross_modal_screen at ranks "
+            "128-130 (in the committed artifact) and "
+            "v13_sq8_ann_topk / tx17_dsir_weights / "
+            "mm12_stream_audio_screen at 131-133 (post-artifact, "
+            "driver-run only); compare round-over-round on shared "
+            "keys (bench_diff.py), not totals.",
             "r13_rank_retirement": "restated per r12 verdict #7: NOT "
             "yet triggered. r13 carries 126 ranks (+2: mm10 at 127 "
             "alongside r12's mm9/pipe6) at ~110-125 s quiet steady; "
