@@ -836,3 +836,72 @@ def hyperplane_signatures_seq(
             yield out
 
     return df.select(id_col, vec_col).mapInPandas(sign, schema)
+
+
+def sq8_approx_scores(
+    vectors: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "acos_sim",
+) -> DataFrame:
+    """Int8 scalar-quantized approximate cosine against ONE query — the
+    candidate-generation half of an SQ8 ANN search (the 4×-smaller
+    storage/bandwidth path every production vector store ships:
+    faiss ``SQ8``, Lucene/Elasticsearch ``int8_hnsw``'s scoring core).
+    v9 (queries/vector.py) audits this quantizer's reconstruction
+    error; this kernel runs the actual search side: each corpus vector
+    is quantized to 256 uniform levels over its own [min, max]
+    (``floor(x + 0.5)`` rounding — no engine-native half-even round),
+    reconstructed, and scored against the EXACT query vector.
+
+    Bit-parity with the SQL restatement (the cosine_scores_seq
+    argument): reconstruction is pure IEEE float64 arithmetic both
+    engines share (``floor`` is exact), and every dot/norm fold is an
+    ``np.cumsum`` — a sequential left fold, bit-identical to DuckDB's
+    ``list_dot_product`` over a ``list_transform``-reconstructed
+    DOUBLE[]; ``np.sqrt``/``math.sqrt`` are the correctly-rounded IEEE
+    sqrt (never ``** 0.5``). Flat vectors (mx == mn) reconstruct as
+    themselves, matching the oracle's CASE arm.
+
+    Map-only (partitioning inherited, no shuffle); passes ``id_col``
+    and ``vec_col`` through so the caller's top-C candidate heap
+    (TakeOrderedAndProject) feeds the exact re-rank without a join
+    back. At 100 TB the int8 codes would be materialized write-once
+    (the ivf_assign pattern) instead of re-quantized per query; the
+    scan stays memory-bandwidth-bound at a quarter of the float32
+    footprint."""
+    import pandas as pd  # noqa: F401  (Arrow batch interface)
+
+    from pyspark.sql import types as T
+
+    q = np.asarray([float(x) for x in query_vec], dtype="float64")
+    # sequential fold for the query norm (oracle: sqrt(list_dot_product))
+    nq = math.sqrt(float((q * q).cumsum()[-1]))
+    schema = T.StructType(
+        [vectors.schema[id_col], vectors.schema[vec_col]]
+        + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            va = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            mn = va.min(axis=1)
+            mx = va.max(axis=1)
+            flat = mx == mn
+            scale = np.where(flat, 1.0, (mx - mn) / 255.0)
+            rec = (
+                np.floor((va - mn[:, None]) / scale[:, None] + 0.5)
+                * scale[:, None]
+                + mn[:, None]
+            )
+            rec = np.where(flat[:, None], va, rec)
+            d = (rec * q).cumsum(axis=1)[:, -1]
+            nr = (rec * rec).cumsum(axis=1)[:, -1]
+            out = pdf[[id_col, vec_col]].copy()
+            out[out_col] = d / (np.sqrt(nr) * nq)
+            yield out
+
+    return vectors.select(id_col, vec_col).mapInPandas(score, schema)

@@ -1744,6 +1744,33 @@ def mm9_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _screen_verdict(drained: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Batch verdict on a banded screen's drained rows — THE one copy
+    mm10 (image) and mm12 (audio) share: collapse multi-band
+    multiplicity, keep radius-``max_hamming`` hits, aggregate per
+    incoming row to (n_matches, best_hamming, is_novel)."""
+    hits = (
+        drained.filter(
+            F.col("cand_id").isNotNull() & (F.col("hamming") <= max_hamming)
+        )
+        .dropDuplicates(["doc_id", "cand_id"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nm"), F.min("hamming").alias("bh"))
+        .withColumnRenamed("doc_id", "doc_id_r")
+    )
+    base = drained.select("doc_id").dropDuplicates(["doc_id"])
+    return base.join(
+        hits, on=base["doc_id"] == hits["doc_id_r"], how="left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("nm"), F.lit(0)).cast("long").alias("n_matches"),
+        F.coalesce(F.col("bh"), F.lit(-1)).cast("int").alias("best_hamming"),
+        F.when(F.col("nm").isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_novel"),
+    )
+
+
 @register(
     "mm10_stream_image_screen",
     bench=127,
@@ -1813,26 +1840,7 @@ def mm10_stream_image_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mm10_screen_mem",
         output_mode="append",
     )
-    # batch verdict on the drained screen rows: collapse multi-band
-    # multiplicity, keep radius-3 hits, aggregate per incoming image
-    hits = (
-        drained.filter(F.col("cand_id").isNotNull() & (F.col("hamming") <= 3))
-        .dropDuplicates(["doc_id", "cand_id"])
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("nm"), F.min("hamming").alias("bh"))
-        .withColumnRenamed("doc_id", "doc_id_r")
-    )
-    base = drained.select("doc_id").dropDuplicates(["doc_id"])
-    return base.join(
-        hits, on=base["doc_id"] == hits["doc_id_r"], how="left"
-    ).select(
-        "doc_id",
-        F.coalesce(F.col("nm"), F.lit(0)).cast("long").alias("n_matches"),
-        F.coalesce(F.col("bh"), F.lit(-1)).cast("int").alias("best_hamming"),
-        F.when(F.col("nm").isNull(), F.lit(1)).otherwise(F.lit(0))
-        .cast("int")
-        .alias("is_novel"),
-    )
+    return _screen_verdict(drained, max_hamming=3)
 
 
 # The audio fingerprint decode-to-signature chain in DuckDB SQL — the
@@ -2850,3 +2858,195 @@ def pipe3_bpe_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(
         counted, "source", "doc_id", "n_tokens", budget=1024, bucket_size=1000
     )
+
+
+# DSIR importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): hashed-bigram bag
+# features, per-document average log-likelihood ratio between a
+# TARGET distribution (here: the src0 slice standing in for the
+# curated/high-quality corpus) and the RAW pool distribution, add-1
+# smoothed over the hashed feature space. The log-ratio decomposes as
+# [log2(c_t(f)+1) - log2(c_r(f)+1)] + [log2(T_r+B) - log2(T_t+B)] —
+# every log2 argument is an INTEGER-valued double, the tx9 parity
+# class, so no log-of-ratio rounding seam between the engines.
+_DSIR_B = 512  # hashed feature buckets
+_DSIR_TARGET = "src0"
+
+
+@register(
+    "tx17_dsir_weights",
+    bench=132,
+    survey="ext:text,ext:sampling",
+    doc="DSIR importance weights — per-document hashed-bigram "
+    "log-likelihood ratio of the src0 target distribution vs the raw "
+    "pool (add-1 smoothing over 512 md5-hashed buckets), the "
+    "importance-resampling score that upsamples pool documents "
+    "distributionally close to a curated target. One explode feeding "
+    "three map-side-combined aggregates off a lazily checkpointed "
+    "bigram-bucket table (computed once, not thrice), a broadcast "
+    "join of the 512-row bucket ratio table onto per-doc bucket "
+    "counts, and scalar normalizer constants from 1-row cross joins "
+    "(no driver-side collect). Every log2 argument is an integer "
+    "(counts + 1, totals + B) so the cross-engine parity class is "
+    "tx9's log2-of-integer, not log-of-ratio.",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_DUCK_TOKENS} AS tk FROM documents),
+    bg AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(
+               unnest(list_transform(range(1, len(tk)),
+                                     i -> concat_ws(' ', tk[i], tk[i + 1])))
+             ), 1, 15)) AS BIGINT) % {_DSIR_B} AS f
+      FROM t
+    ),
+    cr AS (SELECT f, count(*) AS c_r FROM bg GROUP BY f),
+    ct AS (SELECT f, count(*) AS c_t FROM bg
+           WHERE source = '{_DSIR_TARGET}' GROUP BY f),
+    lr AS (
+      SELECT cr.f,
+             log2(CAST(COALESCE(ct.c_t, 0) + 1 AS DOUBLE))
+           - log2(CAST(cr.c_r + 1 AS DOUBLE)) AS lr
+      FROM cr LEFT JOIN ct USING (f)
+    ),
+    nd AS (SELECT doc_id, f, count(*) AS n FROM bg GROUP BY doc_id, f),
+    konst AS (
+      SELECT log2((SELECT CAST(sum(c_r) AS DOUBLE) FROM cr) + {_DSIR_B})
+           - log2((SELECT CAST(sum(c_t) AS DOUBLE) FROM ct) + {_DSIR_B}) AS kc
+    )
+    SELECT nd.doc_id,
+           round(SUM(nd.n * lr.lr) / SUM(nd.n) + (SELECT kc FROM konst), 6)
+             AS dsir_w
+    FROM nd JOIN lr USING (f)
+    GROUP BY nd.doc_id
+    """,
+)
+def tx17_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tk = tokens(F.col("text"))
+    ln_ = F.greatest(F.size(tk) - 1, F.lit(0))
+    arr = F.arrays_zip(
+        F.slice(tk, 1, ln_).alias("t1"), F.slice(tk, 2, ln_).alias("t2")
+    )
+    bg = (
+        d.select("doc_id", "source", F.explode(arr).alias("g"))
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(" ", F.col("g.t1"), F.col("g.t2"))
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _DSIR_B
+            ).alias("f"),
+        )
+        # three aggregates consume this; checkpoint lazily so the
+        # explode+md5 runs once (v8's shared-branch lesson)
+        .localCheckpoint(eager=False)
+    )
+    cr = bg.groupBy("f").agg(F.count(F.lit(1)).alias("c_r"))
+    ct = (
+        bg.filter(F.col("source") == _DSIR_TARGET)
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    lr = cr.join(ct, "f", "left").select(
+        "f",
+        (
+            F.log2(F.coalesce(F.col("c_t"), F.lit(0)).cast("double") + F.lit(1.0))
+            - F.log2(F.col("c_r").cast("double") + F.lit(1.0))
+        ).alias("lr"),
+    )
+    nd = bg.groupBy("doc_id", "f").agg(F.count(F.lit(1)).alias("n"))
+    # normalizer constants as SCALAR SUBQUERIES over the checkpointed
+    # bigram table (tx9's pattern — no 1-row crossJoin, which Spark
+    # plans as a BroadcastNestedLoopJoin the plan sweep forbids);
+    # T_r/T_t are plain counts of the table the aggregates consumed
+    bg.createOrReplaceTempView("pypgsync_tx17_bg")
+    kc = F.expr(
+        f"log2((SELECT CAST(count(*) AS DOUBLE) FROM pypgsync_tx17_bg)"
+        f" + {_DSIR_B}.0D)"
+        f" - log2((SELECT CAST(count(*) AS DOUBLE) FROM pypgsync_tx17_bg"
+        f" WHERE source = '{_DSIR_TARGET}') + {_DSIR_B}.0D)"
+    )
+    return (
+        nd.join(lr, "f")
+        .groupBy("doc_id")
+        .agg((F.sum(F.col("n") * F.col("lr")) / F.sum("n")).alias("__avg"))
+        .select("doc_id", F.round(F.col("__avg") + kc, 6).alias("dsir_w"))
+    )
+
+
+@register(
+    "mm12_stream_audio_screen",
+    bench=133,
+    survey="ext:multimodal,ext:dedup,§2.10 ext",
+    doc="Streaming AUDIO ingest screen — the modality matrix closed: "
+    "image has mm9 batch pairs + mm10 stream screen, audio has mm11 "
+    "batch pairs + this. mm11's energy-envelope fingerprint chain "
+    "(real RIFF/WAVE container decode → integer frame energies l²+r² "
+    "→ 64 circular comparison bits → 4×16-bit bands) rides the SAME "
+    "signer-generic stateless band screen as mm10 "
+    "(streaming/dedupe.banded_screen_stream — one copy of the "
+    "geometry, plan-asserted stateless, corpus signed once per "
+    "version into the audio family's own persist slot, pigeonhole-"
+    "complete at radius 3). Incoming = every doc_id % 10 == 0 "
+    "document's audio (role 0 of its group of 5, so the standing "
+    "corpus holds its exact duplicate at id+1 and a single-SAMPLE "
+    "edit at id+2 — guaranteed cross-split matches); corpus = all "
+    "other documents. The oracle restates the ENTIRE chain — md5 "
+    "sample bytes, role-2 bump, energies, bits, bands, split, bucket "
+    "join, hamming, per-incoming verdict — so the hash check covers "
+    "container parsing (odd ids carry the junk LIST chunk), the LSH "
+    "recall argument, and the incoming/corpus split at once.",
+    oracle=f"""
+    {_DUCK_AUD_SIG_CHAIN}
+    inc AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS in_id, b.doc_id AS cand_id
+      FROM abands a JOIN abands b ON a.bi = b.bi AND a.bv = b.bv
+      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    ),
+    ham AS (
+      SELECT c.in_id, c.cand_id,
+             bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+           + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+             AS hamming
+      FROM cand c
+      JOIN asig sa ON c.in_id = sa.doc_id
+      JOIN asig sb ON c.cand_id = sb.doc_id
+    ),
+    hits AS (
+      SELECT in_id, count(*) AS nm, min(hamming) AS bh
+      FROM ham WHERE hamming <= 3 GROUP BY in_id
+    )
+    SELECT i.doc_id,
+           CAST(coalesce(h.nm, 0) AS BIGINT) AS n_matches,
+           CAST(coalesce(h.bh, -1) AS INT) AS best_hamming,
+           CAST(CASE WHEN h.nm IS NULL THEN 1 ELSE 0 END AS INT) AS is_novel
+    FROM inc i LEFT JOIN hits h ON i.doc_id = h.in_id
+    """,
+)
+def mm12_stream_audio_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.catalog import table_path
+    from pypgsync_spark.streaming.balance import _file_stream, drain_to_memory
+    from pypgsync_spark.streaming.dedupe import audio_screen_stream
+
+    path = table_path(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    stream = _file_stream(spark, schema, path).filter(F.col("doc_id") % 10 == 0)
+    corpus = spark.read.parquet(path).filter(F.col("doc_id") % 10 != 0)
+    drained = drain_to_memory(
+        spark,
+        audio_screen_stream(stream, corpus, max_hamming=3),
+        "mm12_screen_mem",
+        output_mode="append",
+    )
+    return _screen_verdict(drained, max_hamming=3)

@@ -28,6 +28,7 @@ from pypgsync_spark.operators.similarity import (
     ivf_topk,
     lsh_ann_topk,
     norm,
+    sq8_approx_scores,
 )
 from pypgsync_spark.queries import register
 
@@ -916,3 +917,67 @@ def pipe4_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     kept = surv.join(dropped, "doc_id", "left_anti")
     return pack_chunks(kept, "source", "doc_id", "n_tokens", budget=2048, bucket_size=1000)
+
+
+@register(
+    "v13_sq8_ann_topk",
+    bench=131,
+    survey="ext:similarity",
+    doc="SQ8 quantized-scan ANN top-10: every corpus vector is "
+    "int8-scalar-quantized over its own [min, max] (v9's quantizer — "
+    "v9 audits the reconstruction error, this query runs the search "
+    "it gates), candidates come from the approximate cosine of the "
+    "RECONSTRUCTED vector against the exact query (one Arrow-batched "
+    "map, np.cumsum sequential folds = list_dot_product bit-parity), "
+    "the top-50 by ROUNDED approx score (TakeOrderedAndProject heap, "
+    "vec_id tie-break) are exact-reranked by v1's brute-force kernel. "
+    "The faiss-SQ8 / Lucene-int8 search shape: a quarter of the "
+    "float32 scan bandwidth, exactness restored on the shortlist. "
+    "Embedding rides the kernel through to the rerank, so there is "
+    "no join back to the corpus. Recall vs v1 pytest-asserted.",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = {_QUERY_VEC_ID}),
+    m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+    r AS (
+      SELECT vec_id, v,
+             CASE WHEN mx = mn THEN v
+                  ELSE list_transform(v, x ->
+                         floor((x - mn) / ((mx - mn) / 255.0) + 0.5)
+                         * ((mx - mn) / 255.0) + mn)
+             END AS rv
+      FROM m
+    ),
+    a AS (
+      SELECT r.vec_id, r.v,
+             round(list_dot_product(r.rv, q.qv)
+                   / (sqrt(list_dot_product(r.rv, r.rv))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS acos_sim
+      FROM r, q
+    ),
+    cand AS (SELECT vec_id, v FROM a ORDER BY acos_sim DESC, vec_id LIMIT 50)
+    SELECT cand.vec_id,
+           round(list_dot_product(cand.v, q.qv)
+                 / (sqrt(list_dot_product(cand.v, cand.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+    FROM cand, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {_TOPK}
+    """,
+)
+def v13_sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    cand = (
+        sq8_approx_scores(emb, qv)
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(F.col("acos_sim"), 6).alias("acos_r"),
+        )
+        # rank by the ROUNDED score (v1's rounding-tie lesson), vec_id
+        # tie-break — TakeOrderedAndProject, no global sort
+        .orderBy(F.col("acos_r").desc(), "vec_id")
+        .limit(50)
+    )
+    return brute_force_topk(cand, qv, k=_TOPK)

@@ -263,62 +263,66 @@ def semantic_screen_stream(
 # single-slot cache for the corpus IMAGE band table (same convention)
 _IMG_BANDS_CACHE: list = []
 
+# the audio screen's own corpus slot (dhash_near_pairs's cache rule:
+# signature families scope their slot, they don't share one)
+_AUD_SCREEN_BANDS_CACHE: list = []
 
-def image_screen_stream(
+
+def banded_screen_stream(
     stream_docs: DataFrame,
     corpus_docs: DataFrame,
+    signer,
+    cache: list,
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Streaming MULTIMODAL corpus screen — live image ingest near-dup'd
-    against a standing corpus: mm9's perceptual-hash chain
-    (operators/multimodal.py: real container decode → integer dHash →
-    4×16-bit bands) as the stream side of pipe6's stateless band
-    screen. Reference parity: the reference has no media pipeline at
-    all (540-LoC SQLAlchemy sync CLI); this is extension-layer
-    capability for a pretraining ingest.
+    """THE stateless banded-signature corpus screen, signer-generic —
+    one copy of the stream-vs-standing-corpus geometry that
+    :func:`image_screen_stream` (perceptual dHash) and
+    :func:`audio_screen_stream` (energy-envelope fingerprint) share
+    (the dhash_band_explode lesson: two drifting copies of a shared
+    geometry defeat the shared oracle fragment).
 
-    Entirely STATELESS streaming, the :func:`semantic_screen_stream`
-    shape: per incoming image one Arrow-batched encode→decode→dHash
-    map stage, a ×PH_BANDS explode into (band index, band value) keys,
-    and a stream-STATIC left outer equi-join against the corpus's
-    PERSISTED band table — pixels/payloads never ride the stream
-    shuffle; the corpus side carries only (band key, candidate id, four
-    16-bit signature bands), and its decode is paid once per corpus
-    version (single-slot cache), not once per micro-batch. The exact
-    hamming verify is a map-only ``bit_count(xor)`` on the joined row,
-    so the emitted row already carries the verdict input; the
-    per-incoming aggregate (match count / best hamming / novelty) is
-    batch work on the drained rows (production: foreachBatch) — a
-    per-key aggregate in-stream would reintroduce state for a pure
-    screen.
+    ``signer(docs) -> (doc_id, b0..b3)`` produces the modality's
+    64-bit signature as PH_BANDS 16-bit band values; everything after
+    the signer is modality-blind. Entirely STATELESS streaming, the
+    :func:`semantic_screen_stream` shape: per incoming row one
+    Arrow-batched signer map stage, a ×PH_BANDS explode into (band
+    index, band value) keys, and a stream-STATIC left outer equi-join
+    against the corpus's PERSISTED band table — payloads never ride
+    the stream shuffle; the corpus side carries only (band key,
+    candidate id, four 16-bit signature bands), and its decode is paid
+    once per corpus version (``cache`` = the family's single slot),
+    not once per micro-batch. The exact hamming verify is a map-only
+    ``bit_count(xor)`` on the joined row; the per-incoming aggregate
+    (match count / best hamming / novelty) is batch work on the
+    drained rows (production: foreachBatch) — a per-key aggregate
+    in-stream would reintroduce state for a pure screen.
 
     By the pigeonhole argument (operators/multimodal.dhash_near_pairs):
-    any corpus image within hamming PH_BANDS - 1 = 3 of an incoming
-    image shares at least one full band, so the bucket join finds ALL
-    near-duplicates at radius ``max_hamming`` ≤ 3 with ONE shuffle and
-    no cross join. Emits (incoming id, candidate id, hamming) — one row
-    per shared band (the post-drain aggregate collapses multiplicity),
-    candidate NULL when a band bucket is empty.
+    any corpus signature within hamming PH_BANDS - 1 = 3 of an
+    incoming one shares at least one full band, so the bucket join
+    finds ALL near-duplicates at radius ``max_hamming`` ≤ 3 with ONE
+    shuffle and no cross join. Emits (incoming id, candidate id,
+    hamming) — one row per shared band (the post-drain aggregate
+    collapses multiplicity), candidate NULL when a band bucket is
+    empty.
 
-    ``max_hamming`` is a COMPLETENESS guard only: it validates that the
-    caller's intended radius is within what the banding guarantees; the
-    emitted rows carry the raw hamming of every shared-band candidate,
-    and the radius cut belongs to the caller's verdict step (mm10
-    filters ``hamming <= 3`` post-drain). Filtering in-stream would be
-    wrong here: a doc whose only shared-band candidates exceed the
-    radius would lose ALL its rows and silently vanish from the
-    novelty verdict, since left-outer NULLs are only produced for
-    EMPTY buckets.
+    ``max_hamming`` is a COMPLETENESS guard only: it validates that
+    the caller's intended radius is within what the banding
+    guarantees; the emitted rows carry the raw hamming of every
+    shared-band candidate, and the radius cut belongs to the caller's
+    verdict step. Filtering in-stream would be wrong here: a doc whose
+    only shared-band candidates exceed the radius would lose ALL its
+    rows and silently vanish from the novelty verdict, since
+    left-outer NULLs are only produced for EMPTY buckets.
     """
     from pyspark.sql import functions as F
 
     from pypgsync_spark.operators.multimodal import (
         PH_BANDS,
         dhash_band_explode,
-        image_dhash_bands,
         single_slot_persist,
-        with_neardup_image_payload,
     )
 
     if max_hamming > PH_BANDS - 1:
@@ -327,12 +331,7 @@ def image_screen_stream(
         )
 
     def banded(df: DataFrame, id_out: str, p: str) -> DataFrame:
-        # THE shared band geometry (multimodal.dhash_band_explode —
-        # one copy for mm9's self-join and this screen), re-prefixed
-        # so the join can carry both sides' signatures
-        e = dhash_band_explode(
-            image_dhash_bands(with_neardup_image_payload(df, id_col=id_col))
-        )
+        e = dhash_band_explode(signer(df))
         return e.select(
             F.col("doc_id").alias(id_out),
             *[F.col(f"b{b}").alias(f"{p}{b}") for b in range(PH_BANDS)],
@@ -341,9 +340,7 @@ def image_screen_stream(
         )
 
     stream_bands = banded(stream_docs, "in_id", "s")
-    corpus_bands = single_slot_persist(
-        _IMG_BANDS_CACHE, banded(corpus_docs, "cand_id", "c")
-    )
+    corpus_bands = single_slot_persist(cache, banded(corpus_docs, "cand_id", "c"))
 
     hamming = sum(
         F.bit_count(F.col(f"s{b}").bitwiseXOR(F.col(f"c{b}")))
@@ -359,4 +356,65 @@ def image_screen_stream(
             .cast("int")
             .alias("hamming"),
         )
+    )
+
+
+def image_screen_stream(
+    stream_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Streaming MULTIMODAL corpus screen — live image ingest near-dup'd
+    against a standing corpus: mm9's perceptual-hash chain
+    (operators/multimodal.py: real container decode → integer dHash →
+    4×16-bit bands) as the stream side of :func:`banded_screen_stream`
+    (see it for the statelessness, persisted-corpus, and pigeonhole
+    completeness arguments). Reference parity: the reference has no
+    media pipeline at all (540-LoC SQLAlchemy sync CLI); this is
+    extension-layer capability for a pretraining ingest."""
+    from pypgsync_spark.operators.multimodal import (
+        image_dhash_bands,
+        with_neardup_image_payload,
+    )
+
+    return banded_screen_stream(
+        stream_docs,
+        corpus_docs,
+        lambda df: image_dhash_bands(
+            with_neardup_image_payload(df, id_col=id_col)
+        ),
+        _IMG_BANDS_CACHE,
+        id_col=id_col,
+        max_hamming=max_hamming,
+    )
+
+
+def audio_screen_stream(
+    stream_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Streaming AUDIO ingest screen — mm11's energy-envelope
+    fingerprint chain (operators/multimodal.py: real RIFF/WAVE decode
+    → integer frame energies → 64 circular comparison bits → 4×16-bit
+    bands) as the stream side of :func:`banded_screen_stream`,
+    completing the modality matrix (image: mm9 batch pairs + mm10
+    stream screen; audio: mm11 batch pairs + this). Same geometry,
+    same pigeonhole completeness at radius 3, own corpus slot."""
+    from pypgsync_spark.operators.multimodal import (
+        audio_fingerprint_bands,
+        with_neardup_audio_payload,
+    )
+
+    return banded_screen_stream(
+        stream_docs,
+        corpus_docs,
+        lambda df: audio_fingerprint_bands(
+            with_neardup_audio_payload(df, id_col=id_col)
+        ),
+        _AUD_SCREEN_BANDS_CACHE,
+        id_col=id_col,
+        max_hamming=max_hamming,
     )

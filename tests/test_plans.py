@@ -502,3 +502,37 @@ def test_screen_corpus_band_tables_are_persisted(spark, sf_small):
     # single-slot discipline: a second call releases the previous copy
     sd.semantic_screen_stream(stream, corpus)
     assert len(sd._CORPUS_BANDS_CACHE) == 1
+
+
+def test_audio_screen_corpus_band_table_is_persisted(spark, sf_small):
+    """mm12: the audio screen's corpus band table must be PERSISTED in
+    the audio family's OWN slot (corpus decode/signing paid once per
+    corpus version, not per micro-batch — and never evicting the image
+    screen's slot: the two modalities' screens may run in one pipeline,
+    pipe7's composition argument)."""
+    from pyspark.sql import functions as F
+
+    from pypgsync_spark.catalog import table_path
+    from pypgsync_spark.streaming import dedupe as sd
+
+    dpath = table_path(sf_small, "documents")
+    dcorpus = spark.read.parquet(dpath).filter(F.col("doc_id") % 10 != 0)
+    dstream = (
+        spark.readStream.schema(spark.read.parquet(dpath).schema)
+        .parquet(dpath)
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    img_before = list(sd._IMG_BANDS_CACHE)
+    sd.audio_screen_stream(dstream, dcorpus)
+    assert len(sd._AUD_SCREEN_BANDS_CACHE) == 1
+    cached = sd._AUD_SCREEN_BANDS_CACHE[0]
+    cached.count()  # materialize the cache
+    p = cached._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in p
+    # scoped slot: signing the audio corpus must not evict the image one
+    assert list(sd._IMG_BANDS_CACHE) == img_before
+
+    # single-slot discipline within the family: a second call releases
+    # the previous copy
+    sd.audio_screen_stream(dstream, dcorpus)
+    assert len(sd._AUD_SCREEN_BANDS_CACHE) == 1

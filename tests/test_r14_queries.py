@@ -1,0 +1,99 @@
+"""Property tests for the r14 additions: v13 (SQ8 quantized-scan ANN),
+tx17 (DSIR importance weights). The oracle harness covers hash-exactness
+vs DuckDB; these pin the semantic claims the oracles can't state —
+recall vs the exact truth, quantizer error envelope, and the
+target-vs-pool discrimination DSIR exists to provide."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pypgsync_spark.catalog import load_table
+from pypgsync_spark.operators.similarity import brute_force_topk, sq8_approx_scores
+from pypgsync_spark.queries import REGISTRY
+
+
+def _emb(spark, sf):
+    return load_table(spark, sf, "embeddings")
+
+
+def _qvec(spark, sf, vec_id=0):
+    return list(_emb(spark, sf).filter(F.col("vec_id") == vec_id).first()["embedding"])
+
+
+def test_sq8_ann_recall_and_exact_rerank(spark, sf_small):
+    emb = _emb(spark, sf_small)
+    q = _qvec(spark, sf_small)
+    truth = brute_force_topk(emb, q, k=10).collect()
+    approx = REGISTRY["v13_sq8_ann_topk"].fn(spark, sf_small).collect()
+    assert len(approx) == 10
+    recall = (
+        len({r["vec_id"] for r in truth} & {r["vec_id"] for r in approx}) / 10
+    )
+    # 8-bit per-vector quantization at dim 64 barely perturbs cosines;
+    # a 50-candidate shortlist should recover essentially all of top-10
+    assert recall >= 0.8, f"SQ8 ANN recall {recall} too low"
+    # every emitted hit carries the TRUE cosine (exact re-rank, not the
+    # approximate score)
+    t = {
+        r["vec_id"]: r["cos_sim"]
+        for r in brute_force_topk(emb, q, k=10_000).collect()
+    }
+    for r in approx:
+        assert abs(t[r["vec_id"]] - r["cos_sim"]) < 1e-6
+
+
+def test_sq8_scores_within_quantizer_envelope(spark, sf_small):
+    """The approximate cosine of the reconstructed vector must sit
+    within a loose quantizer-error envelope of the exact cosine for
+    EVERY corpus vector (per-element error <= scale/2 = range/510,
+    which perturbs a dim-64 cosine by far less than 0.05)."""
+    emb = _emb(spark, sf_small)
+    q = _qvec(spark, sf_small)
+    exact = {
+        r["vec_id"]: r["cos_sim"]
+        for r in brute_force_topk(emb, q, k=10_000).collect()
+    }
+    scored = sq8_approx_scores(emb, q).collect()
+    assert len(scored) == len(exact)
+    for r in scored:
+        assert abs(r["acos_sim"] - exact[r["vec_id"]]) < 0.05, r["vec_id"]
+
+
+def test_sq8_flat_vector_reconstructs_exactly(spark):
+    """mx == mn (constant vector) must take the pass-through arm: the
+    approximate score equals the exact cosine, no 0/0 from the
+    degenerate scale."""
+    rows = [
+        (0, [1.0] * 8),
+        (1, [2.5] * 8),
+        (2, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["acos_sim"] for r in sq8_approx_scores(df, [1.0] * 8).collect()}
+    assert abs(out[0] - 1.0) < 1e-12
+    assert abs(out[1] - 1.0) < 1e-12  # same direction, different norm
+    assert 0.0 < out[2] < 1.0
+
+
+def test_tx17_dsir_separates_target_from_pool(spark, sf_small):
+    """DSIR's whole point: documents drawn from the target slice must
+    average a HIGHER importance weight than the pool — the weight is
+    the log-likelihood ratio of target vs raw over the doc's hashed
+    bigrams, so src0 docs (the target) sit closest to the target
+    distribution by construction."""
+    docs = load_table(spark, sf_small, "documents")
+    w = REGISTRY["tx17_dsir_weights"].fn(spark, sf_small)
+    j = w.join(docs.select("doc_id", "source"), "doc_id")
+    rows = j.groupBy(F.col("source") == "src0").agg(
+        F.avg("dsir_w").alias("m"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    m = {r[0]: (r["m"], r["n"]) for r in rows}
+    assert True in m and False in m
+    assert m[True][0] > m[False][0], m
+    # every doc with >= 2 tokens gets a finite weight
+    n_docs_with_bigrams = docs.filter(
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 2
+    ).count()
+    assert w.count() == n_docs_with_bigrams
+    assert w.filter(F.isnan("dsir_w") | F.col("dsir_w").isNull()).count() == 0
