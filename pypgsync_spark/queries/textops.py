@@ -2921,7 +2921,18 @@ _DSIR_TARGET = "src0"
     """,
 )
 def tx17_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    return dsir_weights(_docs(spark, sf_dir))
+
+
+def dsir_weights(
+    d: DataFrame,
+    target: str = _DSIR_TARGET,
+    n_buckets: int = _DSIR_B,
+    view: str = "pypgsync_tx17_bg",
+) -> DataFrame:
+    """The DSIR chain over any (doc_id, source, text) frame — tx17's
+    body, parametrized so the scale probe can drive it over staged
+    multiplied corpora (scripts/probe_scale.py dsir)."""
     tk = tokens(F.col("text"))
     ln_ = F.greatest(F.size(tk) - 1, F.lit(0))
     arr = F.arrays_zip(
@@ -2944,7 +2955,7 @@ def tx17_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                     16,
                     10,
                 ).cast("long")
-                % _DSIR_B
+                % n_buckets
             ).alias("f"),
         )
         # three aggregates consume this; checkpoint lazily so the
@@ -2953,7 +2964,7 @@ def tx17_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cr = bg.groupBy("f").agg(F.count(F.lit(1)).alias("c_r"))
     ct = (
-        bg.filter(F.col("source") == _DSIR_TARGET)
+        bg.filter(F.col("source") == target)
         .groupBy("f")
         .agg(F.count(F.lit(1)).alias("c_t"))
     )
@@ -2969,12 +2980,12 @@ def tx17_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bigram table (tx9's pattern — no 1-row crossJoin, which Spark
     # plans as a BroadcastNestedLoopJoin the plan sweep forbids);
     # T_r/T_t are plain counts of the table the aggregates consumed
-    bg.createOrReplaceTempView("pypgsync_tx17_bg")
+    bg.createOrReplaceTempView(view)
     kc = F.expr(
-        f"log2((SELECT CAST(count(*) AS DOUBLE) FROM pypgsync_tx17_bg)"
-        f" + {_DSIR_B}.0D)"
-        f" - log2((SELECT CAST(count(*) AS DOUBLE) FROM pypgsync_tx17_bg"
-        f" WHERE source = '{_DSIR_TARGET}') + {_DSIR_B}.0D)"
+        f"log2((SELECT CAST(count(*) AS DOUBLE) FROM {view})"
+        f" + {n_buckets}.0D)"
+        f" - log2((SELECT CAST(count(*) AS DOUBLE) FROM {view}"
+        f" WHERE source = '{target}') + {n_buckets}.0D)"
     )
     return (
         nd.join(lr, "f")

@@ -981,3 +981,101 @@ def v13_sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
     )
     return brute_force_topk(cand, qv, k=_TOPK)
+
+
+@register(
+    "v14_ivf_sq8_topk",
+    bench=134,
+    survey="ext:similarity",
+    doc="IVF + SQ8 composite ANN top-10 — the faiss 'IVF8,SQ8' index "
+    "shape: v5's cell pruning bounds WHICH vectors are scanned (8 "
+    "deterministic centroids, first-max-wins assignment, 2 probed "
+    "cells by driver-side seq_cosine with lowest-cell-id ties), v13's "
+    "int8 scalar quantization bounds the BANDWIDTH of that scan (the "
+    "Arrow kernel scores reconstructed vectors against the exact "
+    "query), and the top-50 shortlist by ROUNDED approx score is "
+    "exact-reranked. Every stage is deterministic, so the oracle "
+    "restates the full composite: assignment, probe ranking, "
+    "quantize-reconstruct-score, shortlist, rerank. At 100 TB the "
+    "assignment is the write-once partitionBy(cell) table and the "
+    "int8 codes are materialized alongside it — a query touches "
+    "n_probe cells at a quarter of the float32 bytes. Recall vs v1 "
+    "pytest-asserted.",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    probe AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               row_number() OVER (ORDER BY
+                 list_dot_product(c.cv, q.qv)
+                 / (sqrt(list_dot_product(c.cv, c.cv))
+                    * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                 c.cid) AS rn
+        FROM c, q
+      ) WHERE rn <= 2
+    ),
+    a AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                 c.cid) AS rn
+        FROM e CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT e.vec_id, e.v FROM e JOIN a USING (vec_id)
+      WHERE a.cid IN (SELECT cid FROM probe)
+    ),
+    m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM cand),
+    r AS (
+      SELECT vec_id, v,
+             CASE WHEN mx = mn THEN v
+                  ELSE list_transform(v, x ->
+                         floor((x - mn) / ((mx - mn) / 255.0) + 0.5)
+                         * ((mx - mn) / 255.0) + mn)
+             END AS rv
+      FROM m
+    ),
+    ax AS (
+      SELECT r.vec_id, r.v,
+             round(list_dot_product(r.rv, q.qv)
+                   / (sqrt(list_dot_product(r.rv, r.rv))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS acos_sim
+      FROM r, q
+    ),
+    short AS (SELECT vec_id, v FROM ax ORDER BY acos_sim DESC, vec_id LIMIT 50)
+    SELECT short.vec_id,
+           round(list_dot_product(short.v, q.qv)
+                 / (sqrt(list_dot_product(short.v, short.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+    FROM short, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def v14_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    # v5's deterministic centroid seed + probe selection
+    cent_rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    centroids = [list(r["embedding"]) for r in cent_rows]
+    from pypgsync_spark.operators.similarity import probe_cells
+
+    probes = probe_cells(centroids, qv, n_probe=2)
+    cand_cells = ivf_assign(emb, centroids).filter(F.col("cell").isin(probes))
+    shortlist = (
+        sq8_approx_scores(cand_cells, qv)
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(F.col("acos_sim"), 6).alias("acos_r"),
+        )
+        .orderBy(F.col("acos_r").desc(), "vec_id")
+        .limit(50)
+    )
+    return brute_force_topk(shortlist, qv, k=_TOPK)

@@ -611,6 +611,74 @@ def work_mmscreen(spark, path: str) -> int:
     return image_screen_stream(spark.read.parquet(path), corpus).count()
 
 
+def run_sq8(spark, path: str) -> None:
+    # v13's quantized-scan ANN: kernel scores + top-50 heap + exact
+    # re-rank, against the ORIGINAL corpus's vec 0 as the query
+    from pypgsync_spark.operators.similarity import (
+        brute_force_topk,
+        sq8_approx_scores,
+    )
+
+    q = list(
+        load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .first()["embedding"]
+    )
+    emb = spark.read.parquet(path)
+    cand = (
+        sq8_approx_scores(emb, q)
+        .select(
+            "vec_id", "embedding", F.round(F.col("acos_sim"), 6).alias("acos_r")
+        )
+        .orderBy(F.col("acos_r").desc(), "vec_id")
+        .limit(50)
+    )
+    brute_force_topk(cand, q, k=10).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
+def run_dsir(spark, path: str) -> None:
+    # tx17's chain over the staged corpus (the same dsir_weights the
+    # query runs — one copy of the logic)
+    from pypgsync_spark.queries.textops import dsir_weights
+
+    dsir_weights(
+        spark.read.parquet(path), view="pypgsync_probe_dsir_bg"
+    ).write.format("noop").mode("overwrite").save()
+
+
+def run_audscreen(spark, path: str) -> None:
+    from pypgsync_spark.streaming.balance import stream_shuffle_partitions
+    from pypgsync_spark.streaming.dedupe import audio_screen_stream
+
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    corpus = load_table(spark, SF_DIR, "documents").filter(
+        F.col("doc_id") % 10 != 0
+    )
+    with stream_shuffle_partitions(spark, "auto"):
+        q = (
+            audio_screen_stream(stream, corpus)
+            .writeStream.outputMode("append")
+            .format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+def work_audscreen(spark, path: str) -> int:
+    """Screen-row count by the PRODUCT operator itself on the staged
+    batch frame (the work_mmscreen discipline)."""
+    from pypgsync_spark.streaming.dedupe import audio_screen_stream
+
+    corpus = load_table(spark, SF_DIR, "documents").filter(
+        F.col("doc_id") % 10 != 0
+    )
+    return audio_screen_stream(spark.read.parquet(path), corpus).count()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -631,6 +699,9 @@ def main() -> None:
             "phash",
             "afp",
             "mmscreen",
+            "sq8",
+            "dsir",
+            "audscreen",
         ],
     )
     ap.add_argument("multipliers", nargs="*", type=int, default=[1, 10])
@@ -675,6 +746,14 @@ def main() -> None:
         "afp": (stage_phash, run_afp, 3, None, None),
         # mm10's stateless image screen: intrinsic work = screen rows
         "mmscreen": (stage_mmscreen, run_mmscreen, 2, work_mmscreen, "screen_rows"),
+        # v13's SQ8 quantized scan: linear in corpus rows (kernel map
+        # + per-partition candidate heaps, zero shuffles)
+        "sq8": (stage_knn, run_sq8, 3, None, None),
+        # tx17's DSIR chain: linear in bigram occurrences (explode +
+        # three map-side-combined aggregates off one checkpoint)
+        "dsir": (stage_docs, run_dsir, 3, None, None),
+        # mm12's stateless audio screen: intrinsic work = screen rows
+        "audscreen": (stage_mmscreen, run_audscreen, 2, work_audscreen, "screen_rows"),
     }[args.op]
 
     results = []

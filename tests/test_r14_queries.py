@@ -97,3 +97,24 @@ def test_tx17_dsir_separates_target_from_pool(spark, sf_small):
     ).count()
     assert w.count() == n_docs_with_bigrams
     assert w.filter(F.isnan("dsir_w") | F.col("dsir_w").isNull()).count() == 0
+
+
+def test_v14_ivf_sq8_recall(spark, sf_small):
+    """The IVF+SQ8 composite must still recover the brute-force top-10
+    well: cell pruning (2/8 probes) is the only recall risk — the SQ8
+    stage's 50-candidate shortlist inside the probed cells barely
+    perturbs ranks (test_sq8_scores_within_quantizer_envelope)."""
+    emb = _emb(spark, sf_small)
+    q = _qvec(spark, sf_small)
+    truth = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    approx = REGISTRY["v14_ivf_sq8_topk"].fn(spark, sf_small).collect()
+    assert len(approx) == 10
+    recall = len(truth & {r["vec_id"] for r in approx}) / 10
+    assert recall >= 0.5, f"IVF+SQ8 recall {recall} too low"
+    # exact re-rank: emitted cosines are the true ones
+    t = {
+        r["vec_id"]: r["cos_sim"]
+        for r in brute_force_topk(emb, q, k=10_000).collect()
+    }
+    for r in approx:
+        assert abs(t[r["vec_id"]] - r["cos_sim"]) < 1e-6
