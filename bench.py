@@ -704,7 +704,8 @@ def main() -> None:
             "settled end 1.43) — r13's 131.2 s with one MORE rank's "
             "work, i.e. flat-to-down round-over-round and still "
             "under the 135 s revisit trigger. r14 adds three more "
-            "ranks after the artifact (v13/tx17/mm12/v14 at 131-134, "
+            "ranks after the artifact (v13/tx17/mm12/v14/pipe8 at "
+            "131-135, "
             "first figures land in the driver's BENCH_r14), so "
             "project ~131 ranks / ~130 s next round; the 150 s "
             "crossing still sits ~r16-r17. First candidates "
@@ -714,8 +715,8 @@ def main() -> None:
             "mm11_audio_fp_pairs / pipe7_cross_modal_screen at ranks "
             "128-130 (in the committed artifact) and "
             "v13_sq8_ann_topk / tx17_dsir_weights / "
-            "mm12_stream_audio_screen / v14_ivf_sq8_topk at 131-134 "
-            "(post-artifact, "
+            "mm12_stream_audio_screen / v14_ivf_sq8_topk / "
+            "pipe8_dsir_select_pack at 131-135 (post-artifact, "
             "driver-run only); compare round-over-round on shared "
             "keys (bench_diff.py), not totals.",
             "r13_rank_retirement": "restated per r12 verdict #7: NOT "

@@ -2872,25 +2872,12 @@ def pipe3_bpe_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_B = 512  # hashed feature buckets
 _DSIR_TARGET = "src0"
 
-
-@register(
-    "tx17_dsir_weights",
-    bench=132,
-    survey="ext:text,ext:sampling",
-    doc="DSIR importance weights — per-document hashed-bigram "
-    "log-likelihood ratio of the src0 target distribution vs the raw "
-    "pool (add-1 smoothing over 512 md5-hashed buckets), the "
-    "importance-resampling score that upsamples pool documents "
-    "distributionally close to a curated target. One explode feeding "
-    "three map-side-combined aggregates off a lazily checkpointed "
-    "bigram-bucket table (computed once, not thrice), a broadcast "
-    "join of the 512-row bucket ratio table onto per-doc bucket "
-    "counts, and scalar normalizer constants from 1-row cross joins "
-    "(no driver-side collect). Every log2 argument is an integer "
-    "(counts + 1, totals + B) so the cross-engine parity class is "
-    "tx9's log2-of-integer, not log-of-ratio.",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, source, {_DUCK_TOKENS} AS tk FROM documents),
+# the per-doc DSIR weight chain in DuckDB SQL, shared by tx17 (the
+# weights themselves) and pipe8 (weights -> per-source top-rank
+# selection -> packing). Defines CTEs t/bg/cr/ct/lr/nd/konst/
+# dsir(doc_id, dsir_w); ends WITHOUT a trailing comma so consumers
+# either SELECT from dsir directly or chain ", more AS (...)".
+_DUCK_DSIR_CHAIN = f"""WITH t AS (SELECT doc_id, source, {_DUCK_TOKENS} AS tk FROM documents),
     bg AS (
       SELECT doc_id, source,
              CAST(concat('0x', substr(md5(
@@ -2912,12 +2899,35 @@ _DSIR_TARGET = "src0"
     konst AS (
       SELECT log2((SELECT CAST(sum(c_r) AS DOUBLE) FROM cr) + {_DSIR_B})
            - log2((SELECT CAST(sum(c_t) AS DOUBLE) FROM ct) + {_DSIR_B}) AS kc
-    )
-    SELECT nd.doc_id,
-           round(SUM(nd.n * lr.lr) / SUM(nd.n) + (SELECT kc FROM konst), 6)
-             AS dsir_w
-    FROM nd JOIN lr USING (f)
-    GROUP BY nd.doc_id
+    ),
+    dsir AS (
+      SELECT nd.doc_id,
+             round(SUM(nd.n * lr.lr) / SUM(nd.n) + (SELECT kc FROM konst), 6)
+               AS dsir_w
+      FROM nd JOIN lr USING (f)
+      GROUP BY nd.doc_id
+    )"""
+
+
+@register(
+    "tx17_dsir_weights",
+    bench=132,
+    survey="ext:text,ext:sampling",
+    doc="DSIR importance weights — per-document hashed-bigram "
+    "log-likelihood ratio of the src0 target distribution vs the raw "
+    "pool (add-1 smoothing over 512 md5-hashed buckets), the "
+    "importance-resampling score that upsamples pool documents "
+    "distributionally close to a curated target. One explode feeding "
+    "three map-side-combined aggregates off a lazily checkpointed "
+    "bigram-bucket table (computed once, not thrice), a broadcast "
+    "join of the 512-row bucket ratio table onto per-doc bucket "
+    "counts, and scalar normalizer constants from 1-row cross joins "
+    "(no driver-side collect). Every log2 argument is an integer "
+    "(counts + 1, totals + B) so the cross-engine parity class is "
+    "tx9's log2-of-integer, not log-of-ratio.",
+    oracle=f"""
+    {_DUCK_DSIR_CHAIN}
+    SELECT doc_id, dsir_w FROM dsir
     """,
 )
 def tx17_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3061,3 +3071,74 @@ def mm12_stream_audio_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return _screen_verdict(drained, max_hamming=3)
+
+
+@register(
+    "pipe8_dsir_select_pack",
+    bench=135,
+    survey="ext:sampling,ext:text,W1",
+    doc="DSIR importance RESAMPLING into training sequences — the "
+    "selection tx17's weights exist for: rank every document within "
+    "its source by (dsir_w DESC, doc_id), keep the top 40% per "
+    "source (ceil(0.4·n), deterministic rounded-weight rank — both "
+    "engines rank the identical round-6 value tx17 hash-verifies), "
+    "then pack the survivors into 2048-token sequences with pack1's "
+    "distributed two-level prefix sum. The per-source selection "
+    "window sorts (doc_id, weight) pairs only — text never rides it; "
+    "at 100 TB the exact rank becomes a sampled weight-quantile "
+    "threshold + map-side filter (samp1 composes), which this "
+    "oracle-checkable exact form bounds. One pipeline: weights → "
+    "rank → filter → pack, the full chain restated in SQL off the "
+    "shared _DUCK_DSIR_CHAIN.",
+    oracle=f"""
+    {_DUCK_DSIR_CHAIN},
+    ranked AS (
+      SELECT d.doc_id, d.source, ds.dsir_w,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY ds.dsir_w DESC, d.doc_id) AS rn,
+             count(*) OVER (PARTITION BY d.source) AS cnt
+      FROM documents d JOIN dsir ds ON d.doc_id = ds.doc_id
+    ),
+    sel AS (
+      SELECT doc_id, source FROM ranked
+      WHERE rn <= CAST(ceil(0.4 * cnt) AS BIGINT)
+    ),
+    tok AS (
+      SELECT s.source, s.doc_id, len({_DUCK_TOKENS}) AS n_tokens
+      FROM sel s JOIN documents USING (doc_id)
+    ),
+    c AS (
+      SELECT source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM tok
+    )
+    SELECT source, CAST(off // 2048 AS BIGINT) AS chunk_id,
+           count(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
+    FROM c GROUP BY source, chunk_id
+    """,
+)
+def pipe8_dsir_select_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pypgsync_spark.operators.packing import pack_chunks
+
+    d = _docs(spark, sf_dir)
+    w = dsir_weights(d, view="pypgsync_pipe8_bg")
+    base = d.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    j = base.join(w, "doc_id")
+    win = Window.partitionBy("source").orderBy(F.col("dsir_w").desc(), "doc_id")
+    cw = Window.partitionBy("source")
+    sel = (
+        j.withColumn("__rn", F.row_number().over(win))
+        .withColumn("__cnt", F.count(F.lit(1)).over(cw))
+        .filter(F.col("__rn") <= F.ceil(F.lit(0.4) * F.col("__cnt")))
+        .select("doc_id", "source", "n_tokens")
+    )
+    return pack_chunks(
+        sel, "source", "doc_id", "n_tokens", budget=2048, bucket_size=1000
+    )

@@ -118,3 +118,51 @@ def test_v14_ivf_sq8_recall(spark, sf_small):
     }
     for r in approx:
         assert abs(t[r["vec_id"]] - r["cos_sim"]) < 1e-6
+
+
+def test_pipe8_selects_top_fraction_and_conserves_tokens(spark, sf_small):
+    """pipe8's selection must keep exactly ceil(0.4·n) docs per source
+    (the deterministic rank cut), and packing must conserve the
+    selected docs' token mass (pack3's conservation claim applied
+    through the DSIR gate)."""
+    from pypgsync_spark.functions.text import tokens
+    from pypgsync_spark.queries.textops import dsir_weights
+
+    docs = load_table(spark, sf_small, "documents")
+    out = REGISTRY["pipe8_dsir_select_pack"].fn(spark, sf_small)
+    packed = out.groupBy("source").agg(
+        F.sum("n_docs").alias("nd"), F.sum("chunk_tokens").alias("nt")
+    )
+    got = {r["source"]: (r["nd"], r["nt"]) for r in packed.collect()}
+
+    import math
+
+    w = dsir_weights(docs, view="pypgsync_test_pipe8_bg")
+    per_src = {
+        r["source"]: r["n"]
+        for r in docs.join(w, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for src, n in per_src.items():
+        assert got[src][0] == math.ceil(0.4 * n), (src, n, got[src])
+    # token conservation: re-derive the selected set and its mass
+    from pyspark.sql import Window
+
+    jn = docs.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens")
+    ).join(w, "doc_id")
+    win = Window.partitionBy("source").orderBy(F.col("dsir_w").desc(), "doc_id")
+    cw = Window.partitionBy("source")
+    sel_mass = {
+        r["source"]: r["nt"]
+        for r in jn.withColumn("__rn", F.row_number().over(win))
+        .withColumn("__cnt", F.count(F.lit(1)).over(cw))
+        .filter(F.col("__rn") <= F.ceil(F.lit(0.4) * F.col("__cnt")))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("nt"))
+        .collect()
+    }
+    for src, nt in sel_mass.items():
+        assert got[src][1] == nt, (src, nt, got[src])
