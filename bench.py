@@ -703,11 +703,11 @@ def main() -> None:
             "ranks at 125.8 s quiet steady (start load 0.45, "
             "settled end 1.43) — r13's 131.2 s with one MORE rank's "
             "work, i.e. flat-to-down round-over-round and still "
-            "under the 135 s revisit trigger. r14 adds three more "
+            "under the 135 s revisit trigger. r14 adds five more "
             "ranks after the artifact (v13/tx17/mm12/v14/pipe8 at "
             "131-135, "
             "first figures land in the driver's BENCH_r14), so "
-            "project ~131 ranks / ~130 s next round; the 150 s "
+            "project ~133 ranks / ~131 s next round; the 150 s "
             "crossing still sits ~r16-r17. First candidates "
             "unchanged (d6 vs d5, d13 vs d12, d9 vs pipe2's "
             "embedded canonicalization).",

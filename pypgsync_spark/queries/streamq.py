@@ -846,26 +846,14 @@ def pipe7_cross_modal_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
 
-    # batch verdict on the drained screen rows (mm10's shape), token
-    # counts re-derived through the same gate on the batch read
-    hits = (
-        drained.filter(F.col("cand_id").isNotNull() & (F.col("hamming") <= 3))
-        .dropDuplicates(["doc_id", "cand_id"])
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("nm"), F.min("hamming").alias("bh"))
-        .withColumnRenamed("doc_id", "doc_id_r")
-    )
-    base = drained.select("doc_id").dropDuplicates(["doc_id"]).join(
-        gate(spark.read.parquet(path)), on="doc_id"
-    )
-    return base.join(
-        hits, on=base["doc_id"] == hits["doc_id_r"], how="left"
-    ).select(
-        "doc_id",
-        "n_tokens",
-        F.coalesce(F.col("nm"), F.lit(0)).cast("long").alias("n_matches"),
-        F.coalesce(F.col("bh"), F.lit(-1)).cast("int").alias("best_hamming"),
-        F.when(F.col("nm").isNull(), F.lit(1)).otherwise(F.lit(0))
-        .cast("int")
-        .alias("is_novel"),
+    # batch verdict on the drained screen rows — THE shared verdict
+    # (textops._screen_verdict, one copy with mm10/mm12; r14 review:
+    # this carried a third line-for-line copy) — then the token counts
+    # re-derived through the same gate on the batch read
+    from pypgsync_spark.queries.textops import _screen_verdict
+
+    return (
+        _screen_verdict(drained, max_hamming=3)
+        .join(gate(spark.read.parquet(path)), on="doc_id")
+        .select("doc_id", "n_tokens", "n_matches", "best_hamming", "is_novel")
     )

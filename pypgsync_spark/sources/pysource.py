@@ -163,8 +163,15 @@ def _is_writer_lock_error(exc: Exception) -> bool:
     """True when a read-only open failed because the single writer
     still holds the database file — the documented handoff race. Only
     the lock conflict is retryable; any other IO error (missing file,
-    corruption) must keep raising."""
-    return "lock" in str(exc).lower()
+    corruption) must keep raising. Matched on DuckDB's lock-conflict
+    phrases ('Could not set lock on file ...: Conflicting lock is
+    held in <proc>'), NOT a bare 'lock' substring — the message
+    embeds the database PATH, so a path that merely contains 'lock'
+    (this repo's own locked_src.duckdb fixture name) would classify a
+    missing-file/corruption error as the retryable race and idle the
+    stream forever instead of failing it (r14 review)."""
+    s = str(exc).lower()
+    return "conflicting lock" in s or "could not set lock" in s
 
 
 def _sql_from_clause(table_path: str, db_path: str | None) -> str:

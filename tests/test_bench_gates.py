@@ -90,12 +90,35 @@ def test_alltime_min_per_rank(tmp_path):
     assert got == {"v9": 0.61, "j14": 0.91}
 
 
-def test_prior_is_alltime_min_semantics():
-    """The mover-entry predicate: prior == the all-time floor marks the
-    flag as regression-to-the-mean-shaped; a prior above the floor does
-    not."""
-    alltime = {"v9": 0.61}
+def test_alltime_min_per_rank_scans_artifacts(tmp_path):
+    """_alltime_min_per_rank must take the per-rank MINIMUM across all
+    readable artifacts, ignore non-numeric query values, and skip
+    unreadable files (scratch runs, partial writes) — and the mover
+    predicate `old <= alltime.get(k, old)` over its output must mark
+    exactly the all-time-floor priors (r14 review: the previous test
+    asserted literals and exercised no bench.py code)."""
+    import json as _json
+
+    import bench
+
+    a1 = tmp_path / "bench_local_r1.json"
+    a1.write_text(_json.dumps({"queries": {"v9": 0.80, "j14": 1.20}}))
+    a2 = tmp_path / "bench_local_r2.json"
+    a2.write_text(
+        _json.dumps({"queries": {"v9": 0.61, "j14": 1.50, "bad": "n/a"}})
+    )
+    broken = tmp_path / "bench_local_r3.json"
+    broken.write_text("{not json")
+    missing = tmp_path / "bench_local_r4.json"
+
+    alltime = bench._alltime_min_per_rank(
+        [str(a1), str(a2), str(broken), str(missing)]
+    )
+    assert alltime == {"v9": 0.61, "j14": 1.20}
+
+    # the _auto_ab entry predicate over the real dict: the floor prior
+    # flags True, an above-floor prior False, an unknown rank defaults
+    # to True (its only figure IS its minimum)
     assert (0.61 <= alltime.get("v9", 0.61)) is True
-    assert (0.80 <= alltime.get("v9", 0.80)) is False
-    # a rank with no history defaults to True (its only figure IS the min)
+    assert (1.50 <= alltime.get("j14", 1.50)) is False
     assert (1.0 <= alltime.get("new_rank", 1.0)) is True

@@ -242,3 +242,43 @@ def test_cdc_offset_probe_tolerates_mid_stream_writer_lock(tmp_path):
     # writer released: the stream resumes and the offset advances
     _upsert_wave(db, [(2, 102, 2.0, "n2")])
     assert warm.latestOffset() == {"last": 2}
+
+
+def test_lock_classifier_ignores_lock_in_database_path(tmp_path):
+    """r14 review: the writer-lock classifier must match DuckDB's
+    lock-conflict PHRASES, not a bare 'lock' substring — the exception
+    text embeds the database path, and a missing database whose PATH
+    contains 'lock' (this file's own locked_src.duckdb fixture name!)
+    is NOT the retryable handoff race; a warm reader must raise, not
+    idle forever at its last offset."""
+    import pytest
+
+    from pypgsync_spark.sources.pysource import (
+        SqlCdcStreamReader,
+        _is_writer_lock_error,
+    )
+
+    db = str(tmp_path / "locked_src.duckdb")
+    conn = duckdb.connect(db)
+    conn.execute(
+        "CREATE TABLE events_src ("
+        "id BIGINT PRIMARY KEY, updated BIGINT, value DOUBLE, note VARCHAR)"
+    )
+    conn.close()
+    _upsert_wave(db, [(1, 101, 1.0, "n1")])
+
+    opts = {"table_path": "events_src", "partition_column": "id", "db_path": db}
+    warm = SqlCdcStreamReader(None, dict(opts))
+    assert warm.latestOffset() == {"last": 1}
+
+    # database vanishes mid-stream: the IOException text contains
+    # 'lock' only via the path — must NOT be classified retryable
+    import os
+
+    os.remove(db)
+    try:
+        duckdb.connect(db, read_only=True)
+    except Exception as e:
+        assert not _is_writer_lock_error(e), str(e)
+    with pytest.raises(duckdb.Error):
+        warm.latestOffset()
