@@ -703,11 +703,11 @@ def main() -> None:
             "ranks at 125.8 s quiet steady (start load 0.45, "
             "settled end 1.43) — r13's 131.2 s with one MORE rank's "
             "work, i.e. flat-to-down round-over-round and still "
-            "under the 135 s revisit trigger. r14 adds five more "
-            "ranks after the artifact (v13/tx17/mm12/v14/pipe8 at "
-            "131-135, "
+            "under the 135 s revisit trigger. r14 adds six more "
+            "ranks after the artifact (v13/tx17/mm12/v14/pipe8/d16 at "
+            "131-136, "
             "first figures land in the driver's BENCH_r14), so "
-            "project ~133 ranks / ~131 s next round; the 150 s "
+            "project ~134 ranks / ~132 s next round; the 150 s "
             "crossing still sits ~r16-r17. First candidates "
             "unchanged (d6 vs d5, d13 vs d12, d9 vs pipe2's "
             "embedded canonicalization).",
@@ -716,7 +716,8 @@ def main() -> None:
             "128-130 (in the committed artifact) and "
             "v13_sq8_ann_topk / tx17_dsir_weights / "
             "mm12_stream_audio_screen / v14_ivf_sq8_topk / "
-            "pipe8_dsir_select_pack at 131-135 (post-artifact, "
+            "pipe8_dsir_select_pack / d16_bloom_incremental_dedup at "
+            "131-136 (post-artifact, "
             "driver-run only); compare round-over-round on shared "
             "keys (bench_diff.py), not totals.",
             "r13_rank_retirement": "restated per r12 verdict #7: NOT "

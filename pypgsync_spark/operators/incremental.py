@@ -157,3 +157,104 @@ def cross_jaccard_pairs(
             "jaccard",
         )
     )
+
+
+def incremental_dedup_bloom(
+    corpus: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits_per_key: int = 16,
+    n_hashes: int = 5,
+    max_bloom_keys: int = 2_000_000,
+) -> DataFrame:
+    """:func:`incremental_dedup_exact` with a DELTA-side Bloom filter
+    pushed into the CORPUS fingerprint scan — same exact answer (the
+    Bloom only prunes anti-join INPUT; the anti join still decides),
+    scale-path plan. The corpus is the 100 TB side: the plain screen
+    ships every corpus fingerprint into the anti-join shuffle, but a
+    corpus row whose fingerprint cannot be in the delta can never
+    affect a LEFT ANTI result, so a delta-keyed Bloom test at the scan
+    drops ~all of the corpus before any shuffle — Spark's runtime
+    row-level filtering (InjectRuntimeFilter) made explicit and
+    deterministic.
+
+    Construction: the collapsed delta's fingerprints set k seeded
+    ``xxhash64`` bit positions in an m-bit bitset (m = next power of
+    two ≥ bits_per_key·n → false-positive rate ~0.1% at the defaults;
+    false NEGATIVES are impossible — corpus rows matching a delta
+    fingerprint hash to the same positions by construction, pinned by
+    test). The distinct positions are collected ONCE to the driver —
+    k·|delta| values, the bounded driver-scalar class (centroid seeds,
+    CC counters) — and the bitset rides the plan as an array<long>
+    literal; the per-row corpus test is k codegen'd shift/AND
+    expressions, no UDF, no per-row subquery.
+
+    Cost envelope of the pushed-down gate (measured, r14): predicate
+    pushdown substitutes the fingerprint alias into the scan filter,
+    and filter codegen does NOT common-subexpression-eliminate across
+    conjuncts — but the conjunction SHORT-CIRCUITS, so a corpus row
+    usually exits at its first bit test (~73% reject there at the
+    defaults: set-bit density 1 − e^(−k/bits_per_key) ≈ 0.27),
+    costing ~2–3 fingerprint evaluations per rejected row; only rows
+    passing every test (≈ true matches + ~0.1% false positives) pay
+    all k. All of it is map-side CPU at the scan, traded against
+    shipping every corpus fingerprint into the anti-join shuffle.
+    Driver boundedness is delta-proportional, so the constructor
+    falls back to the plain screen past ``max_bloom_keys`` (a ~10⁶-key
+    delta is ~MBs of positions; a delta at CORPUS scale is not an
+    ingest batch and the plain anti join is already the right plan).
+    """
+    import math
+
+    fp = content_fingerprint(F.col(text_col))
+    d = delta.withColumn("__fp", fp)
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    keepers = (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        # consumed twice (bloom build + anti join): checkpoint lazily,
+        # the count below materializes it
+        .localCheckpoint(eager=False)
+    )
+    n = keepers.count()
+    if n > max_bloom_keys:
+        corpus_fps = corpus.select(fp.alias("__fp"))
+        return keepers.join(corpus_fps, on="__fp", how="left_anti").drop("__fp")
+
+    m = max(64, 1 << math.ceil(math.log2(max(1, n * bits_per_key))))
+    seeds = list(range(1, n_hashes + 1))
+    pos_cols = [
+        F.xxhash64(F.col("__fp"), F.lit(s)).bitwiseAND(F.lit(m - 1))
+        for s in seeds
+    ]
+    positions = (
+        keepers.select(F.explode(F.array(*pos_cols)).alias("p"))
+        .distinct()
+        .collect()
+    )
+    mask = [0] * (m // 64)
+    for r in positions:
+        p = int(r["p"])
+        mask[p // 64] |= 1 << (p % 64)
+    # two's-complement into signed BIGINT literals
+    mask_sql = "array(" + ",".join(
+        f"{x - (1 << 64) if x >= (1 << 63) else x}L" for x in mask
+    ) + ")"
+
+    def bit_set(s: int) -> str:
+        h = f"(xxhash64(__fp, {s}) & {m - 1}L)"
+        return (
+            f"((element_at(__bloom, cast(shiftright({h}, 6) AS INT) + 1)"
+            f" & shiftleft(1L, cast({h} & 63L AS INT))) != 0L)"
+        )
+
+    cond = " AND ".join(bit_set(s) for s in seeds)
+    pruned = (
+        corpus.select(fp.alias("__fp"))
+        .withColumn("__bloom", F.expr(mask_sql))
+        .filter(F.expr(cond))
+        .drop("__bloom")
+    )
+    return keepers.join(pruned, on="__fp", how="left_anti").drop("__fp")

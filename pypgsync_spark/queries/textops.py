@@ -955,6 +955,57 @@ def d7_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d16_bloom_incremental_dedup",
+    bench=136,
+    survey="ext:dedup,§2.3",
+    doc="d7's incremental exact dedup with the DELTA-side Bloom filter "
+    "pushed into the CORPUS fingerprint scan "
+    "(operators/incremental.incremental_dedup_bloom) — the w1/w1b "
+    "precedent: SAME oracle answer, scale-path physical plan. The "
+    "plain screen ships every corpus fingerprint into the anti-join "
+    "shuffle; here a k-hash Bloom bitset built from the collapsed "
+    "delta's fingerprints (delta-proportional driver metadata, an "
+    "array<long> plan literal aliased in one projection) gates the "
+    "corpus side with codegen'd shift/AND expressions, so at 100 TB "
+    "the anti join sees ~|delta| corpus rows instead of |corpus| — "
+    "Spark's InjectRuntimeFilter made explicit and deterministic. No "
+    "false negatives by construction (pytest-pinned vs d7 row-for-"
+    "row); false positives only add harmless join input. Same "
+    "corpus/delta/re-crawl fixture as d7.",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, n_chars,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+      FROM documents
+    ),
+    delta AS (
+      SELECT * FROM (
+        SELECT doc_id, n_chars, f FROM fp WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, n_chars, f
+        FROM fp WHERE doc_id % 7 = 3
+      )
+      QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
+    )
+    SELECT d.doc_id, d.n_chars FROM delta d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM fp c WHERE c.doc_id % 10 <> 0 AND c.f = d.f
+    )
+    """,
+)
+def d16_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.operators.incremental import incremental_dedup_bloom
+
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    recrawl = d.filter(F.col("doc_id") % 7 == 3).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    delta = d.filter(F.col("doc_id") % 10 == 0).unionByName(recrawl)
+    return incremental_dedup_bloom(corpus, delta).select("doc_id", "n_chars")
+
+
+@register(
     "pack2_sliding_windows",
     bench=41,
     survey="ext:text,ext:sampling",

@@ -166,3 +166,61 @@ def test_pipe8_selects_top_fraction_and_conserves_tokens(spark, sf_small):
     }
     for src, nt in sel_mass.items():
         assert got[src][1] == nt, (src, nt, got[src])
+
+
+def test_d16_bloom_matches_plain_screen_and_has_no_false_negatives(
+    spark, sf_small
+):
+    """The Bloom gate must be answer-invariant: d16 ≡ d7 row-for-row
+    (same fixture, same oracle — the w1/w1b same-answer/scale-plan
+    precedent), on BOTH the literal-bitset path and the
+    max_bloom_keys fallback. No-false-negatives directly: every
+    corpus fingerprint that equals a delta fingerprint must survive
+    the bitset gate (a dropped one would silently resurrect a
+    duplicate)."""
+    from pypgsync_spark.functions.text import content_fingerprint
+    from pypgsync_spark.operators.incremental import (
+        incremental_dedup_bloom,
+        incremental_dedup_exact,
+    )
+
+    d = load_table(spark, sf_small, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    recrawl = d.filter(F.col("doc_id") % 7 == 3).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    delta = d.filter(F.col("doc_id") % 10 == 0).unionByName(recrawl)
+
+    plain = {
+        r["doc_id"]
+        for r in incremental_dedup_exact(corpus, delta).select("doc_id").collect()
+    }
+    bloom = {
+        r["doc_id"]
+        for r in incremental_dedup_bloom(corpus, delta).select("doc_id").collect()
+    }
+    assert bloom == plain and len(plain) > 0
+    # fallback path (delta over the key cap -> plain screen): same rows
+    fb = {
+        r["doc_id"]
+        for r in incremental_dedup_bloom(corpus, delta, max_bloom_keys=1)
+        .select("doc_id")
+        .collect()
+    }
+    assert fb == plain
+
+    # no false negatives: corpus rows sharing a delta fingerprint all
+    # pass the gate — compare the pruned-corpus fingerprint set against
+    # the exact semi-join
+    fp = content_fingerprint(F.col("text"))
+    cfp = corpus.select(fp.alias("__fp"))
+    dfp = delta.select(fp.alias("__fp")).distinct()
+    shared = {r["__fp"] for r in cfp.join(dfp, "__fp", "left_semi").collect()}
+    out = incremental_dedup_bloom(corpus, delta)
+    # re-derive the gate the operator used by checking the survivors:
+    # any shared-fingerprint delta doc must have been anti-joined away
+    kept_fps = {
+        r["__fp"]
+        for r in out.select(content_fingerprint(F.col("text")).alias("__fp")).collect()
+    }
+    assert not (kept_fps & shared), "a corpus duplicate survived the screen"
