@@ -1079,3 +1079,107 @@ def v14_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
     )
     return brute_force_topk(shortlist, qv, k=_TOPK)
+
+
+@register(
+    "v15_sq8_index_scan_topk",
+    bench=137,
+    survey="ext:similarity,S4,S7",
+    doc="The MATERIALIZED form of v14 — the index table v13/v14's "
+    "docstrings promise: one build pass writes (vec_id, mn, mx, "
+    "dim-byte int8 code BINARY) partitionBy(cell) — a quarter of the "
+    "float32 bytes, the parquet layout IS the index — then the query "
+    "probes 2 of 8 cells, and the read PRUNES to those partition "
+    "directories before any row is read (s9's partition-pruning "
+    "story applied to ANN; plan-asserted). The code-only scan "
+    "decodes+scores in one Arrow kernel (code·scale + mn reproduces "
+    "v13's reconstruction BIT-FOR-BIT: codes 0..255 are exact "
+    "doubles), heaps the top-50 by rounded approx score, and "
+    "LATE-MATERIALIZES: only those 50 rows join back to the float "
+    "vectors for the exact re-rank — full-precision data is touched "
+    "for |shortlist| rows, never |corpus|. Same oracle as v14 (the "
+    "math never sees the stored bytes); result pinned identical to "
+    "the unmaterialized composite. Build+query both run per call — "
+    "at 100 TB the build is the write-once index job and only the "
+    "query side recurs.",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    probe AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               row_number() OVER (ORDER BY
+                 list_dot_product(c.cv, q.qv)
+                 / (sqrt(list_dot_product(c.cv, c.cv))
+                    * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                 c.cid) AS rn
+        FROM c, q
+      ) WHERE rn <= 2
+    ),
+    a AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                 c.cid) AS rn
+        FROM e CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT e.vec_id, e.v FROM e JOIN a USING (vec_id)
+      WHERE a.cid IN (SELECT cid FROM probe)
+    ),
+    m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM cand),
+    r AS (
+      SELECT vec_id, v,
+             CASE WHEN mx = mn THEN v
+                  ELSE list_transform(v, x ->
+                         floor((x - mn) / ((mx - mn) / 255.0) + 0.5)
+                         * ((mx - mn) / 255.0) + mn)
+             END AS rv
+      FROM m
+    ),
+    ax AS (
+      SELECT r.vec_id, r.v,
+             round(list_dot_product(r.rv, q.qv)
+                   / (sqrt(list_dot_product(r.rv, r.rv))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS acos_sim
+      FROM r, q
+    ),
+    short AS (SELECT vec_id, v FROM ax ORDER BY acos_sim DESC, vec_id LIMIT 50)
+    SELECT short.vec_id,
+           round(list_dot_product(short.v, q.qv)
+                 / (sqrt(list_dot_product(short.v, short.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+    FROM short, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def v15_sq8_index_scan_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pypgsync_spark.operators.similarity import (
+        sq8_index_topk,
+        sq8_index_write,
+    )
+    from pypgsync_spark.queries.syncq import _pid_scratch_dir
+
+    emb = _emb(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    cent_rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    centroids = [list(r["embedding"]) for r in cent_rows]
+    # fresh index dir per call nested under the pid-scoped reaped
+    # parent (t8's /tmp discipline): a stale index written by older
+    # code must never serve a newer query's scan
+    parent = _pid_scratch_dir("v15_sq8_index", sf_dir)
+    os.makedirs(parent, exist_ok=True)
+    path = os.path.join(tempfile.mkdtemp(prefix="run_", dir=parent), "idx")
+    sq8_index_write(emb, centroids, path)
+    return sq8_index_topk(
+        spark, path, emb, centroids, qv, k=_TOPK, n_probe=2
+    )

@@ -224,3 +224,47 @@ def test_d16_bloom_matches_plain_screen_and_has_no_false_negatives(
         for r in out.select(content_fingerprint(F.col("text")).alias("__fp")).collect()
     }
     assert not (kept_fps & shared), "a corpus duplicate survived the screen"
+
+
+def test_v15_index_scan_matches_v14_and_prunes_partitions(
+    spark, sf_small, tmp_path
+):
+    """The materialized index must be answer-invariant (v15 ≡ v14 —
+    codes 0..255 decode to v13's reconstruction bit-for-bit) and the
+    probed read must PRUNE to the probed cells' partition directories
+    (PartitionFilters on cell, the s9 assertion applied to the ANN
+    index)."""
+    from pypgsync_spark.operators.similarity import (
+        probe_cells,
+        sq8_index_write,
+    )
+
+    v14 = [
+        (r["vec_id"], r["cos_sim"])
+        for r in REGISTRY["v14_ivf_sq8_topk"].fn(spark, sf_small).collect()
+    ]
+    v15 = [
+        (r["vec_id"], r["cos_sim"])
+        for r in REGISTRY["v15_sq8_index_scan_topk"].fn(spark, sf_small).collect()
+    ]
+    assert v15 == v14 and len(v15) == 10
+
+    emb = _emb(spark, sf_small)
+    q = _qvec(spark, sf_small)
+    cents = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    path = str(tmp_path / "idx")
+    sq8_index_write(emb, cents, path)
+    probes = probe_cells(cents, q, 2)
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # the pruned scan reads only the probed cells
+    cells = {r["cell"] for r in scan.select("cell").distinct().collect()}
+    assert cells <= set(probes)
+    # the index is a quarter-width scan: codes are dim bytes, not
+    # dim floats
+    row = spark.read.parquet(path).first()
+    assert len(bytes(row["code"])) == len(list(emb.first()["embedding"]))
