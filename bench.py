@@ -703,11 +703,11 @@ def main() -> None:
             "ranks at 125.8 s quiet steady (start load 0.45, "
             "settled end 1.43) — r13's 131.2 s with one MORE rank's "
             "work, i.e. flat-to-down round-over-round and still "
-            "under the 135 s revisit trigger. r14 adds seven more "
-            "ranks after the artifact (v13/tx17/mm12/v14/pipe8/d16/v15 "
-            "at 131-137, "
+            "under the 135 s revisit trigger. r14 adds eight more "
+            "ranks after the artifact (v13/tx17/mm12/v14/pipe8/d16/v15/"
+            "mm13 at 131-138, "
             "first figures land in the driver's BENCH_r14), so "
-            "project ~135 ranks / ~143 s next round (the new ranks "
+            "project ~136 ranks / ~145 s next round (the new ranks "
             "warm-timed 1.3-6.0 s each at bench settings, ~16.5 s "
             "total) — the 150 s crossing may arrive ~r15-r16, so "
             "evaluate the retirement rule AT r15, not after it. "
@@ -720,7 +720,8 @@ def main() -> None:
             "v13_sq8_ann_topk / tx17_dsir_weights / "
             "mm12_stream_audio_screen / v14_ivf_sq8_topk / "
             "pipe8_dsir_select_pack / d16_bloom_incremental_dedup / "
-            "v15_sq8_index_scan_topk at 131-137 (post-artifact, "
+            "v15_sq8_index_scan_topk / mm13_video_fp_pairs at 131-138 "
+            "(post-artifact, "
             "driver-run only); compare round-over-round on shared "
             "keys (bench_diff.py), not totals.",
             "r13_rank_retirement": "restated per r12 verdict #7: NOT "

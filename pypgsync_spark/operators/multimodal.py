@@ -1198,3 +1198,117 @@ def audio_near_pairs(bands: DataFrame, max_hamming: int = 3) -> DataFrame:
     :func:`dhash_near_pairs` over audio fingerprint bands, with the
     audio family's own persist slot."""
     return dhash_near_pairs(bands, max_hamming=max_hamming, cache=_AUD_BANDS_CACHE)
+
+
+# --- video near-dup (r14): the modality matrix's last cell ----------
+# Image has mm9 pairs + mm10 screen, audio mm11 pairs + mm12 screen;
+# this adds VIDEO near-dup pairs over the REAL Y4M container decode
+# with the SAME banded geometry. The fingerprint is spatio-temporal:
+# per frame, 8 integer block sums over the Y plane (3 px per block,
+# VID_H*VID_W = 24 px), 64 values k = frame*8 + block, bit k set iff
+# s[k] < s[(k+1) % 64] — the luma-derivative sign core of TIRI/
+# Haitsma-Kalker-style video hashing; DCT/keyframe front-ends are the
+# documented production seam (the dHash-vs-pHash argument again).
+
+VFP_BUMP = 16  # role-2 single-PIXEL luma edit, wrapping uint8 space
+_VFP_MD5_PER_FRAME = (3 * VID_H * VID_W + 15) // 16  # 72 bytes -> 5
+
+
+def _neardup_video_frames(doc_id: int):
+    """Deterministic (VID_FRAMES, 3, VID_H*VID_W) uint8 YUV444 clip
+    with NEAR-DUP group structure — the video twin of
+    :func:`_neardup_pixels` / :func:`_neardup_wav_samples`, same
+    roles: 0/1 exact duplicates of the group base, 2 a single-PIXEL
+    Y edit (changes ONE block sum, so at most the 2 fingerprint bits
+    whose comparisons touch that block flip), 3/4 unrelated. Frame
+    bytes are md5-derived (arithmetic formulas produce near-constant
+    block sums that collide — the audio fixture's lesson); byte i of
+    frame f is digest byte i % 16 of md5(key:f:(i // 16)), Y plane =
+    bytes [0, 24), so the oracle restates every Y pixel."""
+    import hashlib
+
+    import numpy as np
+
+    role = doc_id % PH_GROUP
+    g = doc_id - role
+    key = f"vg:{g}" if role <= 2 else f"vu:{doc_id}"
+    n_px = VID_H * VID_W
+    frames = []
+    for f in range(VID_FRAMES):
+        raw = b"".join(
+            hashlib.md5(f"{key}:{f}:{b}".encode()).digest()
+            for b in range(_VFP_MD5_PER_FRAME)
+        )
+        frames.append(
+            np.frombuffer(raw[: 3 * n_px], dtype=np.uint8)
+            .reshape(3, n_px)
+            .copy()
+        )
+    a = np.stack(frames)  # (frames, 3, H*W)
+    if role == 2:
+        p = ((doc_id - 2) // PH_GROUP) % (VID_FRAMES * n_px)
+        f, j = divmod(p, n_px)
+        a[f, 0, j] = (int(a[f, 0, j]) + VFP_BUMP) % 256
+    return a
+
+
+def with_neardup_video_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload): REAL YUV4MPEG2 bytes carrying the near-dup
+    fixture clips. Arrow-batched mapInPandas, partitioning inherited
+    (no shuffle)."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [
+                encode_y4m(_neardup_video_frames(int(d))) for d in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(encode, VIDEO_PAYLOAD_SCHEMA)
+
+
+def video_fingerprint_bands(df: DataFrame) -> DataFrame:
+    """Decode each Y4M payload and emit its 64-bit luma-envelope
+    fingerprint as FOUR 16-bit band values (b0..b3) — the
+    LSH-ready shape :func:`image_dhash_bands` and
+    :func:`audio_fingerprint_bands` share, so the banded pair join
+    and its pigeonhole completeness argument are shared verbatim.
+    Block sum s[f*8+b] = Σ of the 3 Y bytes of block b in frame f
+    (integer-exact); bit k set iff s[k] < s[(k+1) % 64]. A container
+    bug anywhere (stream header, FRAME marker walk, plane order)
+    lands in the sums and fails the oracle hash."""
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        weights = 1 << np.arange(PH_BAND_BITS, dtype=np.int64)
+        for pdf in batches:
+            out = {f"b{b}": [] for b in range(PH_BANDS)}
+            for payload in pdf["payload"]:
+                a = decode_y4m(bytes(payload))  # (frames, 3, H, W)
+                y = a[:, 0].reshape(VID_FRAMES, -1).astype("int64")
+                s = y.reshape(VID_FRAMES, 8, -1).sum(axis=2).ravel()
+                bits = (s < np.roll(s, -1)).astype(np.int64)
+                for b in range(PH_BANDS):
+                    chunk = bits[PH_BAND_BITS * b : PH_BAND_BITS * (b + 1)]
+                    out[f"b{b}"].append(int((chunk * weights).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    **{k: pd.Series(v, dtype="int64") for k, v in out.items()},
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(hashes, PH_BANDS_SCHEMA)
+
+
+# the video family's own single slot (modalities scope, not share)
+_VID_BANDS_CACHE: list = []
+
+
+def video_near_pairs(bands: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(id_a, id_b, hamming) video near-dup pairs — the banded join of
+    :func:`dhash_near_pairs` over video fingerprint bands, with the
+    video family's own persist slot."""
+    return dhash_near_pairs(bands, max_hamming=max_hamming, cache=_VID_BANDS_CACHE)

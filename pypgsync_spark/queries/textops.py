@@ -3193,3 +3193,106 @@ def pipe8_dsir_select_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(
         sel, "source", "doc_id", "n_tokens", budget=2048, bucket_size=1000
     )
+
+
+# the video fingerprint decode-to-signature chain in DuckDB SQL — the
+# modality twin of _DUCK_PH_SIG_CHAIN / _DUCK_AUD_SIG_CHAIN: md5 Y
+# bytes -> role-2 single-pixel bump -> per-block luma sums -> 64
+# circular-comparison bits -> 4x16-bit bands -> per-doc signature.
+# Defines CTEs vy/vsamp/venergy/vbits/vbands(doc_id, bi, bv)/
+# vsig(doc_id, b0..b3).
+_DUCK_VID_KEY = (
+    "CASE WHEN doc_id % 5 <= 2 THEN 'vg:' || (doc_id - doc_id % 5) "
+    "ELSE 'vu:' || doc_id END || ':' || f || ':' || (j // 16)"
+)
+_DUCK_VID_SIG_CHAIN = f"""WITH vy AS (
+      SELECT doc_id, f, j,
+             CAST(concat('0x', substr(md5({_DUCK_VID_KEY}),
+                                      2 * (j % 16) + 1, 2)) AS BIGINT) AS u
+      FROM documents,
+           (SELECT unnest(range(8)) AS f) fs,
+           (SELECT unnest(range(24)) AS j) js
+    ),
+    vsamp AS (
+      SELECT doc_id, f, j,
+             CASE WHEN doc_id % 5 = 2
+                       AND f * 24 + j = ((doc_id - 2) // 5) % 192
+                  THEN (u + 16) % 256 ELSE u END AS v
+      FROM vy
+    ),
+    venergy AS (
+      SELECT doc_id, f * 8 + j // 3 AS k, SUM(v) AS s
+      FROM vsamp GROUP BY doc_id, f * 8 + j // 3
+    ),
+    vbits AS (
+      SELECT l.doc_id, l.k,
+             CASE WHEN l.s < r.s THEN 1 ELSE 0 END AS bit
+      FROM venergy l JOIN venergy r
+        ON l.doc_id = r.doc_id AND r.k = (l.k + 1) % 64
+    ),
+    vbands AS (
+      SELECT doc_id, k // 16 AS bi,
+             CAST(SUM(bit * (1 << (k % 16))) AS BIGINT) AS bv
+      FROM vbits GROUP BY doc_id, k // 16
+    ),
+    vsig AS (
+      SELECT doc_id,
+             MAX(CASE WHEN bi = 0 THEN bv END) AS b0,
+             MAX(CASE WHEN bi = 1 THEN bv END) AS b1,
+             MAX(CASE WHEN bi = 2 THEN bv END) AS b2,
+             MAX(CASE WHEN bi = 3 THEN bv END) AS b3
+      FROM vbands GROUP BY doc_id
+    )"""
+
+
+@register(
+    "mm13_video_fp_pairs",
+    bench=138,
+    survey="ext:multimodal,ext:dedup",
+    doc="VIDEO near-dup pairs — the modality matrix's last cell "
+    "(image: mm9 pairs + mm10 screen; audio: mm11 pairs + mm12 "
+    "screen; video: decode/sample in mm6, near-dup HERE). Per "
+    "document a deterministic md5-derived 8-frame YUV444 clip with "
+    "near-dup group structure (groups of 5: two exact duplicates, "
+    "one single-PIXEL luma edit, two unrelated) rides a genuine "
+    "YUV4MPEG2 container through a binary column; decode → 8 integer "
+    "Y-block sums per frame (3 px each, 64 spatio-temporal values) → "
+    "64 circular luma-derivative comparison bits (the TIRI/"
+    "Haitsma-Kalker sign core; DCT/keyframe front-ends are the "
+    "documented production seam) packed as 4×16-bit bands → the SAME "
+    "banded-LSH bucket join and exact hamming verify as the image "
+    "and audio chains (pigeonhole-complete at radius 3, one "
+    "shuffle). A single-pixel edit changes one block sum and flips "
+    "at most the 2 bits whose comparisons touch it, so role-2 docs "
+    "are guaranteed candidates. The oracle restates the ENTIRE "
+    "decode-to-pair chain: md5 Y bytes, bump, block sums, bits, "
+    "bands, bucket join, hamming.",
+    oracle=f"""
+    {_DUCK_VID_SIG_CHAIN},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM vbands a JOIN vbands b
+        ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+              + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+             AS INT) AS hamming
+    FROM cand
+    JOIN vsig sa ON cand.id_a = sa.doc_id
+    JOIN vsig sb ON cand.id_b = sb.doc_id
+    WHERE bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+        + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3)) <= 3
+    """,
+)
+def mm13_video_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.operators.multimodal import (
+        video_fingerprint_bands,
+        video_near_pairs,
+        with_neardup_video_payload,
+    )
+
+    return video_near_pairs(
+        video_fingerprint_bands(with_neardup_video_payload(_docs(spark, sf_dir))),
+        max_hamming=3,
+    )

@@ -268,3 +268,18 @@ def test_v15_index_scan_matches_v14_and_prunes_partitions(
     # dim floats
     row = spark.read.parquet(path).first()
     assert len(bytes(row["code"])) == len(list(emb.first()["embedding"]))
+
+
+def test_mm13_video_pairs_complete_and_radius_bounded(spark, sf_small):
+    """mm13's banded probe must surface every group's exact-dup pair
+    (hamming 0) and its single-pixel near-dup (hamming <= 2), and no
+    emitted pair may exceed the radius — the pigeonhole completeness
+    claim on the third modality."""
+    rows = REGISTRY["mm13_video_fp_pairs"].fn(spark, sf_small).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    assert all(h <= 3 for h in got.values())
+    docs = load_table(spark, sf_small, "documents")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    for g in range(0, max_id - 2, 5):
+        assert got.get((g, g + 1)) == 0, (g, got.get((g, g + 1)))
+        assert got.get((g, g + 2), 99) <= 2, (g, got.get((g, g + 2)))
