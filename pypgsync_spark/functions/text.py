@@ -194,6 +194,101 @@ def gopher_gate_sql(
     )
 
 
+# C4 cleaning ruleset (Raffel et al. 2020, §2.2) — the LINE-grain
+# sibling of the Gopher document gate above: C4 filters individual
+# lines first (terminal punctuation, >= 3 words, no blocklist term),
+# then drops documents left with too few lines or containing a
+# blocked phrase. The synthetic fixture has no punctuation or
+# newlines, so the predicates carry documented stand-ins on the d15
+# fixed-width line convention: line grain = C4_LINE_WORDS tokens
+# (real corpora swap in split-on-newline), the >=3-words rule becomes
+# >= C4_MIN_LINE_WORDS (exercised by each document's short final
+# line), the "javascript"/"{" line blocklist becomes the fixture
+# token C4_LINE_BLOCK_TOKEN, the >=5-sentences rule keeps its
+# constant as C4_MIN_KEPT_LINES, and the "lorem ipsum" phrase
+# blocklist becomes the fixture bigram C4_DOC_BLOCK_PHRASE. One
+# constant set shared by the Spark plan and the DuckDB oracle (the
+# tx14/gopher discipline). C4's fourth pass — dedup of repeated
+# spans across documents — is deliberately NOT here: that is d15
+# (paragraph_dedup), and the two compose.
+C4_LINE_WORDS = 12
+C4_MIN_LINE_WORDS = 5
+C4_LINE_BLOCK_TOKEN = "slow"
+C4_MIN_KEPT_LINES = 5
+C4_DOC_BLOCK_PHRASE = "big slow"
+
+
+def c4_line_clean(df, text_col: str = "text", id_col: str = "doc_id"):
+    """C4 line-level cleaning over a documents DataFrame: chunk each
+    document into ``C4_LINE_WORDS``-token lines, keep lines that pass
+    both line rules (length, blocklist token), evaluate the two
+    document rules, and reassemble the surviving text in line order.
+
+    Returns one row per input document: ``(id, n_lines, kept_lines,
+    removed_frac, r_min_lines, r_phrase, doc_pass, clean_text)`` with
+    the rule flags as 0/1 bigints (tx14's flag convention) and
+    ``doc_pass`` their conjunction.
+
+    Scale shape: ENTIRELY map-side — tokenize, one ``transform`` over
+    the line index to slice lines, one order-preserving ``filter``,
+    one reassembly join; no shuffle, no explode (the line arrays never
+    leave their document row), no UDF. Every lambda body touches only
+    its bound variable and the pre-aliased token array (the let-bound
+    HOF discipline), so nothing O(doc) re-evaluates per line. At
+    100 TB this is the same map-only gate class as the Gopher pass:
+    its output keep/drop column is what the downstream sample reads.
+    """
+    k = C4_LINE_WORDS
+    toks = df.select(
+        id_col,
+        tokens(F.col(text_col)).alias("__tk"),
+        normalized_text(F.col(text_col)).alias("__norm"),
+    )
+    lined = toks.select(
+        id_col,
+        "__norm",
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.ceil(F.size("__tk") / F.lit(k)), F.lit(1)).cast(
+                    "int"
+                )
+                - 1,
+            ),
+            lambda i: F.slice("__tk", i * k + 1, k),
+        ).alias("__lines"),
+    )
+    kept = lined.select(
+        id_col,
+        "__norm",
+        F.size("__lines").cast("bigint").alias("n_lines"),
+        F.filter(
+            "__lines",
+            lambda ln: (F.size(ln) >= C4_MIN_LINE_WORDS)
+            & ~F.array_contains(ln, C4_LINE_BLOCK_TOKEN),
+        ).alias("__kept"),
+    )
+    kept_n = F.size("__kept").cast("bigint")
+    r_min_lines = (kept_n >= C4_MIN_KEPT_LINES).cast("bigint")
+    r_phrase = (
+        ~F.col("__norm").contains(F.lit(C4_DOC_BLOCK_PHRASE))
+    ).cast("bigint")
+    return kept.select(
+        id_col,
+        "n_lines",
+        kept_n.alias("kept_lines"),
+        F.round(F.lit(1.0) - kept_n / F.col("n_lines"), 6).alias(
+            "removed_frac"
+        ),
+        r_min_lines.alias("r_min_lines"),
+        r_phrase.alias("r_phrase"),
+        (r_min_lines * r_phrase).alias("doc_pass"),
+        F.array_join(
+            F.transform("__kept", lambda ln: F.array_join(ln, " ")), " "
+        ).alias("clean_text"),
+    )
+
+
 def lang_id_tokens(toks: Column) -> Column:
     """:func:`lang_id` over a PRE-TOKENIZED array — use this form when
     the caller already aliased the token array in its own select (the

@@ -435,6 +435,81 @@ def minhash_signatures(
     )
 
 
+def band_bucket_keys(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(id, band, bucket) — one lean LSH key row per (document, band).
+
+    THE one copy of the minhash band geometry (the mm9/mm10
+    ``dhash_band_explode`` precedent): each of ``bands`` bands hashes
+    its ``num_perm // bands`` signature slots through ``xxhash64`` into
+    a bucket key, and the key rows carry ONLY (band, bucket, id) —
+    signature arrays must not ride the ×bands explode or any downstream
+    bucket shuffle. Shared by the batch self-join
+    (:func:`minhash_lsh_pairs`) and the materialized index
+    (:func:`lsh_band_index_write` / the incremental screen), so the
+    index a corpus build writes is bit-compatible with the keys a later
+    delta probe computes.
+    """
+    if num_perm % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
+    r = num_perm // bands
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(
+                *[F.element_at(F.col("sig"), bi * r + j + 1) for j in range(r)]
+            ).alias("bucket"),
+        )
+        for bi in range(bands)
+    ]
+    return sig.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    )
+
+
+def lsh_band_index_write(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> None:
+    """Materialize the corpus's MinHash-LSH band index: shingle →
+    signature → :func:`band_bucket_keys`, written ``partitionBy(band)``
+    with rows range-clustered and sorted on (band, bucket) so parquet
+    row-group min/max statistics can skip bucket ranges a probe never
+    touches.
+
+    This is the write-once half of the incremental near-dup contract
+    (the v15 materialized-ANN-index precedent applied to dedup): the
+    expensive part of LSH screening — one md5 per shingle plus
+    ``num_perm`` multiply-adds over the WHOLE corpus — runs once per
+    corpus version here, and every subsequent ingest batch pays only
+    its own delta-proportional signature cost before probing these
+    lean (id, band, bucket) rows. At 100 TB the index is ~bands rows
+    of three integers per document — orders of magnitude under the
+    corpus — and the layout IS the index: band directories prune the
+    read per band, bucket-sorted row groups localize each probe.
+    """
+    s = with_shingles(df.select(id_col, text_col), text_col, n)
+    sig = minhash_signatures(s, id_col, "shingles", num_perm)
+    # lazy checkpoint: repartitionByRange SAMPLES its input in a
+    # separate job before the write — without this the whole
+    # shingle+signature pipeline (the expensive pass the index exists
+    # to amortize) runs twice per build
+    keys = band_bucket_keys(sig, num_perm, bands).localCheckpoint(
+        eager=False
+    )
+    (
+        keys.repartitionByRange(2 * bands, "band", "bucket")
+        .sortWithinPartitions("band", "bucket")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(path)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -457,37 +532,15 @@ def minhash_lsh_pairs(
     which shuffles on (band, bucket) — skew-safe because identical
     buckets are near-dup groups, bounded by AQE skew splitting.
     """
-    if num_perm % bands != 0:
-        raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
-    r = num_perm // bands
+    from pypgsync_spark.operators.multimodal import single_slot_persist
+
     s = with_shingles(df.select(id_col, text_col), text_col, n)
     # Cache the (id, shingles) side: it feeds both the signature build
-    # and the final exact-Jaccard verification. The cache is tracked
-    # module-wide and the previous call's copy is released here, so
-    # long-lived sessions that run this repeatedly (bench runs every
-    # query twice) hold at most ONE shingle cache at a time.
-    while _SHINGLE_CACHE:
-        try:
-            _SHINGLE_CACHE.pop().unpersist()
-        except Exception:
-            pass
-    s = s.persist()
-    _SHINGLE_CACHE.append(s)
+    # and the final exact-Jaccard verification (single-slot convention:
+    # bench runs every query twice; at most ONE shingle cache lives).
+    s = single_slot_persist(_SHINGLE_CACHE, s)
     sig = minhash_signatures(s, id_col, "shingles", num_perm)
-    # band key rows carry ONLY (band, bucket, id): shingle arrays must
-    # not ride through the ×bands explode + bucket shuffle.
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.xxhash64(
-                *[F.element_at(F.col("sig"), bi * r + j + 1) for j in range(r)]
-            ).alias("bucket"),
-        )
-        for bi in range(bands)
-    ]
-    buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
-    )
+    buckets = band_bucket_keys(sig, num_perm, bands)
     cand = (
         buckets.alias("l")
         .join(buckets.alias("r"), on=["band", "bucket"])

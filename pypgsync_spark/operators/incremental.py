@@ -205,8 +205,6 @@ def incremental_dedup_bloom(
     delta is ~MBs of positions; a delta at CORPUS scale is not an
     ingest batch and the plain anti join is already the right plan).
     """
-    import math
-
     fp = content_fingerprint(F.col(text_col))
     d = delta.withColumn("__fp", fp)
     w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
@@ -215,22 +213,60 @@ def incremental_dedup_bloom(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
         # consumed twice (bloom build + anti join): checkpoint lazily,
-        # the count below materializes it
+        # bloom_prune's key count materializes it
         .localCheckpoint(eager=False)
     )
-    n = keepers.count()
-    if n > max_bloom_keys:
-        corpus_fps = corpus.select(fp.alias("__fp"))
-        return keepers.join(corpus_fps, on="__fp", how="left_anti").drop("__fp")
+    pruned = bloom_prune(
+        corpus.select(fp.alias("__fp")),
+        keepers.select("__fp"),
+        "__fp",
+        bits_per_key=bits_per_key,
+        n_hashes=n_hashes,
+        max_keys=max_bloom_keys,
+    )
+    return keepers.join(pruned, on="__fp", how="left_anti").drop("__fp")
 
+
+def bloom_prune(
+    probe: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    bits_per_key: int = 16,
+    n_hashes: int = 5,
+    max_keys: int = 2_000_000,
+) -> DataFrame:
+    """Filter ``probe`` to rows whose ``key_col`` MAY appear in
+    ``keys[key_col]`` — no false negatives by construction (both sides
+    hash the key through the same seeded ``xxhash64`` positions), false
+    positives only pass extra rows to whatever exact operator follows.
+
+    THE generic Bloom gate (extracted from d16's exact-dedup screen so
+    the LSH index probe shares one pinned implementation): the key
+    side's distinct bit positions are collected ONCE to the driver —
+    k·|keys| values, the bounded driver-scalar class — and the bitset
+    rides the plan as an ``array<long>`` literal; the per-row probe
+    test is k codegen'd shift/AND conjuncts that short-circuit on the
+    first clear bit. Past ``max_keys`` the gate degrades to a no-op
+    (returns ``probe`` unchanged): a key side at probe scale is not a
+    delta and the ungated plan is already right.
+
+    ``key_col`` must be a concrete column on BOTH inputs (hash
+    composite keys into one column first, e.g. ``xxhash64(band,
+    bucket)``).
+    """
+    import math
+
+    n = keys.count()
+    if n > max_keys:
+        return probe
     m = max(64, 1 << math.ceil(math.log2(max(1, n * bits_per_key))))
     seeds = list(range(1, n_hashes + 1))
     pos_cols = [
-        F.xxhash64(F.col("__fp"), F.lit(s)).bitwiseAND(F.lit(m - 1))
+        F.xxhash64(F.col(key_col), F.lit(s)).bitwiseAND(F.lit(m - 1))
         for s in seeds
     ]
     positions = (
-        keepers.select(F.explode(F.array(*pos_cols)).alias("p"))
+        keys.select(F.explode(F.array(*pos_cols)).alias("p"))
         .distinct()
         .collect()
     )
@@ -244,17 +280,111 @@ def incremental_dedup_bloom(
     ) + ")"
 
     def bit_set(s: int) -> str:
-        h = f"(xxhash64(__fp, {s}) & {m - 1}L)"
+        h = f"(xxhash64(`{key_col}`, {s}) & {m - 1}L)"
         return (
             f"((element_at(__bloom, cast(shiftright({h}, 6) AS INT) + 1)"
             f" & shiftleft(1L, cast({h} & 63L AS INT))) != 0L)"
         )
 
     cond = " AND ".join(bit_set(s) for s in seeds)
-    pruned = (
-        corpus.select(fp.alias("__fp"))
-        .withColumn("__bloom", F.expr(mask_sql))
+    return (
+        probe.withColumn("__bloom", F.expr(mask_sql))
         .filter(F.expr(cond))
         .drop("__bloom")
     )
-    return keepers.join(pruned, on="__fp", how="left_anti").drop("__fp")
+
+
+def lsh_index_screen(
+    spark,
+    index_path: str,
+    corpus: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Near-dup pairs (delta_id, corpus_id, jaccard) between an ingest
+    DELTA and a standing corpus, probed through the corpus's
+    MATERIALIZED LSH band index (operators/dedup.lsh_band_index_write)
+    — the near-dup analogue this module's header promises, composed
+    with the v15 materialized-index and d16 Bloom-gate precedents.
+
+    Work is delta-proportional end to end:
+
+    1. the delta (only) is shingled and signed — the corpus's signature
+       cost was paid once, at index build;
+    2. the delta's (band, bucket) keys build a Bloom gate
+       (:func:`bloom_prune` on ``xxhash64(band, bucket)``) that drops
+       ~all index rows at the scan, before the bucket join shuffles
+       anything;
+    3. surviving index rows equi-join the delta keys on (band, bucket)
+       — identical candidate geometry to the batch self-join, so recall
+       properties carry over unchanged;
+    4. ONLY candidate corpus documents are shingled again for the exact
+       Jaccard verify (left-semi join first, so corpus text is read for
+       |candidates| documents, not |corpus|).
+
+    False positives from the Bloom gate only widen the join input;
+    false negatives are impossible (same-key rows hash to the same bit
+    positions), so the result is bit-identical to the index-less,
+    gate-less screen — pinned by test against exactly that formulation.
+    """
+    from pypgsync_spark.operators.dedup import (
+        band_bucket_keys,
+        jaccard,
+        minhash_signatures,
+        with_shingles,
+    )
+
+    s_d = with_shingles(delta.select(id_col, text_col), text_col, n)
+    # feeds both the signature build and the exact verify: lazy
+    # checkpoint, materialized by bloom_prune's key count
+    s_d = s_d.localCheckpoint(eager=False)
+    sig_d = minhash_signatures(s_d, id_col, "shingles", num_perm)
+    keys_d = band_bucket_keys(sig_d, num_perm, bands).localCheckpoint(
+        eager=False
+    )
+    # partition-directory inference must not widen the band column:
+    # the Bloom gate hashes (band, bucket) SEPARATELY on each side, and
+    # xxhash64(int) != xxhash64(long) for the same value — a silent
+    # type drift would turn "no false negatives" into "all negatives".
+    bk = F.xxhash64(F.col("band").cast("int"), F.col("bucket"))
+    idx = spark.read.parquet(index_path).withColumn(
+        "band", F.col("band").cast("int")
+    )
+    gated = bloom_prune(
+        idx.withColumn("__bk", bk), keys_d.select(bk.alias("__bk")), "__bk"
+    ).drop("__bk")
+    cand = (
+        gated.select(F.col("id").alias("corpus_id"), "band", "bucket")
+        .join(
+            keys_d.select(F.col("id").alias("delta_id"), "band", "bucket"),
+            on=["band", "bucket"],
+        )
+        .select("delta_id", "corpus_id")
+        .dropDuplicates(["delta_id", "corpus_id"])
+        # consumed twice (the corpus-text semi join and the final pair
+        # join): lazy checkpoint so the gated index scan runs once
+        .localCheckpoint(eager=False)
+    )
+    corpus_cand = corpus.join(
+        cand.select(F.col("corpus_id").alias(id_col)).dropDuplicates(),
+        on=id_col,
+        how="left_semi",
+    )
+    sh_c = with_shingles(
+        corpus_cand.select(id_col, text_col), text_col, n
+    ).select(F.col(id_col).alias("corpus_id"), F.col("shingles").alias("sh_c"))
+    sh_d = s_d.select(
+        F.col(id_col).alias("delta_id"), F.col("shingles").alias("sh_d")
+    )
+    return (
+        cand.join(sh_d, on="delta_id")
+        .join(sh_c, on="corpus_id")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_d"), F.col("sh_c")), 6))
+        .filter(F.col("jaccard") > threshold)
+        .select("delta_id", "corpus_id", "jaccard")
+    )

@@ -21,9 +21,15 @@ from pyspark.sql import functions as F
 from pypgsync_spark.catalog import load_table
 from pypgsync_spark.functions.text import (
     BPE_ISH_PATTERN,
+    C4_DOC_BLOCK_PHRASE,
+    C4_LINE_BLOCK_TOKEN,
+    C4_LINE_WORDS,
+    C4_MIN_KEPT_LINES,
+    C4_MIN_LINE_WORDS,
     EN_STOPWORDS,
     LANG_MARKERS,
     bpe_ish_token_count,
+    c4_line_clean,
     content_fingerprint,
     GOPHER_MAX_SYMBOL_WORD_RATIO,
     GOPHER_MEAN_WORD_LEN_RANGE,
@@ -1003,6 +1009,99 @@ def d16_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     delta = d.filter(F.col("doc_id") % 10 == 0).unionByName(recrawl)
     return incremental_dedup_bloom(corpus, delta).select("doc_id", "n_chars")
+
+
+@register(
+    "d17_lsh_index_screen",
+    bench=140,
+    survey="ext:dedup,S4,S7",
+    doc="Incremental NEAR-dup against a MATERIALIZED LSH index — the "
+    "missing cell in the incremental matrix (d7/d16 screen exact "
+    "fingerprints, d8 recomputes both sides' shingles every batch): "
+    "one build pass writes the corpus's MinHash(64)+LSH(16 bands) "
+    "(id, band, bucket) keys partitionBy(band), bucket-sorted "
+    "(operators/dedup.lsh_band_index_write — the v15 "
+    "materialized-ANN-index precedent applied to dedup), then the "
+    "ingest delta signs ONLY itself, Bloom-gates the index scan on "
+    "xxhash64(band,bucket) (d16's gate, extracted to the shared "
+    "bloom_prune), bucket-joins the survivors, and exact-Jaccard-"
+    "verifies candidates with corpus text read for |candidates| "
+    "documents via a left-semi join. Work per batch is delta-"
+    "proportional; the corpus's signature cost is paid once per "
+    "version. Same corpus/delta/re-crawl fixture as d7/d16 (re-crawls "
+    "guarantee jaccard-1.0 hits); same band geometry as d3, so the "
+    "oracle restates the full signature/banding chain in exact md5 "
+    "integer arithmetic, joined CROSS-side instead of self. Build+"
+    "probe both run per call — at 100 TB the build is the write-once "
+    "index job and only the probe recurs.",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+    shc AS (SELECT doc_id, sh FROM base WHERE doc_id % 10 <> 0),
+    shd AS (
+      SELECT doc_id + 1000000 AS doc_id, sh FROM base WHERE doc_id % 7 = 3
+      UNION ALL
+      SELECT doc_id, sh FROM base WHERE doc_id % 10 = 0
+    ),
+    hc AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {_M31} AS h
+      FROM (SELECT doc_id, unnest(sh) AS s FROM shc)
+    ),
+    hd AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {_M31} AS h
+      FROM (SELECT doc_id, unnest(sh) AS s FROM shd)
+    ),
+    sigc AS (
+      SELECT doc_id,
+             {_DUCK_MINHASH_MINS}
+      FROM hc GROUP BY doc_id
+    ),
+    sigd AS (
+      SELECT doc_id,
+             {_DUCK_MINHASH_MINS}
+      FROM hd GROUP BY doc_id
+    ),
+    bandsc AS (
+      {_DUCK_MINHASH_BANDS.replace("FROM sig", "FROM sigc")}
+    ),
+    bandsd AS (
+      {_DUCK_MINHASH_BANDS.replace("FROM sig", "FROM sigd")}
+    ),
+    cand AS (
+      SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS corpus_id
+      FROM bandsd d JOIN bandsc c USING (band, k1, k2, k3, k4)
+    )
+    SELECT cand.delta_id, cand.corpus_id,
+           round({_DUCK_JACCARD}, 6) AS jaccard
+    FROM cand
+    JOIN shd a ON a.doc_id = cand.delta_id
+    JOIN shc b ON b.doc_id = cand.corpus_id
+    WHERE {_DUCK_JACCARD} > 0.3
+    """,
+)
+def d17_lsh_index_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pypgsync_spark.operators.dedup import lsh_band_index_write
+    from pypgsync_spark.operators.incremental import lsh_index_screen
+    from pypgsync_spark.queries.syncq import _pid_scratch_dir
+
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    recrawl = d.filter(F.col("doc_id") % 7 == 3).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    delta = d.filter(F.col("doc_id") % 10 == 0).unionByName(recrawl)
+    # fresh index dir per call nested under the pid-scoped reaped
+    # parent (v15's discipline): a stale index written by older code
+    # must never serve a newer probe
+    parent = _pid_scratch_dir("d17_lsh_index", sf_dir)
+    os.makedirs(parent, exist_ok=True)
+    path = os.path.join(tempfile.mkdtemp(prefix="run_", dir=parent), "idx")
+    lsh_band_index_write(corpus, path)
+    return lsh_index_screen(spark, path, corpus, delta)
 
 
 @register(
@@ -2484,6 +2583,75 @@ def pack3_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack4_shard_manifest",
+    bench=141,
+    survey="ext:packing,ext:sampling,S4",
+    doc="Training-shard manifest — the writer-side 'global shuffle' "
+    "last mile of a data pipeline: every document routes to one of 16 "
+    "shards by an engine-portable md5 key (split1's md5(doc_id||text) "
+    "family — stable under reruns, repartitioning and engines, unlike "
+    "rand()), intra-shard order is route-key ascending (the "
+    "deterministic pseudo-random permutation training ingestion "
+    "reads), and the manifest carries what a reader needs to VERIFY a "
+    "shard without rescanning the corpus: doc count, token mass, "
+    "id bounds, the first/last route keys (min/max md5 — the order's "
+    "boundary witnesses), and an order-insensitive additive checksum "
+    "(sum of each key's top-60-bit value mod 1e15 — exact integer "
+    "arithmetic both engines share; commutative, so it is map-side-"
+    "combinable and append-mergeable at any scale). ONE aggregate "
+    "pass, no collect, no window; the physical write this manifests "
+    "is s4b's partitionBy layout + s7b's sortWithinPartitions "
+    "clustering, cited rather than repeated.",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+             md5(doc_id || text) AS k
+      FROM documents
+    )
+    SELECT CAST(CAST(concat('0x', substr(k, 1, 2)) AS INT) % 16 AS INT)
+             AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id,
+           min(k) AS first_key,
+           max(k) AS last_key,
+           CAST(sum(CAST(concat('0x', substr(k, 1, 15)) AS BIGINT))
+                % 1000000000000000 AS BIGINT) AS checksum
+    FROM keyed
+    GROUP BY shard_id
+    """,
+)
+def pack4_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    keyed = d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.col("text"))).alias(
+            "k"
+        ),
+    )
+    shard = (
+        F.conv(F.substring("k", 1, 2), 16, 10).cast("int") % 16
+    ).cast("int")
+    kval = F.conv(F.substring("k", 1, 15), 16, 10).cast("decimal(38,0)")
+    return (
+        keyed.select(shard.alias("shard_id"), "doc_id", "n_tokens", "k")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.min("k").alias("first_key"),
+            F.max("k").alias("last_key"),
+            (F.sum(kval) % F.lit(10**15)).cast("long").alias("checksum"),
+        )
+    )
+
+
+@register(
     "d13_threshold_sensitivity",
     bench=97,
     survey="ext:dedup,A4",
@@ -2738,6 +2906,75 @@ def tx14_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         _flag(r_alpha).alias("r_alpha_words"),
         _flag(r_sw).alias("r_stopwords"),
         _flag(r_wc & r_mwl & r_sym & r_alpha & r_sw).alias("passes"),
+    )
+
+
+@register(
+    "tx18_c4_rules",
+    bench=139,
+    survey="ext:quality",
+    doc="C4 cleaning ruleset (Raffel et al. 2020, §2.2) — the LINE-grain "
+    "companion to tx14's document-grain Gopher gate, closing the "
+    "canonical-curation-ruleset pair: chunk each document into 12-token "
+    "lines (d15's fixed-width convention; real corpora split on "
+    "newline), drop lines under 5 words or containing the blocklist "
+    "token, then apply the two DOCUMENT rules — >= 5 surviving lines "
+    "(C4's five-sentence rule) and no blocked phrase anywhere in the "
+    "normalized text (C4's 'lorem ipsum' rule; the punctuation-free "
+    "fixture uses documented token/phrase stand-ins from ONE constant "
+    "set shared by plan and oracle, functions/text.py). Output per "
+    "document: line counts, removed fraction, each rule flag, the "
+    "conjunction, and md5 of the reassembled text so the oracle "
+    "hash-checks the full line-order-preserving reassembly. Entirely "
+    "map-side: no shuffle, no explode, no UDF — the same gate class as "
+    "tx14; C4's remaining pass (cross-document span dedup) is d15, and "
+    "the two compose in that order exactly as in the paper.",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS ws,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, norm,
+             list_transform(
+               range(greatest(CAST(ceil(len(ws)/{C4_LINE_WORDS}.0) AS BIGINT), 1)),
+               i -> ws[(CAST(i AS INT)*{C4_LINE_WORDS}+1):(CAST(i AS INT)*{C4_LINE_WORDS}+{C4_LINE_WORDS})]) AS lns
+      FROM toks
+    ),
+    k AS (
+      SELECT doc_id, norm, CAST(len(lns) AS BIGINT) AS n_lines,
+             list_filter(lns, ln -> len(ln) >= {C4_MIN_LINE_WORDS}
+                         AND NOT list_contains(ln, '{C4_LINE_BLOCK_TOKEN}')) AS kept
+      FROM lines
+    )
+    SELECT doc_id, n_lines,
+           CAST(len(kept) AS BIGINT) AS kept_lines,
+           round(1.0 - len(kept) * 1.0 / n_lines, 6) AS removed_frac,
+           CAST(CASE WHEN len(kept) >= {C4_MIN_KEPT_LINES} THEN 1 ELSE 0 END
+                AS BIGINT) AS r_min_lines,
+           CAST(CASE WHEN position('{C4_DOC_BLOCK_PHRASE}' IN norm) > 0
+                     THEN 0 ELSE 1 END AS BIGINT) AS r_phrase,
+           CAST(CASE WHEN len(kept) >= {C4_MIN_KEPT_LINES}
+                      AND position('{C4_DOC_BLOCK_PHRASE}' IN norm) = 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS doc_pass,
+           md5(coalesce(array_to_string(
+                 list_transform(kept, ln -> array_to_string(ln, ' ')),
+                 ' '), '')) AS clean_md5
+    FROM k
+    """,
+)
+def tx18_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cleaned = c4_line_clean(_docs(spark, sf_dir))
+    return cleaned.select(
+        "doc_id",
+        "n_lines",
+        "kept_lines",
+        "removed_frac",
+        "r_min_lines",
+        "r_phrase",
+        "doc_pass",
+        F.md5("clean_text").alias("clean_md5"),
     )
 
 

@@ -679,6 +679,47 @@ def work_audscreen(spark, path: str) -> int:
     return audio_screen_stream(spark.read.parquet(path), corpus).count()
 
 
+def stage_delta_docs(spark, mult: int, base: str) -> str:
+    """d17's ingest-delta fixture (fresh %10==0 docs + re-crawls of
+    %7==3 under shifted ids), multiplied with id shifts; copies share
+    text, so candidate volume against the FIXED corpus grows exactly
+    ×mult while the corpus-side cost must stay flat."""
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    fresh = d.filter(F.col("doc_id") % 10 == 0)
+    recrawl = d.filter(F.col("doc_id") % 7 == 3).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    delta = fresh.unionByName(recrawl)
+    path = f"{base}/delta_x{mult}"
+    _multiply(delta, mult, "doc_id", 10**7).repartition(32).write.parquet(path)
+    return path
+
+
+def make_run_lshscreen(base: str):
+    """d17's probe half against a corpus index built ONCE (on the
+    first — cold — run, so the steady figures time exactly what a
+    recurring ingest batch pays: delta signing + Bloom-gated index
+    scan + bucket join + candidate-only verify)."""
+    built: list[str] = []
+
+    def run(spark, path: str) -> None:
+        from pypgsync_spark.operators.dedup import lsh_band_index_write
+        from pypgsync_spark.operators.incremental import lsh_index_screen
+
+        corpus = load_table(spark, SF_DIR, "documents").filter(
+            F.col("doc_id") % 10 != 0
+        ).select("doc_id", "text")
+        idx = f"{base}/lsh_idx"
+        if not built:
+            lsh_band_index_write(corpus, idx)
+            built.append(idx)
+        lsh_index_screen(spark, idx, corpus, spark.read.parquet(path)).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    return run
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -702,6 +743,7 @@ def main() -> None:
             "sq8",
             "dsir",
             "audscreen",
+            "lshscreen",
         ],
     )
     ap.add_argument("multipliers", nargs="*", type=int, default=[1, 10])
@@ -754,6 +796,9 @@ def main() -> None:
         "dsir": (stage_docs, run_dsir, 3, None, None),
         # mm12's stateless audio screen: intrinsic work = screen rows
         "audscreen": (stage_mmscreen, run_audscreen, 2, work_audscreen, "screen_rows"),
+        # d17's index probe: delta-proportional by design (index built
+        # once on the cold run; steadies time the recurring batch)
+        "lshscreen": (stage_delta_docs, make_run_lshscreen(base), 3, None, None),
     }[args.op]
 
     results = []

@@ -283,3 +283,199 @@ def test_mm13_video_pairs_complete_and_radius_bounded(spark, sf_small):
     for g in range(0, max_id - 2, 5):
         assert got.get((g, g + 1)) == 0, (g, got.get((g, g + 1)))
         assert got.get((g, g + 2), 99) <= 2, (g, got.get((g, g + 2)))
+
+
+def test_tx18_c4_line_clean_semantics(spark):
+    """Pin the C4 line pass on a hand-checkable fixture: fixed-width
+    chunking, the two line rules, the two document rules, and —
+    the part a count can't witness — that reassembly preserves LINE
+    ORDER (filter() keeps relative order; a sort would scramble the
+    cleaned text C4 hands downstream)."""
+    from pypgsync_spark.functions.text import c4_line_clean
+
+    rows = [
+        # line1 clean, line2 has the block token, line3 short
+        (1, "a b c d e f g h i j k l m n o p q r slow t u v w x y z"),
+        # single short line -> everything removed
+        (2, "one two three"),
+        # blocked phrase -> r_phrase = 0 regardless of line survival
+        (3, "big slow " + "w " * 30),
+        # 6 clean 12-token lines -> doc passes
+        (4, " ".join(f"t{i}" for i in range(72))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in c4_line_clean(df).collect()}
+
+    assert (out[1]["n_lines"], out[1]["kept_lines"]) == (3, 1)
+    assert out[1]["clean_text"] == "a b c d e f g h i j k l"
+    assert out[2]["kept_lines"] == 0 and out[2]["clean_text"] == ""
+    assert out[2]["removed_frac"] == 1.0
+    assert out[3]["r_phrase"] == 0 and out[3]["doc_pass"] == 0
+    assert out[4]["r_min_lines"] == 1 and out[4]["r_phrase"] == 1
+    assert out[4]["doc_pass"] == 1
+    # order preservation: kept lines re-join in original order
+    assert out[4]["clean_text"] == " ".join(f"t{i}" for i in range(72))
+
+
+def test_tx18_is_map_only(spark, sf_small):
+    """The C4 gate is the tx14 plan class: one projection chain over
+    the scan — no Exchange anywhere in the executed plan (at 100 TB a
+    shuffle here would be a full corpus rewrite for a map-only rule
+    pass)."""
+    df = REGISTRY["tx18_c4_rules"].fn(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_d17_matches_indexless_screen_and_recrawl_hits(spark, sf_small):
+    """The materialized-index probe must be answer-invariant vs the
+    same chain computed directly (no index write, no Bloom gate) —
+    the d16/w1b same-answer/scale-plan precedent — and every re-crawl
+    must surface its corpus original at jaccard 1.0 (the fixture's
+    planted ground truth)."""
+    from pypgsync_spark.operators.dedup import (
+        band_bucket_keys,
+        jaccard as jac,
+        minhash_signatures,
+        with_shingles,
+    )
+
+    d = load_table(spark, sf_small, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    recrawl = d.filter(F.col("doc_id") % 7 == 3).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    delta = d.filter(F.col("doc_id") % 10 == 0).unionByName(recrawl)
+
+    got = {
+        (r["delta_id"], r["corpus_id"]): r["jaccard"]
+        for r in REGISTRY["d17_lsh_index_screen"].fn(spark, sf_small).collect()
+    }
+
+    def keys(side):
+        s = with_shingles(side.select("doc_id", "text"), "text", 3)
+        sig = minhash_signatures(s, "doc_id", "shingles", 64)
+        return band_bucket_keys(sig, 64, 16), s
+
+    kc, sc = keys(corpus)
+    kd, sd = keys(delta)
+    cand = (
+        kc.select(F.col("id").alias("corpus_id"), "band", "bucket")
+        .join(
+            kd.select(F.col("id").alias("delta_id"), "band", "bucket"),
+            on=["band", "bucket"],
+        )
+        .select("delta_id", "corpus_id")
+        .dropDuplicates(["delta_id", "corpus_id"])
+    )
+    ref = {
+        (r["delta_id"], r["corpus_id"]): r["jaccard"]
+        for r in cand.join(
+            sd.select(F.col("doc_id").alias("delta_id"), F.col("shingles").alias("a")),
+            on="delta_id",
+        )
+        .join(
+            sc.select(F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("b")),
+            on="corpus_id",
+        )
+        .withColumn("jaccard", F.round(jac(F.col("a"), F.col("b")), 6))
+        .filter(F.col("jaccard") > 0.3)
+        .select("delta_id", "corpus_id", "jaccard")
+        .collect()
+    }
+    assert got == ref and len(got) > 0
+
+    # a re-crawl surfaces its original at jaccard 1.0 — but only when
+    # the original is CORPUS-side (a %10==0 original is itself in the
+    # delta, so the screen correctly reports no corpus hit for it)
+    recrawl_ids = [
+        r["doc_id"]
+        for r in recrawl.filter((F.col("doc_id") - 1000000) % 10 != 0)
+        .select("doc_id")
+        .collect()
+    ]
+    assert recrawl_ids, "fixture lost its corpus-side re-crawls"
+    for rid in recrawl_ids:
+        assert got.get((rid, rid - 1000000)) == 1.0, rid
+
+
+def test_d17_index_layout_and_bloom_prune_contract(spark, sf_small, tmp_path):
+    """The written index must be the lean (id, bucket) x band=dir
+    layout, and the generic bloom_prune must (a) never drop a probe
+    row whose key is present on the key side and (b) degrade to a
+    no-op past max_keys."""
+    from pypgsync_spark.operators.dedup import lsh_band_index_write
+    from pypgsync_spark.operators.incremental import bloom_prune
+
+    d = load_table(spark, sf_small, "documents").limit(50)
+    path = str(tmp_path / "idx")
+    lsh_band_index_write(d, path)
+    idx = spark.read.parquet(path)
+    assert set(idx.columns) == {"id", "bucket", "band"}
+    bands = {r["band"] for r in idx.select("band").distinct().collect()}
+    assert bands == set(range(16))
+
+    probe = spark.range(0, 1000).select(F.col("id").alias("k"))
+    keys = spark.range(0, 1000, 7).select(F.col("id").alias("k"))
+    pruned = {r["k"] for r in bloom_prune(probe, keys, "k").collect()}
+    present = {r["k"] for r in keys.collect()}
+    assert present <= pruned  # no false negatives
+    assert len(pruned) < 1000  # the gate actually prunes
+    fb = bloom_prune(probe, keys, "k", max_keys=3)
+    assert fb.count() == 1000  # past the cap: unchanged probe
+
+
+def test_pack4_manifest_partitions_and_merges(spark, sf_small):
+    """The manifest must (a) partition the corpus exactly — shard
+    counts and token masses sum to the corpus totals — and (b) be
+    append-MERGEABLE: the manifest of the whole corpus equals the
+    fold of the manifests of any disjoint split (additive fields add
+    mod 1e15, boundary keys min/max), which is what lets 100 TB
+    writers manifest shard-by-shard and merge."""
+    from pypgsync_spark.functions.text import token_count
+
+    d = load_table(spark, sf_small, "documents")
+    rows = REGISTRY["pack4_shard_manifest"].fn(spark, sf_small).collect()
+    assert {r["shard_id"] for r in rows} <= set(range(16))
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    total = d.select(F.sum(token_count(F.col("text")))).first()[0]
+    assert sum(r["total_tokens"] for r in rows) == total
+
+    # recompute per half by filtering doc_id parity through the same
+    # grouped aggregate (the query body parameterized by input)
+    lo = {r["shard_id"]: r for r in _manifest_of(spark, d.filter(F.col("doc_id") % 2 == 0))}
+    hi = {r["shard_id"]: r for r in _manifest_of(spark, d.filter(F.col("doc_id") % 2 == 1))}
+    full = {r["shard_id"]: r for r in rows}
+    for sid, f in full.items():
+        parts = [p[sid] for p in (lo, hi) if sid in p]
+        assert sum(p["n_docs"] for p in parts) == f["n_docs"]
+        assert sum(p["total_tokens"] for p in parts) == f["total_tokens"]
+        assert sum(p["checksum"] for p in parts) % 10**15 == f["checksum"]
+        assert min(p["first_key"] for p in parts) == f["first_key"]
+        assert max(p["last_key"] for p in parts) == f["last_key"]
+
+
+def _manifest_of(spark, docs):
+    """pack4's aggregate over an arbitrary documents DataFrame (the
+    query body parameterized by input, for the merge test)."""
+    from pypgsync_spark.functions.text import token_count
+
+    keyed = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.col("text"))).alias("k"),
+    )
+    shard = (F.conv(F.substring("k", 1, 2), 16, 10).cast("int") % 16).cast("int")
+    kval = F.conv(F.substring("k", 1, 15), 16, 10).cast("decimal(38,0)")
+    return (
+        keyed.select(shard.alias("shard_id"), "doc_id", "n_tokens", "k")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("k").alias("first_key"),
+            F.max("k").alias("last_key"),
+            (F.sum(kval) % F.lit(10**15)).cast("long").alias("checksum"),
+        )
+        .collect()
+    )
