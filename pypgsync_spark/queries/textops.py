@@ -37,6 +37,7 @@ from pypgsync_spark.functions.text import (
     GOPHER_WORD_COUNT_RANGE,
     gopher_gate_sql,
     gopher_metrics,
+    gopher_structural_gate,
     gopher_structural_rules,
     lang_id,
     lang_id_tokens,
@@ -2975,6 +2976,167 @@ def tx18_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_phrase",
         "doc_pass",
         F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+@register(
+    "pipe9_c4_pipeline",
+    bench=142,
+    survey="ext:quality,ext:dedup",
+    doc="The FULL C4 pipeline (Raffel et al. 2020, §2.2) in the "
+    "paper's order, end to end over the corpus: (1) LINE rules clean "
+    "every document (tx18's c4_line_clean — length + blocklist token, "
+    "map-only); (2) corpus-wide PARAGRAPH dedup runs across ALL "
+    "cleaned documents (d15's paragraph_dedup over the cleaned text — "
+    "keep-first corpus-wide; dedup must see the whole cleaned corpus, "
+    "not just doc-rule survivors, or cross-document duplicates hiding "
+    "in short documents survive); (3) DOCUMENT rules drop pages with "
+    "< 5 surviving lines or the blocked phrase; (4) the Gopher "
+    "structural gate (pipe4's shared policy) scores the FINAL deduped "
+    "text. Output per surviving document: line/paragraph counts at "
+    "each stage, final word count, md5 of the final text (the oracle "
+    "hash-checks the entire four-stage transformation, not just who "
+    "survived). Plan: stages 1/3/4 are map-only; stage 2 pays d15's "
+    "two hash shuffles; the stats re-join on doc_id rides the same "
+    "key as stage 2's reassembly groupBy. Composes three "
+    "already-verified operators with zero copied logic — the "
+    "one-formulation discipline (gopher_metrics, c4_line_clean, "
+    "paragraph_dedup are each THE single copy).",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS ws,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, norm,
+             list_transform(
+               range(greatest(CAST(ceil(len(ws)/{C4_LINE_WORDS}.0) AS BIGINT), 1)),
+               i -> ws[(CAST(i AS INT)*{C4_LINE_WORDS}+1):(CAST(i AS INT)*{C4_LINE_WORDS}+{C4_LINE_WORDS})]) AS lns
+      FROM toks
+    ),
+    cleaned AS (
+      SELECT doc_id, norm, CAST(len(lns) AS BIGINT) AS n_lines,
+             list_filter(lns, ln -> len(ln) >= {C4_MIN_LINE_WORDS}
+                         AND NOT list_contains(ln, '{C4_LINE_BLOCK_TOKEN}')) AS kept
+      FROM lines
+    ),
+    c4 AS (
+      SELECT doc_id, norm, n_lines, CAST(len(kept) AS BIGINT) AS kept_lines,
+             flatten(kept) AS ctok
+      FROM cleaned
+    ),
+    paras AS (
+      SELECT doc_id, CAST(i AS INT) AS para_idx,
+             coalesce(array_to_string(
+               ctok[(CAST(i AS INT)*{C4_LINE_WORDS}+1):(CAST(i AS INT)*{C4_LINE_WORDS}+{C4_LINE_WORDS})],
+               ' '), '') AS para
+      FROM c4,
+           UNNEST(range(greatest(CAST(ceil(len(ctok)/{C4_LINE_WORDS}.0) AS BIGINT), 1))) AS t(i)
+    ),
+    flagged AS (
+      SELECT doc_id, para_idx, para,
+             row_number() OVER (PARTITION BY para
+                                ORDER BY doc_id, para_idx) AS rn
+      FROM paras
+    ),
+    dd AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_paras,
+             CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept_paras,
+             coalesce(string_agg(CASE WHEN rn = 1 THEN para END, ' '
+                                 ORDER BY para_idx), '') AS final_text
+      FROM flagged GROUP BY doc_id
+    ),
+    g AS (
+      SELECT doc_id, n_paras, kept_paras, final_text,
+             string_split_regex(lower(trim(final_text)), '\\s+') AS tk
+      FROM dd
+    ),
+    m AS (
+      SELECT doc_id, n_paras, kept_paras, final_text,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             round(list_sum(list_transform(tk, w -> length(w))) * 1.0
+                   / greatest(len(tk), 1), 6) AS mwl,
+             round(len(list_filter(tk, w -> regexp_matches(w, '#|\\.\\.\\.'))) * 1.0
+                   / greatest(len(tk), 1), 6) AS swr,
+             round(len(list_filter(tk, w -> regexp_matches(w, '[a-z]'))) * 1.0
+                   / greatest(len(tk), 1), 6) AS awf
+      FROM g
+    )
+    SELECT c4.doc_id, c4.n_lines, c4.kept_lines, m.n_paras, m.kept_paras,
+           m.n_words, md5(m.final_text) AS final_md5
+    FROM m JOIN c4 ON m.doc_id = c4.doc_id
+    WHERE c4.kept_lines >= {C4_MIN_KEPT_LINES}
+      AND position('{C4_DOC_BLOCK_PHRASE}' IN c4.norm) = 0
+      AND {gopher_gate_sql(n_words='m.n_words', mwl='m.mwl', swr='m.swr', awf='m.awf')}
+    """,
+)
+def pipe9_c4_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stage 1: line rules over every document (map-only); checkpointed
+    # lazily — consumed by the dedup input AND the stats/doc-rule join
+    c4 = c4_line_clean(_docs(spark, sf_dir)).localCheckpoint(eager=False)
+    # stage 2: corpus-wide paragraph dedup across ALL cleaned docs
+    dd = paragraph_dedup(
+        c4.select("doc_id", "clean_text"), text_col="clean_text"
+    )
+    merged = c4.select(
+        "doc_id", "n_lines", "kept_lines", "r_min_lines", "r_phrase"
+    ).join(
+        dd.select(
+            "doc_id",
+            "n_paras",
+            "kept_paras",
+            F.col("clean_text").alias("final_text"),
+        ),
+        on="doc_id",
+    )
+    # stage 4 metrics over the FINAL text: token array aliased in its
+    # own select (tx6 CollapseProject discipline), THE shared
+    # gopher_metrics formulation
+    t = merged.select(
+        "doc_id",
+        "n_lines",
+        "kept_lines",
+        "r_min_lines",
+        "r_phrase",
+        "n_paras",
+        "kept_paras",
+        "final_text",
+        tokens(F.col("final_text")).alias("tk"),
+    )
+    gm = gopher_metrics(F.col("tk"))
+    m = t.select(
+        "doc_id",
+        "n_lines",
+        "kept_lines",
+        "r_min_lines",
+        "r_phrase",
+        "n_paras",
+        "kept_paras",
+        "final_text",
+        gm["n_words"].alias("n_words"),
+        gm["mean_word_len"].alias("mwl"),
+        gm["symbol_word_ratio"].alias("swr"),
+        gm["alpha_word_frac"].alias("awf"),
+    )
+    # stage 3 (document rules) + stage 4 (shared Gopher gate policy)
+    out = m.filter(
+        (F.col("r_min_lines") == 1)
+        & (F.col("r_phrase") == 1)
+        & gopher_structural_gate(
+            F.col("n_words"), F.col("mwl"), F.col("swr"), F.col("awf")
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "kept_lines",
+        "n_paras",
+        "kept_paras",
+        "n_words",
+        F.md5("final_text").alias("final_md5"),
     )
 
 

@@ -479,3 +479,72 @@ def _manifest_of(spark, docs):
         )
         .collect()
     )
+
+
+def test_pipe9_composes_tx18_and_dedup_stage_is_load_bearing(spark, sf_small):
+    """pipe9's stage stats must agree with tx18 run standalone (one
+    formulation, composed not copied), and the corpus-wide paragraph
+    dedup must be LOAD-BEARING: some documents pass every rule on
+    their cleaned text but die once corpus dedup strips their
+    duplicated paragraphs below the Gopher word bar — C4's
+    boilerplate-page behavior. A pipeline whose dedup stage changes
+    nothing would be decorative."""
+    from pypgsync_spark.functions.text import (
+        c4_line_clean,
+        gopher_metrics,
+        gopher_structural_gate,
+        tokens,
+    )
+    from pypgsync_spark.operators.dedup import paragraph_dedup
+
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["pipe9_c4_pipeline"].fn(spark, sf_small).collect()
+    }
+    tx = {
+        r["doc_id"]: r
+        for r in REGISTRY["tx18_c4_rules"].fn(spark, sf_small).collect()
+    }
+    assert out
+    for did, r in out.items():
+        assert tx[did]["doc_pass"] == 1
+        assert (r["n_lines"], r["kept_lines"]) == (
+            tx[did]["n_lines"],
+            tx[did]["kept_lines"],
+        )
+
+    # the same pipeline MINUS stage 2 (gate scored on the cleaned,
+    # un-deduped text)
+    d = load_table(spark, sf_small, "documents")
+    c4 = c4_line_clean(d)
+    gated_input = c4.filter(
+        (F.col("r_min_lines") == 1) & (F.col("r_phrase") == 1)
+    ).select("doc_id", tokens(F.col("clean_text")).alias("tk"))
+    gm = gopher_metrics(F.col("tk"))
+    m = gated_input.select(
+        "doc_id",
+        gm["n_words"].alias("nw"),
+        gm["mean_word_len"].alias("mwl"),
+        gm["symbol_word_ratio"].alias("swr"),
+        gm["alpha_word_frac"].alias("awf"),
+    )
+    no_dd = {
+        r["doc_id"]
+        for r in m.filter(
+            gopher_structural_gate(
+                F.col("nw"), F.col("mwl"), F.col("swr"), F.col("awf")
+            )
+        ).collect()
+    }
+    assert set(out) <= no_dd
+    dropped = no_dd - set(out)
+    assert dropped, "paragraph-dedup stage changed nothing at this scale"
+    # every doc the stage killed really lost paragraphs to corpus dedup
+    dd = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(
+            c4.select("doc_id", "clean_text"), text_col="clean_text"
+        ).collect()
+    }
+    for did in dropped:
+        assert dd[did]["kept_paras"] < dd[did]["n_paras"], did
