@@ -489,9 +489,16 @@ def lsh_band_index_write(
     its own delta-proportional signature cost before probing these
     lean (id, band, bucket) rows. At 100 TB the index is ~bands rows
     of three integers per document — orders of magnitude under the
-    corpus — and the layout IS the index: band directories prune the
-    read per band, bucket-sorted row groups localize each probe.
+    corpus. The (band, bucket) clustering keeps each bucket's rows in
+    contiguous row groups; the IMPLEMENTED probe path gates rows with
+    a Bloom expression evaluated at the scan (no band/bucket predicate
+    is pushed, so no partition or row-group is skipped today — the
+    sorted layout is what a future IN-list/DPP probe would need, and
+    what keeps the bucket join's shuffle input clustered).
     """
+    import json
+    import os
+
     s = with_shingles(df.select(id_col, text_col), text_col, n)
     sig = minhash_signatures(s, id_col, "shingles", num_perm)
     # lazy checkpoint: repartitionByRange SAMPLES its input in a
@@ -508,6 +515,11 @@ def lsh_band_index_write(
         .partitionBy("band")
         .parquet(path)
     )
+    # geometry sidecar: a probe built with different (n, num_perm,
+    # bands) would join band keys that can never match and silently
+    # return ~nothing — the probe asserts against this file instead
+    with open(os.path.join(path, "_lsh_geometry.json"), "w") as f:
+        json.dump({"n": n, "num_perm": num_perm, "bands": bands}, f)
 
 
 def minhash_lsh_pairs(

@@ -331,13 +331,39 @@ def lsh_index_screen(
     false negatives are impossible (same-key rows hash to the same bit
     positions), so the result is bit-identical to the index-less,
     gate-less screen — pinned by test against exactly that formulation.
+
+    Two documented degrade edges: (1) the Bloom gate is a no-op past
+    ``bloom_prune``'s ``max_keys`` cap (|delta| × bands keys — ~125k
+    docs at the defaults): the probe stays CORRECT but becomes an
+    ungated index scan + join, a step-function cost change an operator
+    sizing batches should know about; (2) the index must have been
+    built with the SAME (n, num_perm, bands) geometry — mismatched
+    band keys can never match and would silently drop every true
+    pair, so the probe asserts against the geometry sidecar the
+    writer records and refuses loudly instead.
     """
+    import json
+    import os
+
     from pypgsync_spark.operators.dedup import (
         band_bucket_keys,
         jaccard,
         minhash_signatures,
         with_shingles,
     )
+
+    meta_path = os.path.join(index_path, "_lsh_geometry.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        want = {"n": n, "num_perm": num_perm, "bands": bands}
+        if meta != want:
+            raise ValueError(
+                f"LSH index at {index_path} was built with geometry "
+                f"{meta}, probe requested {want} — mismatched band "
+                "keys silently match nothing; rebuild the index or "
+                "probe with its geometry"
+            )
 
     s_d = with_shingles(delta.select(id_col, text_col), text_col, n)
     # feeds both the signature build and the exact verify: lazy

@@ -548,3 +548,20 @@ def test_pipe9_composes_tx18_and_dedup_stage_is_load_bearing(spark, sf_small):
     }
     for did in dropped:
         assert dd[did]["kept_paras"] < dd[did]["n_paras"], did
+
+
+def test_d17_geometry_mismatch_refuses(spark, sf_small, tmp_path):
+    """A probe whose (n, num_perm, bands) differs from the index's
+    recorded geometry would produce band keys that can never match —
+    silently dropping every true pair. The sidecar assertion must
+    refuse loudly instead."""
+    import pytest
+
+    from pypgsync_spark.operators.dedup import lsh_band_index_write
+    from pypgsync_spark.operators.incremental import lsh_index_screen
+
+    d = load_table(spark, sf_small, "documents").limit(30)
+    path = str(tmp_path / "idx8")
+    lsh_band_index_write(d, path, bands=8)
+    with pytest.raises(ValueError, match="geometry"):
+        lsh_index_screen(spark, path, d, d, bands=16)
