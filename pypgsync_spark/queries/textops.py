@@ -3716,3 +3716,70 @@ def mm13_video_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_fingerprint_bands(with_neardup_video_payload(_docs(spark, sf_dir))),
         max_hamming=3,
     )
+
+
+@register(
+    "mm14_stream_video_screen",
+    bench=143,
+    survey="ext:multimodal,ext:dedup,§2.10 ext",
+    doc="Streaming VIDEO ingest screen — the 3×2 modality matrix "
+    "closed on BOTH axes: image mm9 pairs + mm10 screen, audio mm11 "
+    "pairs + mm12 screen, video mm13 pairs + this. mm13's "
+    "luma-envelope fingerprint chain (real YUV4MPEG2 container "
+    "decode → 8 integer Y-block sums per frame → 64 circular "
+    "comparison bits → 4×16-bit bands) rides the SAME signer-generic "
+    "stateless band screen as mm10/mm12 "
+    "(streaming/dedupe.banded_screen_stream — one copy of the "
+    "geometry, plan-asserted stateless, corpus signed once per "
+    "version into the video family's own persist slot, pigeonhole-"
+    "complete at radius 3). Incoming = every doc_id % 10 == 0 "
+    "document's clip (role 0 of its group of 5, so the standing "
+    "corpus holds its exact duplicate at id+1 and a single-PIXEL "
+    "luma edit at id+2 — guaranteed cross-split matches); corpus = "
+    "all other documents. The oracle restates the ENTIRE chain — md5 "
+    "Y bytes, role-2 bump, block sums, bits, bands, split, bucket "
+    "join, hamming, per-incoming verdict.",
+    oracle=f"""
+    {_DUCK_VID_SIG_CHAIN},
+    inc AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS in_id, b.doc_id AS cand_id
+      FROM vbands a JOIN vbands b ON a.bi = b.bi AND a.bv = b.bv
+      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    ),
+    ham AS (
+      SELECT c.in_id, c.cand_id,
+             bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+           + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+             AS hamming
+      FROM cand c
+      JOIN vsig sa ON c.in_id = sa.doc_id
+      JOIN vsig sb ON c.cand_id = sb.doc_id
+    ),
+    hits AS (
+      SELECT in_id, count(*) AS nm, min(hamming) AS bh
+      FROM ham WHERE hamming <= 3 GROUP BY in_id
+    )
+    SELECT i.doc_id,
+           CAST(coalesce(h.nm, 0) AS BIGINT) AS n_matches,
+           CAST(coalesce(h.bh, -1) AS INT) AS best_hamming,
+           CAST(CASE WHEN h.nm IS NULL THEN 1 ELSE 0 END AS INT) AS is_novel
+    FROM inc i LEFT JOIN hits h ON i.doc_id = h.in_id
+    """,
+)
+def mm14_stream_video_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pypgsync_spark.catalog import table_path
+    from pypgsync_spark.streaming.balance import _file_stream, drain_to_memory
+    from pypgsync_spark.streaming.dedupe import video_screen_stream
+
+    path = table_path(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    stream = _file_stream(spark, schema, path).filter(F.col("doc_id") % 10 == 0)
+    corpus = spark.read.parquet(path).filter(F.col("doc_id") % 10 != 0)
+    drained = drain_to_memory(
+        spark,
+        video_screen_stream(stream, corpus, max_hamming=3),
+        "mm14_screen_mem",
+        output_mode="append",
+    )
+    return _screen_verdict(drained, max_hamming=3)

@@ -418,3 +418,38 @@ def audio_screen_stream(
         id_col=id_col,
         max_hamming=max_hamming,
     )
+
+
+# the video screen's own corpus-band slot (modalities scope, not
+# share — all three screens may run in one composed pipeline)
+_VID_SCREEN_BANDS_CACHE: list = []
+
+
+def video_screen_stream(
+    stream_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Streaming VIDEO ingest screen — mm13's luma-envelope fingerprint
+    chain (operators/multimodal.py: real YUV4MPEG2 container decode →
+    per-frame integer Y-block sums → 64 circular comparison bits →
+    4×16-bit bands) as the stream side of
+    :func:`banded_screen_stream`, closing the 3×2 modality matrix
+    (image mm9/mm10, audio mm11/mm12, video mm13/this). Same geometry,
+    same pigeonhole completeness at radius 3, own corpus slot."""
+    from pypgsync_spark.operators.multimodal import (
+        video_fingerprint_bands,
+        with_neardup_video_payload,
+    )
+
+    return banded_screen_stream(
+        stream_docs,
+        corpus_docs,
+        lambda df: video_fingerprint_bands(
+            with_neardup_video_payload(df, id_col=id_col)
+        ),
+        _VID_SCREEN_BANDS_CACHE,
+        id_col=id_col,
+        max_hamming=max_hamming,
+    )

@@ -536,3 +536,39 @@ def test_audio_screen_corpus_band_table_is_persisted(spark, sf_small):
     # the previous copy
     sd.audio_screen_stream(dstream, dcorpus)
     assert len(sd._AUD_SCREEN_BANDS_CACHE) == 1
+
+
+def test_video_screen_corpus_band_table_is_persisted(spark, sf_small):
+    """mm14: the video screen's corpus band table must be PERSISTED in
+    the video family's OWN slot (corpus decode/signing paid once per
+    corpus version, not per micro-batch — and never evicting the image
+    or audio screens' slots: all three modality screens may run in one
+    composed pipeline)."""
+    from pyspark.sql import functions as F
+
+    from pypgsync_spark.catalog import table_path
+    from pypgsync_spark.streaming import dedupe as sd
+
+    dpath = table_path(sf_small, "documents")
+    dcorpus = spark.read.parquet(dpath).filter(F.col("doc_id") % 10 != 0)
+    dstream = (
+        spark.readStream.schema(spark.read.parquet(dpath).schema)
+        .parquet(dpath)
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    img_before = list(sd._IMG_BANDS_CACHE)
+    aud_before = list(sd._AUD_SCREEN_BANDS_CACHE)
+    sd.video_screen_stream(dstream, dcorpus)
+    assert len(sd._VID_SCREEN_BANDS_CACHE) == 1
+    cached = sd._VID_SCREEN_BANDS_CACHE[0]
+    cached.count()  # materialize the cache
+    p = cached._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in p
+    # scoped slot: signing the video corpus must not evict the others
+    assert list(sd._IMG_BANDS_CACHE) == img_before
+    assert list(sd._AUD_SCREEN_BANDS_CACHE) == aud_before
+
+    # single-slot discipline within the family: a second call releases
+    # the previous copy
+    sd.video_screen_stream(dstream, dcorpus)
+    assert len(sd._VID_SCREEN_BANDS_CACHE) == 1

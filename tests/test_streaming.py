@@ -994,3 +994,46 @@ def test_audio_screen_stream_is_stateless_and_complete(spark, sf_small):
         assert nm >= 2, (i, out[i])
         assert bh == 0, (i, out[i])
         assert novel == 0, (i, out[i])
+
+
+def test_video_screen_stream_is_stateless_and_complete(spark, sf_small):
+    """mm14's streaming stage must be ENTIRELY stateless (the
+    banded_screen_stream contract, same as the image/audio twins), and
+    the banded probe COMPLETE at radius 3: every incoming video doc
+    whose group-mates exist in the corpus must surface its exact
+    duplicate (id+1, hamming 0) and its single-PIXEL luma edit (id+2,
+    hamming <= 2 — the bump touches one block sum, so at most the 2
+    comparison bits whose window includes it flip) among the
+    verdicts."""
+    from pypgsync_spark.queries import REGISTRY
+    from pypgsync_spark.streaming.dedupe import video_screen_stream
+
+    path = table_path(sf_small, "documents")
+    schema = spark.read.parquet(path).schema
+    incoming = (
+        spark.readStream.schema(schema).parquet(path).filter(F.col("doc_id") % 10 == 0)
+    )
+    corpus = spark.read.parquet(path).filter(F.col("doc_id") % 10 != 0)
+    composed = video_screen_stream(incoming, corpus)
+    plan = composed._jdf.queryExecution().analyzed().toString()
+    assert "Join LeftOuter" in plan  # the stream-static band probe
+    for stateful in (
+        "EventTimeWatermark",
+        "Deduplicate",
+        "Aggregate",
+        "FlatMapGroupsWithState",
+    ):
+        assert stateful not in plan, stateful
+
+    out = {
+        r["doc_id"]: (r["n_matches"], r["best_hamming"], r["is_novel"])
+        for r in REGISTRY["mm14_stream_video_screen"].fn(spark, sf_small).collect()
+    }
+    max_id = spark.read.parquet(path).agg(F.max("doc_id")).first()[0]
+    whole_group = [i for i in out if i + 2 <= max_id]
+    assert whole_group, "fixture too small for any complete group"
+    for i in whole_group:
+        nm, bh, novel = out[i]
+        assert nm >= 2, (i, out[i])
+        assert bh == 0, (i, out[i])
+        assert novel == 0, (i, out[i])
