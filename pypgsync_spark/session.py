@@ -21,6 +21,24 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# AQE coalesces post-shuffle partitions by BYTES (parallelismFirst
+# packs ~minPartitionSize per partition, default 1 MB). That heuristic
+# is wrong for this engine's compute-dense, byte-light operators: the
+# PPJoin verify / prefix stages run ~2 s of CPU per shuffled MB
+# (hashed-shingle arrays are tiny on the wire, array_intersect per
+# candidate pair is not), so 1 MB packing coalesced them to 4-8 tasks
+# and left 3/4 of the cores idle (r14 profile: pipe2's verify stage =
+# 18 s CPU squeezed into 8 tasks). 256 KB keeps such stages at full
+# parallelism while still folding genuinely tiny (<256 KB total)
+# shuffles to one task. Scale note: this is a FLOOR, not a target —
+# on a real cluster any data-proportional shuffle sits far above
+# either value and coalescing behaves identically; override with
+# SPARK_GRAFT_AQE_MIN_PARTITION if a deployment wants the 1 MB
+# default back. Measured (quiet-box isolated A/B, min-of-4, sf0.1):
+# d2 3.27→2.14 s, d5 4.55→3.02, d12 3.16→2.07, d13 2.94→2.00,
+# pipe2 7.82→5.85, d9 4.90→3.52; join/TPC-H family neutral.
+AQE_MIN_PARTITION = os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "262144")
+
 
 def _resolve_master(master: str | None, cpus: int) -> str | None:
     """'auto' → local[cpus]; None → None (builder must not call
@@ -55,6 +73,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            AQE_MIN_PARTITION,
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Fixture files are small; don't let tiny files fragment scans.
