@@ -22,6 +22,7 @@ deterministic across runs/partitionings, JVM-side, no Python UDFs.
 
 from __future__ import annotations
 
+import os
 import warnings
 
 from pyspark.sql import Column, DataFrame, Window
@@ -658,6 +659,57 @@ def _min_label_rounds(
     return labels, converged, rounds
 
 
+# Below this many edges the component closure runs as a driver-side
+# union-find instead of distributed label-propagation rounds (r14
+# optimization round; guide §1.2 "the distributed algorithm" + §5 "the
+# driver should do almost no data work" — bounded metadata-scale work
+# is the exception that proves the rule). Rationale: every distributed
+# CC round is a full job (shuffle + convergence-sum collect), and on a
+# near-dup graph of a few hundred edges those rounds are pure
+# scheduling overhead — measured 1.3 s (Pregel, d5) to ~4 s
+# (star fallback, d6) per query on the sf0.1 fixture for <1k edges.
+# 500k edges ≈ 8 MB collected — the same order a broadcast-join build
+# side ships to the driver anyway; past the cutoff the distributed
+# path runs unchanged. Override per call (`driver_max_edges=0` forces
+# the distributed path) or per deployment via
+# $SPARK_GRAFT_CC_DRIVER_MAX_EDGES.
+CC_DRIVER_MAX_EDGES = 500_000
+
+
+def _driver_union_find_labels(raw: DataFrame) -> DataFrame:
+    """(id, component) via driver-side union-find over a SMALL,
+    already-materialized edge list — bit-identical to the distributed
+    variants: component = min reachable node id, every endpoint
+    (self-loop-only nodes included) gets a row."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in raw.collect():
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        # larger root attaches under smaller → the final root of every
+        # tree is the component-wide min id, matching min-label Pregel
+        parent[rb] = ra
+    rows = sorted((x, find(x)) for x in parent)
+    return raw.sparkSession.createDataFrame(
+        rows, schema="id long, component long"
+    )
+
+
 def connected_components_hybrid(
     edges: DataFrame,
     id_a: str = "id_a",
@@ -665,6 +717,7 @@ def connected_components_hybrid(
     pregel_rounds: int = 3,
     max_iter: int = 50,
     stats: dict | None = None,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Adaptive CC — the 100 TB default. Same output contract as
     :func:`connected_components` / :func:`connected_components_star`.
@@ -685,9 +738,36 @@ def connected_components_hybrid(
     labeling matches the other variants bit-for-bit.
 
     ``stats`` (optional dict) reports ``pregel_rounds`` and
-    ``star_rounds`` actually run.
+    ``star_rounds`` actually run (plus ``driver_edges`` when the
+    small-graph driver path fired).
+
+    Small graphs (≤ ``driver_max_edges`` raw edges, default
+    :data:`CC_DRIVER_MAX_EDGES`, env-overridable) skip the distributed
+    rounds entirely: the edge list — materialized exactly once either
+    way — is collected and closed with a driver-side union-find. Every
+    distributed round is a full Spark job whose cost on a small graph
+    is pure scheduling overhead; the cutoff bounds the collect at
+    broadcast-build-side scale.
     """
-    sym = _sym_edges(edges, id_a, id_b)
+    if driver_max_edges is None:
+        driver_max_edges = int(
+            os.environ.get(
+                "SPARK_GRAFT_CC_DRIVER_MAX_EDGES", CC_DRIVER_MAX_EDGES
+            )
+        )
+    # materialize the (possibly expensive) pair-finding pipeline ONCE;
+    # both paths reuse this checkpoint
+    raw = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).localCheckpoint(
+        eager=True
+    )
+    n_edges = raw.count()
+    if n_edges <= driver_max_edges:
+        if stats is not None:
+            stats["pregel_rounds"] = 0
+            stats["star_rounds"] = 0
+            stats["driver_edges"] = n_edges
+        return _driver_union_find_labels(raw)
+    sym = _sym_edges(raw, "a", "b")
     labels = _self_labels(sym)
     labels, converged, rounds = _min_label_rounds(sym, labels, pregel_rounds)
     if stats is not None:

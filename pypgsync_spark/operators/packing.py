@@ -48,6 +48,7 @@ def packed_offsets(
     tokens_col: str,
     bucket_size: int = 1000,
     offset_col: str = "offset",
+    materialize_input: bool = True,
 ) -> DataFrame:
     """``df`` plus ``offset_col``: the exclusive prefix sum of
     ``tokens_col`` per ``stream_col`` in ascending ``order_col`` order.
@@ -61,7 +62,21 @@ def packed_offsets(
     when it measures small and falls back to a shuffle join when the
     corpus/bucket_size ratio makes it big (a forced broadcast would
     blow the driver past ~10⁸ buckets).
+
+    ``materialize_input`` (default on; r14 optimization round): the
+    input feeds BOTH the per-bucket totals branch and the rows branch
+    of the join, so without materialization Spark evaluates the whole
+    upstream pipeline twice per action — for pipe2 that upstream is
+    the full dedup→CC→window chain (the before-plan shows the same
+    scan/join/window subtree twice). The input is by contract narrow
+    metadata (stream, order, token count — never document payloads),
+    so the lazy localCheckpoint stores #rows × ~3 scalars at
+    MEMORY_AND_DISK: orders of magnitude under the corpus at any
+    scale, and far cheaper than re-running tokenization. Opt out for
+    inputs that are already materialized.
     """
+    if materialize_input:
+        df = df.localCheckpoint(eager=False)
     b = df.withColumn(_BKT, F.expr(f"{order_col} div {int(bucket_size)}"))
     totals = b.groupBy(stream_col, _BKT).agg(
         F.sum(tokens_col).alias("__btok")
@@ -111,13 +126,21 @@ def pack_chunks(
     tokens_col: str,
     budget: int,
     bucket_size: int = 1000,
+    materialize_input: bool = True,
 ) -> DataFrame:
     """Chunk summary of the packed stream: one row per (stream,
     chunk_id) with ``n_docs`` and ``chunk_tokens``. ``chunk_id`` is the
     training sequence the document STARTS in — ``offset div budget`` —
-    matching the standard concatenate-then-slice packing loop."""
+    matching the standard concatenate-then-slice packing loop.
+    ``materialize_input`` is passed through to
+    :func:`packed_offsets` (see there)."""
     packed = packed_offsets(
-        df, stream_col, order_col, tokens_col, bucket_size=bucket_size
+        df,
+        stream_col,
+        order_col,
+        tokens_col,
+        bucket_size=bucket_size,
+        materialize_input=materialize_input,
     )
     return (
         packed.withColumn("chunk_id", F.expr(f"offset div {int(budget)}"))

@@ -268,10 +268,23 @@ def test_connected_components_hybrid_matches_pregel(spark):
     stats: dict = {}
     b = {
         (r["id"], r["component"])
-        for r in connected_components_hybrid(edges, stats=stats).collect()
+        for r in connected_components_hybrid(
+            edges, stats=stats, driver_max_edges=0
+        ).collect()
     }
     assert (30, 30) in b
     assert a == b
+    # r14: the small-graph driver path (union-find over the collected
+    # edge list) must produce the identical labeling, self-loop-only
+    # node included, and report how many edges it collected
+    dstats: dict = {}
+    c = {
+        (r["id"], r["component"])
+        for r in connected_components_hybrid(edges, stats=dstats).collect()
+    }
+    assert c == a
+    assert dstats["pregel_rounds"] == 0 and dstats["star_rounds"] == 0
+    assert dstats["driver_edges"] == 9
 
 
 def test_connected_components_hybrid_chain_falls_over_to_star(spark):
@@ -285,12 +298,19 @@ def test_connected_components_hybrid_chain_falls_over_to_star(spark):
         [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
     )
     stats: dict = {}
-    labels = connected_components_hybrid(edges, stats=stats).collect()
+    labels = connected_components_hybrid(
+        edges, stats=stats, driver_max_edges=0
+    ).collect()
     assert {(r["id"], r["component"]) for r in labels} == {
         (i, 0) for i in range(n + 1)
     }
     assert stats["pregel_rounds"] == 3
     assert 1 <= stats["star_rounds"] <= 10, stats
+    # driver path agrees on the chain graph
+    assert {
+        (r["id"], r["component"])
+        for r in connected_components_hybrid(edges).collect()
+    } == {(i, 0) for i in range(n + 1)}
 
 
 def test_connected_components_hybrid_shallow_skips_star(spark):
@@ -304,7 +324,9 @@ def test_connected_components_hybrid_shallow_skips_star(spark):
     stats: dict = {}
     got = {
         (r["id"], r["component"])
-        for r in connected_components_hybrid(edges, stats=stats).collect()
+        for r in connected_components_hybrid(
+            edges, stats=stats, driver_max_edges=0
+        ).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
     assert stats["star_rounds"] == 0
