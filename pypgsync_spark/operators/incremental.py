@@ -126,19 +126,35 @@ def cross_jaccard_pairs(
     # shared AllPairs/PPJoin kernel (r10 review: this was a second
     # inline copy of the prefix build; a bound/tie-order fix in one
     # place would have silently left the other incomplete)
-    from pypgsync_spark.operators.dedup import ppjoin_length_filter, ppjoin_prefixes
+    from pypgsync_spark.operators.dedup import (
+        ppjoin_length_filter,
+        ppjoin_positional_filter,
+        ppjoin_prefixes,
+    )
 
     def prefixes(ex: DataFrame, side: str) -> DataFrame:
         return ppjoin_prefixes(
             ex, freq, threshold, id_col=f"id_{side}", sz_col=f"sz_{side}"
-        )
+        ).withColumnRenamed("__rk", f"__rk_{side}")
 
+    # candidate dedup doubles as the positional-filter aggregation —
+    # same lemma and shuffle shape as the self-join form in
+    # operators/dedup.ngram_jaccard_pairs (r14)
     cand = (
         prefixes(ed, "d")
         .join(prefixes(ec, "c"), on="sh")
         .filter(ppjoin_length_filter("sz_d", "sz_c", threshold))
+        .groupBy("id_d", "id_c")
+        .agg(
+            F.min("__rk_d").alias("__rd"),
+            F.min("__rk_c").alias("__rc"),
+            F.first("sz_d").alias("sz_d"),
+            F.first("sz_c").alias("sz_c"),
+        )
+        .filter(
+            ppjoin_positional_filter("sz_d", "sz_c", "__rd", "__rc", threshold)
+        )
         .select("id_d", "id_c")
-        .dropDuplicates(["id_d", "id_c"])
     )
     return (
         cand.join(

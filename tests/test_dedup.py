@@ -105,6 +105,40 @@ def test_prefix_blocking_uniform_lengths(spark):
     assert pref == full
 
 
+def test_positional_filter_boundary_exact(spark):
+    """r14 positional filter: near-threshold pairs with varied sizes
+    must survive the o_ub pruning exactly when the all-pairs form
+    keeps them. Sizes differ (length filter active), overlap sits
+    within one shingle of the θ boundary in both directions, and the
+    common shingles are the most FREQUENT ones (ranked last in the
+    canonical order — the worst case for the positional bound)."""
+    from pypgsync_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = []
+    shared = [f"s{j}" for j in range(12)]  # appears in many docs → frequent
+    for i in range(12):
+        # doc pairs share a 12-token run plus i distinct tokens each:
+        # jaccard slides through the 0.3 boundary as i grows
+        uniq_a = [f"a{i}_{j}" for j in range(i + 1)]
+        uniq_b = [f"b{i}_{j}" for j in range(i + 3)]
+        rows.append((2 * i, " ".join(shared + uniq_a)))
+        rows.append((2 * i + 1, " ".join(shared + uniq_b)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for thr in (0.3, 0.45):
+        full = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                docs, threshold=thr, blocking=None
+            ).collect()
+        }
+        pref = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, threshold=thr).collect()
+        }
+        assert full, "fixture should contain qualifying pairs"
+        assert pref == full
+
+
 def test_simhash_finds_near_dups(spark, sf_small):
     """SimHash near-dup pairs should substantially overlap the
     high-Jaccard truth set (same token distributions → close
