@@ -460,34 +460,69 @@ def minhash_signatures(
     BIGINT)``). md5 costs ~2-3× xxhash64 per shingle, still one hash
     per shingle — verifiability across engines is worth the constant.
 
-    Physical shape chosen for scale: explode shingles to one row each,
-    compute the ``num_perm`` hash columns as plain (whole-stage-
-    codegen'd) expressions, and take per-document mins through a
-    partial-aggregating groupBy. Spark's higher-order array lambdas run
-    interpreted, so the seemingly shuffle-free ``transform``/
-    ``array_min`` formulation is ~10× slower; the explode route keeps
-    every hash inside codegen and the shuffle carries only
-    (id, 64 longs) after map-side combine.
+    Physical shape (r14 optimization round): one Arrow-batched
+    ``mapInPandas`` kernel — per document, hash each shingle once
+    (``hashlib.md5`` top-60-bits, BIT-IDENTICAL to the previous
+    ``conv(substring(md5(s),1,15),16,10)`` expression and to the
+    DuckDB oracle's ``CAST('0x'||substr(md5(s),1,15) AS BIGINT)``),
+    then one numpy broadcast computes all ``num_perm`` universal
+    hashes and their column-mins (every intermediate ``a·h + b`` is
+    < 2^62 — exact in int64, same arithmetic as the old codegen
+    columns). This replaces the r11 explode → 64 expression columns →
+    groupBy(64 mins) shape: the explode inflated the corpus
+    |shingles|-fold through 64-column rows and paid a (map-combined)
+    shuffle for the per-doc mins, measured ~1.0 s of the 1.4 s
+    signature stage at sf0.1 — the kernel is map-only (no shuffle at
+    all), ships only (id, shingles) across the Arrow boundary, and
+    runs the fold at C speed (guide §4.2; the r13 ivf_assign kernel
+    precedent). Docs with NULL/empty shingle sets produce no row,
+    exactly as explode did. Bit-equality against the legacy
+    formulation is pinned by test.
     """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
     a, b = _perm_coeffs(num_perm)
-    exploded = df.select(F.col(id_col).alias("id"), F.explode(shingle_col).alias("s"))
-    base = F.pmod(
-        F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long"),
-        F.lit(_MERSENNE_31),
+    a_arr = np.asarray(a, dtype=np.int64).reshape(1, -1)
+    b_arr = np.asarray(b, dtype=np.int64).reshape(1, -1)
+    id_field = T.StructField(
+        "id", df.schema[id_col].dataType, df.schema[id_col].nullable
     )
-    hash_cols = [
-        F.pmod(F.lit(a[i]) * F.col("__h") + F.lit(b[i]), F.lit(_MERSENNE_31)).alias(
-            f"h{i}"
-        )
-        for i in range(num_perm)
-    ]
-    hashed = exploded.withColumn("__h", base).select("id", *hash_cols)
-    mins = hashed.groupBy("id").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_perm)]
+    schema = T.StructType(
+        [id_field, T.StructField("sig", T.ArrayType(T.LongType()))]
     )
-    return mins.select(
-        "id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
-    )
+
+    def sign(batches):
+        import hashlib
+
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, sh in zip(pdf["id"], pdf["__sh"]):
+                if sh is None or len(sh) == 0:
+                    continue
+                h = np.fromiter(
+                    (
+                        int(md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                        % _MERSENNE_31
+                        for s in sh
+                    ),
+                    dtype=np.int64,
+                    count=len(sh),
+                )
+                m = ((h.reshape(-1, 1) * a_arr + b_arr) % _MERSENNE_31).min(
+                    axis=0
+                )
+                ids.append(i)
+                sigs.append(m.tolist())
+            if ids:  # an all-filtered batch has no typed columns to emit
+                yield pd.DataFrame({"id": ids, "sig": sigs})
+
+    return df.select(
+        F.col(id_col).alias("id"), F.col(shingle_col).alias("__sh")
+    ).mapInPandas(sign, schema)
 
 
 def band_bucket_keys(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:

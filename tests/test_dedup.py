@@ -105,6 +105,57 @@ def test_prefix_blocking_uniform_lengths(spark):
     assert pref == full
 
 
+def test_minhash_signature_kernel_matches_legacy_columns(spark):
+    """r14 kernel migration: the Arrow minhash signer must be
+    BIT-identical to the explode → 64 codegen columns → groupBy(min)
+    formulation it replaced (whose md5 arithmetic the d3/d17 oracles
+    restate) — unicode shingles, singletons, empty and NULL shingle
+    sets included."""
+    from pyspark.sql import functions as F
+
+    from pypgsync_spark.operators.dedup import (
+        _MERSENNE_31,
+        _perm_coeffs,
+        minhash_signatures,
+    )
+
+    rows = [
+        (1, ["alpha beta gamma", "beta gamma delta", "näïve ünïcode"]),
+        (2, ["solo"]),
+        (3, []),  # explode drops it → no signature row
+        (4, None),  # NULL set → no signature row
+        (5, ["alpha beta gamma", "Ω≈ç√∫", "0123456789"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, shingles array<string>")
+    got = {
+        r["id"]: list(r["sig"])
+        for r in minhash_signatures(df, "doc_id", "shingles", 8).collect()
+    }
+    # legacy formulation, inlined verbatim
+    a, b = _perm_coeffs(8)
+    exploded = df.select(F.col("doc_id").alias("id"), F.explode("shingles").alias("s"))
+    base = F.pmod(
+        F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long"),
+        F.lit(_MERSENNE_31),
+    )
+    hash_cols = [
+        F.pmod(F.lit(a[i]) * F.col("__h") + F.lit(b[i]), F.lit(_MERSENNE_31)).alias(
+            f"h{i}"
+        )
+        for i in range(8)
+    ]
+    legacy = {
+        r["id"]: [r[f"m{i}"] for i in range(8)]
+        for r in exploded.withColumn("__h", base)
+        .select("id", *hash_cols)
+        .groupBy("id")
+        .agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(8)])
+        .collect()
+    }
+    assert set(got) == {1, 2, 5}
+    assert got == legacy
+
+
 def test_positional_filter_boundary_exact(spark):
     """r14 positional filter: near-threshold pairs with varied sizes
     must survive the o_ub pruning exactly when the all-pairs form
