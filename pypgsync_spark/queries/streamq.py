@@ -209,6 +209,14 @@ def t8_transition_gated_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=schema,
         contrib_dir=f"{work}/contrib",
         checkpoint_dir=f"{work}/ckpt",
+        # state-partition count sized to the stateful op's key
+        # cardinality (128 hash buckets), not the core count: at
+        # one-per-core (32) each micro-batch pays 32 state-store
+        # commits + 32 Python stateful-worker rounds for ≤4 buckets
+        # each (measured 4.2 s; 8 partitions 1.7 s isolated).
+        # Production sizes this to buckets/cores like every
+        # state_partitions knob; the operator default stays "auto".
+        state_partitions=8,
     )
 
 
@@ -278,7 +286,10 @@ def t11_cdc_stream_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from pypgsync_spark.sources.pysource import read_cdc_stream
-    from pypgsync_spark.streaming.balance import stream_shuffle_partitions
+    from pypgsync_spark.streaming.balance import (
+        no_data_microbatches,
+        stream_shuffle_partitions,
+    )
 
     src = read_cdc_stream(
         spark, table_path(sf_dir, "events"), "event_id", num_partitions=4
@@ -296,7 +307,9 @@ def t11_cdc_stream_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     parent = _pid_scratch_dir("t11_cdc_ck", sf_dir)
     os.makedirs(parent, exist_ok=True)
     ck = tempfile.mkdtemp(prefix="run_", dir=parent)
-    with stream_shuffle_partitions(spark, 8):
+    # complete-mode agg: the trailing no-data cleanup batch re-emits
+    # the identical table, so skip it (balance.no_data_microbatches)
+    with stream_shuffle_partitions(spark, 8), no_data_microbatches(spark, False):
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")

@@ -284,14 +284,22 @@ def gated_balance(
         # micro-batch cost; an empty epoch just writes an empty dir.
         batch.write.mode("overwrite").parquet(f"{contrib_dir}/epoch={epoch_id}")
 
+    import os
+
     from pypgsync_spark.streaming.balance import (
+        no_data_microbatches,
         state_store_provider,
         stream_shuffle_partitions,
     )
 
+    # Skip availableNow's trailing no-data cleanup batch (see
+    # balance.no_data_microbatches): the gate emits every contribution
+    # in its arrival batch (NoTimeout — no timers to fire), so the
+    # cleanup batch only prunes state that dies with the drain anyway.
+    skip_no_data = os.environ.get("SPARK_GRAFT_STREAM_NODATA") != "1"
     with stream_shuffle_partitions(spark, state_partitions), state_store_provider(
         spark, store_provider
-    ):
+    ), no_data_microbatches(spark, not skip_no_data):
         q = (
             contrib.writeStream.foreachBatch(append_contribs)
             .outputMode("append")
