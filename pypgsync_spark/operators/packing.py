@@ -74,8 +74,16 @@ def packed_offsets(
     MEMORY_AND_DISK: orders of magnitude under the corpus at any
     scale, and far cheaper than re-running tokenization. Opt out for
     inputs that are already materialized.
+
+    ``SPARK_GRAFT_PACK_MATERIALIZE=0`` disables the checkpoint
+    globally: a localCheckpoint truncates ``.explain`` at a Scan
+    ExistingRDD, so the plan-shape tests (and any human auditing a
+    pipeline's physical plan end-to-end) set it to see through the
+    materialization boundary. Computation is identical either way.
     """
-    if materialize_input:
+    import os
+
+    if materialize_input and os.environ.get("SPARK_GRAFT_PACK_MATERIALIZE") != "0":
         df = df.localCheckpoint(eager=False)
     b = df.withColumn(_BKT, F.expr(f"{order_col} div {int(bucket_size)}"))
     totals = b.groupBy(stream_col, _BKT).agg(

@@ -680,6 +680,12 @@ def kmeans_fit(
     )
     cents = [[float(x) for x in r[vec_col]] for r in seed_rows]
     k = len(cents)  # fewer vectors than requested cells: fit what exists
+    # Deliberately NOT spread_if_underpartitioned here: the r14
+    # optimization round measured the repartitioned Lloyd step SLOWER
+    # (2.46 -> 2.94 s isolated) — per-task mapInPandas dispatch
+    # overhead across 32 partitions dwarfs the ~0.3 s of single-thread
+    # numpy the spread saves at fixture scale, and at real scale the
+    # fit runs on a sample whose scan is already multi-split.
     for _ in range(n_iter):
         assigned = _argmax_assign_arrow(vectors, cents, vec_col)
         sums = (

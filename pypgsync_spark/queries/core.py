@@ -1444,8 +1444,17 @@ def a21_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a22_feature_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_quantity", "l_discount", "l_tax"
+    from pypgsync_spark.operators.dedup import spread_if_underpartitioned
+
+    # the 3-column projection arrives in as many partitions as the
+    # fixture file has row groups (3 at sf0.1) while the decimal
+    # Expand + power-sum aggregation is CPU-dense — spread it across
+    # the cores first (guide §2: parallelism decoupled from input
+    # bytes; r14 profile: 0.96 s over 3 tasks -> ~0.1 s over 32)
+    li = spread_if_underpartitioned(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_quantity", "l_discount", "l_tax"
+        )
     )
     long = li.unpivot(
         ids=[],

@@ -1547,7 +1547,15 @@ def _winnow_pair_index(spark, sf_dir):
         "doc_id",
         winnow_fingerprints(F.col("text"), k=_WINNOW_K, w=_WINNOW_W).alias("fps"),
     )
-    e = f.select("doc_id", F.explode("fps").alias("fp"))
+    # materialize the exploded (doc_id, fp) stream BEFORE the df split:
+    # both the rare-fingerprint build and the join probe consume ``e``,
+    # and without this checkpoint each branch re-ran the whole
+    # scan -> repartition -> winnow chain (r14 profile: two identical
+    # single-task 0.78 s scan stages per run — the winnowing paid
+    # twice). ~0.8 MB of longs, metadata-scale at any SF.
+    e = f.select("doc_id", F.explode("fps").alias("fp")).localCheckpoint(
+        eager=False
+    )
     rare = (
         e.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("__df"))

@@ -418,23 +418,29 @@ def test_semdedup_gemm_grouped_by_cell_blocks(spark, sf_small):
     assert "__bp" in p and "__bq" in p  # sub-block keys in the grouping
 
 
-def test_pipe3_encoder_is_arrow_batched_map(spark, sf_small):
+def test_pipe3_encoder_is_arrow_batched_map(spark, sf_small, monkeypatch):
     """pipe3's BPE encode must run as an Arrow-batched pandas UDF in a
     map stage (no per-row Python), and the packing must keep pack1's
-    no-stream-wide-window contract."""
+    no-stream-wide-window contract. Packing materialization would
+    truncate the plan at a Scan ExistingRDD and hide the encoder
+    stage from the assertion — disable it (computation-identical)."""
+    monkeypatch.setenv("SPARK_GRAFT_PACK_MATERIALIZE", "0")
     p = plan_of(spark, sf_small, "pipe3_bpe_tokenize_pack")
     assert "ArrowEvalPython" in p
     assert "SinglePartition" not in p
     assert "BatchEvalPython" not in p  # never the row-at-a-time path
 
 
-def test_pipe4_plan_shape(spark, sf_small):
+def test_pipe4_plan_shape(spark, sf_small, monkeypatch):
     """pipe4 composes three scale contracts in one plan: the SemDeDup
     GEMM stays keyed by (cell, block-pair) — a hot cell splits into
     bounded sub-block tasks; the packing keeps pack1's
     no-stream-wide-window contract; and no per-row Python anywhere
     (the gopher stage is pure Column HOFs, the GEMM is Arrow-batched
-    applyInPandas)."""
+    applyInPandas). Packing materialization would truncate the plan
+    at a Scan ExistingRDD and hide every upstream stage from these
+    assertions — disable it (computation-identical)."""
+    monkeypatch.setenv("SPARK_GRAFT_PACK_MATERIALIZE", "0")
     p = plan_of(spark, sf_small, "pipe4_curation_pipeline")
     assert "FlatMapGroupsInPandas" in p
     assert "__bp" in p and "__bq" in p  # sub-block keys in the grouping
