@@ -269,31 +269,48 @@ def bloom_prune(
     ``key_col`` must be a concrete column on BOTH inputs (hash
     composite keys into one column first, e.g. ``xxhash64(band,
     bucket)``).
+
+    Physical shape (r14 optimization round, guide §1.2/§7.2): ONE
+    driver action — the distinct keys' k raw ``xxhash64`` values come
+    back in a single Arrow ``toPandas`` transfer (the old shape was
+    two jobs over the same checkpointed key side — a count, then a
+    py4j row-by-row collect of ~5·|keys| exploded positions, the
+    row conversion alone ~1 s at 80k positions), and the bitset is
+    folded in numpy. The mask still rides the plan as an
+    ``array(...)`` SQL literal: CreateArray over foldable children
+    constant-folds to ONE Literal in the first optimizer pass, and
+    the parse is ~100 ms — while the py4j converters (``F.lit`` of a
+    list OR of a numpy array) ship 8k elements one JVM call each,
+    measured slower than the whole old path. The sizing count is now
+    the DISTINCT key count (it rides the same transfer); distinct ≤
+    raw count, so the degrade cap triggers no earlier, and either
+    sizing only moves the false-positive rate, never correctness.
     """
     import math
 
-    n = keys.count()
+    import numpy as np
+
+    seeds = list(range(1, n_hashes + 1))
+    hash_cols = [
+        F.xxhash64(F.col(key_col), F.lit(s)).alias(f"__h{s}") for s in seeds
+    ]
+    hpdf = keys.distinct().select(*hash_cols).toPandas()
+    n = len(hpdf)
     if n > max_keys:
         return probe
     m = max(64, 1 << math.ceil(math.log2(max(1, n * bits_per_key))))
-    seeds = list(range(1, n_hashes + 1))
-    pos_cols = [
-        F.xxhash64(F.col(key_col), F.lit(s)).bitwiseAND(F.lit(m - 1))
-        for s in seeds
-    ]
-    positions = (
-        keys.select(F.explode(F.array(*pos_cols)).alias("p"))
-        .distinct()
-        .collect()
-    )
-    mask = [0] * (m // 64)
-    for r in positions:
-        p = int(r["p"])
-        mask[p // 64] |= 1 << (p % 64)
-    # two's-complement into signed BIGINT literals
-    mask_sql = "array(" + ",".join(
-        f"{x - (1 << 64) if x >= (1 << 63) else x}L" for x in mask
-    ) + ")"
+    mask_np = np.zeros(m // 64, dtype=np.uint64)
+    if n:
+        hs = hpdf.to_numpy(dtype=np.int64)
+        p = (hs & np.int64(m - 1)).ravel()
+        np.bitwise_or.at(
+            mask_np,
+            p >> 6,
+            np.left_shift(np.uint64(1), (p & 63).astype(np.uint64)),
+        )
+    # two's-complement view into signed BIGINT literals
+    mask = mask_np.view(np.int64).tolist()
+    mask_sql = "array(" + ",".join(f"{x}L" for x in mask) + ")"
 
     def bit_set(s: int) -> str:
         h = f"(xxhash64(`{key_col}`, {s}) & {m - 1}L)"

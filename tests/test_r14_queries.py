@@ -424,6 +424,18 @@ def test_d17_index_layout_and_bloom_prune_contract(spark, sf_small, tmp_path):
     fb = bloom_prune(probe, keys, "k", max_keys=3)
     assert fb.count() == 1000  # past the cap: unchanged probe
 
+    # sign edge of the r14 one-action rewrite: the driver folds RAW
+    # signed xxhash64 values with Python's & while the in-plan probe
+    # masks in the JVM — a key whose every seeded hash is negative
+    # must still always pass its own gate (two's-complement low bits
+    # agree between the two)
+    neg = spark.range(3, 4).select(F.col("id").alias("k"))
+    neg_hashes = neg.select(
+        *[F.xxhash64(F.col("k"), F.lit(s)).alias(f"h{s}") for s in (1, 2, 3)]
+    ).first()
+    assert any(h < 0 for h in neg_hashes)  # the edge is actually hit
+    assert bloom_prune(neg, neg, "k").count() == 1
+
 
 def test_pack4_manifest_partitions_and_merges(spark, sf_small):
     """The manifest must (a) partition the corpus exactly — shard
