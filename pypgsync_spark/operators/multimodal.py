@@ -995,13 +995,25 @@ def single_slot_persist(cache: list, df: DataFrame) -> DataFrame:
     four line-identical copies): release the previous occupant, persist
     and cache the new DataFrame, return it. One live copy per slot per
     process; safe under the no-concurrent-jobs bench discipline, not
-    under concurrent callers (ADVICE r12 #3, accepted)."""
+    under concurrent callers (ADVICE r12 #3, accepted).
+
+    Materializes EAGERLY (r14 optimization round): a lazily-persisted
+    slot is raced by its first consumers — a streaming micro-batch's
+    broadcast build and the static-side re-plan each found the cache
+    cold and recomputed the full corpus signing chain from parquet
+    (mm14's warm profile showed the ~6 s-of-task-time corpus stage
+    TWICE per run; eager, it runs once: 6.1 → 4.5 s warm). The count
+    also runs the signing as a regular 32-way cluster job instead of
+    inside a broadcast-build thread. Per-CALL persist semantics are
+    unchanged — every invocation still computes from the parquet
+    inputs; nothing is reused across calls."""
     while cache:
         try:
             cache.pop().unpersist()
         except Exception:
             pass
     df = df.persist()
+    df.count()
     cache.append(df)
     return df
 

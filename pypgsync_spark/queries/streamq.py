@@ -824,9 +824,7 @@ def pipe7_cross_modal_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gate(df: DataFrame) -> DataFrame:
         """pipe5's stage-1 shape: token array aliased in its own
         select (tx6 CollapseProject discipline), metrics from THE
-        shared kernel — applied to the stream AND, re-applied to the
-        batch read, re-deriving the same (doc_id, n_tokens) for the
-        post-drain verdict row."""
+        shared kernel — applied to the stream side only."""
         tkd = df.filter(F.col("doc_id") % 10 == 0).select(
             "doc_id", tokens(F.col("text")).alias("tk")
         )
@@ -861,12 +859,27 @@ def pipe7_cross_modal_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # batch verdict on the drained screen rows — THE shared verdict
     # (textops._screen_verdict, one copy with mm10/mm12; r14 review:
-    # this carried a third line-for-line copy) — then the token counts
-    # re-derived through the same gate on the batch read
+    # this carried a third line-for-line copy) — then n_tokens from a
+    # LEAN batch projection (r14 optimization round, guide §1.2 "don't
+    # compute things you throw away"): the drained rows exist only for
+    # stream-GATED docs, so the inner join on doc_id already enforces
+    # the gate — re-running the three regex metric HOFs and the gate
+    # filter on the batch read recomputed a filter the join discards
+    # (measured 0.7-0.9 s vs 0.2 s warm at sf0.1 for the batch leg);
+    # gopher_metrics' n_words IS size(tokens), so the lean projection
+    # is value-identical
     from pypgsync_spark.queries.textops import _screen_verdict
 
+    n_tok = (
+        spark.read.parquet(path)
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+    )
     return (
         _screen_verdict(drained, max_hamming=3)
-        .join(gate(spark.read.parquet(path)), on="doc_id")
+        .join(n_tok, on="doc_id")
         .select("doc_id", "n_tokens", "n_matches", "best_hamming", "is_novel")
     )
