@@ -28,16 +28,21 @@ DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # (hashed-shingle arrays are tiny on the wire, array_intersect per
 # candidate pair is not), so 1 MB packing coalesced them to 4-8 tasks
 # and left 3/4 of the cores idle (r14 profile: pipe2's verify stage =
-# 18 s CPU squeezed into 8 tasks). 256 KB keeps such stages at full
-# parallelism while still folding genuinely tiny (<256 KB total)
+# 18 s CPU squeezed into 8 tasks). 128 KB keeps such stages at full
+# parallelism while still folding genuinely tiny (<128 KB total)
 # shuffles to one task. Scale note: this is a FLOOR, not a target —
 # on a real cluster any data-proportional shuffle sits far above
 # either value and coalescing behaves identically; override with
 # SPARK_GRAFT_AQE_MIN_PARTITION if a deployment wants the 1 MB
 # default back. Measured (quiet-box isolated A/B, min-of-4, sf0.1):
-# d2 3.27→2.14 s, d5 4.55→3.02, d12 3.16→2.07, d13 2.94→2.00,
-# pipe2 7.82→5.85, d9 4.90→3.52; join/TPC-H family neutral.
-AQE_MIN_PARTITION = os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "262144")
+# 1 MB → 256 KB: d2 3.27→2.14 s, d5 4.55→3.02, d12 3.16→2.07,
+# d13 2.94→2.00, pipe2 7.82→5.85, d9 4.90→3.52; join/TPC-H family
+# neutral. 256 KB → 128 KB (the d2 verify stage still coalesced its
+# 4.3 MB of candidate pairs to 15 of 32 cores): same-run A/B over
+# {d2,d5,d8,d9,d13,pipe2,s6,q1,f1,j2} = 0.88× total (d2 −21%,
+# d5 −26%, d9 −17%, nothing worse); 64 KB measured neutral-to-worse
+# (task overhead eats the gain), so 128 KB is the floor's floor.
+AQE_MIN_PARTITION = os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "131072")
 
 
 def _resolve_master(master: str | None, cpus: int) -> str | None:
