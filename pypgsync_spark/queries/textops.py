@@ -3422,6 +3422,15 @@ def dsir_weights(
     """The DSIR chain over any (doc_id, source, text) frame — tx17's
     body, parametrized so the scale probe can drive it over staged
     multiplied corpora (scripts/probe_scale.py dsir)."""
+    # deliberately NOT spread_if_underpartitioned (r14 optimization
+    # round): the 1-split fixture input makes the bucket build and the
+    # two normalizer counts one-task 0.5 s stages, but the spread was
+    # MEASURED worse, not better — isolated min-of-4 same-session A/B:
+    # tx17 1.27 -> 2.04 s, pipe8 1.80 -> 2.63 s (every downstream
+    # stage fans to 32 tasks whose per-task overhead exceeds the
+    # parallelism gain at this data size; the kmeans_fit finding
+    # repeated). A real corpus arrives many-split and parallelizes
+    # without the extra round-robin shuffle.
     tk = tokens(F.col("text"))
     ln_ = F.greatest(F.size(tk) - 1, F.lit(0))
     arr = F.arrays_zip(
