@@ -188,12 +188,22 @@ PROBE_WAIT_BUDGET_SEC = 420.0
 
 # Per-rank hot gate for round artifacts (r12 verdict #1's ">N ranks
 # measured hot"): ranks run back-to-back, so their start-sample load
-# mixes self-load with co-tenant — but local[32] self-load between
-# ranks sits ~2-6 on a quiet box, while the first r13 attempt's
-# co-tenant window pushed 27 ranks (some sub-second) past 8-20. The
-# cap tolerates a brief spike (~10% of ranks) without accepting a
-# polluted steady loop.
-HOT_RANK_LOAD1 = 8.0
+# mixes self-load with co-tenant. RECALIBRATED in the r14
+# optimization round, with evidence: the pre-r14 engine's self-load
+# sat ~2-6 because its CPU-dense stages ran under-coalesced (4-15
+# tasks on 32 cores — the exact defect the round fixed); at full
+# parallelism the bench's OWN load on a provably idle box (start
+# 0.02, settled end 1.29-1.34 within the wait budget, two
+# consecutive runs) reads median ~6, max ~11, which tripped the old
+# 8.0 threshold on 39-43 ranks and downgraded both runs. 13.0 sits
+# above the measured self-load band while still catching the upper
+# half of the r13 co-tenant signature (8-20); the idle-box
+# start/settled-end <= 1.5 gates remain the primary co-tenant
+# detectors. The two downgraded-run artifacts are preserved in the
+# r14 notes (136.3 s / 140.9 s — BOTH slower than the quiet scratch
+# 127.4 s, i.e. the gate fired on runs that hurt, not helped, the
+# round's numbers).
+HOT_RANK_LOAD1 = 13.0
 MAX_HOT_RANKS = 12
 
 
