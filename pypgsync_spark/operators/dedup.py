@@ -365,6 +365,18 @@ def ngram_jaccard_pairs(
         # shared AllPairs/PPJoin kernel — see ppjoin_prefixes /
         # ppjoin_length_filter for the lemmas
         pref = ppjoin_prefixes(ex, freq, threshold)
+        if materialize_shingles:
+            # BOTH sides of the candidate self-join below reference
+            # pref, and Spark plans the two references as two full
+            # copies of the explode → freq aggregate → freq join →
+            # rank window chain (r14 plan audit: zero ReusedExchange,
+            # Window appears twice, ~20 s of the query's ~45 s task
+            # CPU at sf0.1 was the second copy). A lazy localCheckpoint
+            # computes the prefix table once — the same
+            # storage-vs-recompute trade as the shingle checkpoint
+            # above (guide §5.2; the d10/d11 winnow-pair-index
+            # precedent), so it rides the same opt-in flag.
+            pref = pref.localCheckpoint(eager=False)
         # candidate dedup doubles as the positional-filter aggregation:
         # min(__rk) per side lands on the pair's min-order common
         # prefix shingle (see ppjoin_positional_filter), pruning

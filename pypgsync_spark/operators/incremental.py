@@ -27,7 +27,7 @@ pairs get verified — still delta-proportional work.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pypgsync_spark.functions.text import content_fingerprint
@@ -355,12 +355,25 @@ def lsh_index_screen(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.3,
+    hashed_verify: bool = True,
 ) -> DataFrame:
     """Near-dup pairs (delta_id, corpus_id, jaccard) between an ingest
     DELTA and a standing corpus, probed through the corpus's
     MATERIALIZED LSH band index (operators/dedup.lsh_band_index_write)
     — the near-dup analogue this module's header promises, composed
     with the v15 materialized-index and d16 Bloom-gate precedents.
+
+    ``hashed_verify`` (r14 optimization round) is the d2/d8 flag with a
+    TWO-COLUMN carry: the delta's STRING shingles must still feed the
+    md5 minhash signer (the oracle-shared base hash), so only the two
+    verify-side projections replace each shingle with its xxhash64 —
+    Jaccard depends on set sizes alone, which 64-bit hashing preserves
+    (collision odds ~|sh|²/2⁶⁴), long-array intersects run ~2× faster
+    than string-array ones, and the verify joins ship 8-byte elements
+    instead of n-gram strings. The signature/banding chain is
+    bit-identical to the unhashed form; equality against the
+    string-verify reference chain is pinned by
+    tests/test_r14_queries.py::test_d17_matches_indexless_screen_and_recrawl_hits.
 
     Work is delta-proportional end to end:
 
@@ -451,11 +464,21 @@ def lsh_index_screen(
         on=id_col,
         how="left_semi",
     )
+
+    def verify_form(sh: Column) -> Column:
+        if hashed_verify:
+            return F.array_distinct(F.transform(sh, lambda x: F.xxhash64(x)))
+        return sh
+
     sh_c = with_shingles(
         corpus_cand.select(id_col, text_col), text_col, n
-    ).select(F.col(id_col).alias("corpus_id"), F.col("shingles").alias("sh_c"))
+    ).select(
+        F.col(id_col).alias("corpus_id"),
+        verify_form(F.col("shingles")).alias("sh_c"),
+    )
     sh_d = s_d.select(
-        F.col(id_col).alias("delta_id"), F.col("shingles").alias("sh_d")
+        F.col(id_col).alias("delta_id"),
+        verify_form(F.col("shingles")).alias("sh_d"),
     )
     return (
         cand.join(sh_d, on="delta_id")
