@@ -642,3 +642,25 @@ def test_lang_id_null_text_is_null(spark):
     )
     got = [r["lang"] for r in df.select(lang_id("text").alias("lang")).collect()]
     assert got == ["en", None]
+
+
+def test_ngram_pairs_materialization_flag_invariant(spark, sf_small):
+    """materialize_shingles only changes WHERE the shingle and prefix
+    tables live (lazy localCheckpoints — r14 §12 added the prefix one),
+    never the rows. Pins the checkpoint boundaries as pure
+    storage-vs-recompute trades."""
+    from pypgsync_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_small, "documents")
+    plain = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, threshold=0.3).collect())
+    )
+    mat = sorted(
+        map(
+            tuple,
+            ngram_jaccard_pairs(
+                docs, threshold=0.3, materialize_shingles=True
+            ).collect(),
+        )
+    )
+    assert plain == mat and len(plain) > 0
