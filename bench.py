@@ -368,7 +368,33 @@ def _auto_ab(spark, times: dict, bench_round: int) -> dict:
     return out
 
 
+def _start_quiet_wait() -> tuple[list[float], float]:
+    """r15 (r14 verdict #2): EVERY run — the driver's ungated
+    invocation included — waits (bounded) for the box to settle before
+    the first measurement. The r14 driver run started at 1-min load
+    16.02 and poisoned ~50 small-query comparisons; a 1-min load
+    decays e-fold per idle minute, so the default budget comfortably
+    absorbs even that spike. Opt out with
+    SPARK_GRAFT_START_QUIET_BUDGET=0. Returns (pre-wait loadavg,
+    seconds waited); the artifact records both so a reader can see
+    what the run walked in on."""
+    load_prewait = [round(x, 2) for x in os.getloadavg()]
+    budget = float(os.environ.get("SPARK_GRAFT_START_QUIET_BUDGET", "420"))
+    waited = 0.0
+    if load_prewait[0] > ROUND_ARTIFACT_MAX_LOAD1 and budget > 0:
+        _, load_now, waited = _wait_for_quiet(
+            budget, threshold=ROUND_ARTIFACT_MAX_LOAD1
+        )
+        print(
+            f"# start quiet-wait: load {load_prewait[0]} -> {load_now} "
+            f"after {waited}s",
+            file=sys.stderr,
+        )
+    return load_prewait, waited
+
+
 def main() -> None:
+    load_prewait, quiet_wait_start = _start_quiet_wait()
     # r9 verdict #3: the artifact carries its own ambient-load evidence
     # (CLAUDE.md's uptime-probe rule, automated) — bench_diff.py reads
     # these to back its CODE/AMBIENT verdicts.
@@ -614,7 +640,9 @@ def main() -> None:
     out = {
         "round_artifact": round_artifact,
         "load_avg": {"start": load_start, "end": load_end,
-                     "settled_end": settled_load},
+                     "settled_end": settled_load,
+                     "prewait_start": load_prewait,
+                     "quiet_wait_start_sec": quiet_wait_start},
         "load_1min_per_rank": rank_load,
         "metric": "headline_queries_wall_clock_steady",
         "value": round(sum(times.values()), 3),

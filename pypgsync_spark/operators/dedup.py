@@ -774,7 +774,18 @@ def _min_label_rounds(
 # path runs unchanged. Override per call (`driver_max_edges=0` forces
 # the distributed path) or per deployment via
 # $SPARK_GRAFT_CC_DRIVER_MAX_EDGES.
+#
+# The byte intuition behind the count assumes FIXED-WIDTH ids (two
+# 8-byte longs per edge). The driver path is therefore gated on both
+# id columns being integral types (r14 verdict #4 hardening): a
+# string-id graph at the same edge count could be an order of
+# magnitude more driver bytes — and the union-find's output schema is
+# integer-typed anyway — so non-integral ids always take the
+# distributed path, whatever the edge count. Pinned by
+# tests/test_dedup.py::test_cc_hybrid_string_ids_skip_driver_path.
 CC_DRIVER_MAX_EDGES = 500_000
+
+_CC_INTEGRAL_TYPES = ("byte", "short", "integer", "long")
 
 
 def _driver_union_find_labels(raw: DataFrame) -> DataFrame:
@@ -848,7 +859,10 @@ def connected_components_hybrid(
     way — is collected and closed with a driver-side union-find. Every
     distributed round is a full Spark job whose cost on a small graph
     is pure scheduling overhead; the cutoff bounds the collect at
-    broadcast-build-side scale.
+    broadcast-build-side scale. The cutoff's byte budget assumes
+    fixed-width ids, so the driver path additionally requires both id
+    columns to be integral — string-id graphs always run distributed
+    (see the :data:`CC_DRIVER_MAX_EDGES` comment).
     """
     if driver_max_edges is None:
         driver_max_edges = int(
@@ -862,7 +876,10 @@ def connected_components_hybrid(
         eager=True
     )
     n_edges = raw.count()
-    if n_edges <= driver_max_edges:
+    ids_integral = all(
+        f.dataType.typeName() in _CC_INTEGRAL_TYPES for f in raw.schema.fields
+    )
+    if ids_integral and n_edges <= driver_max_edges:
         if stats is not None:
             stats["pregel_rounds"] = 0
             stats["star_rounds"] = 0

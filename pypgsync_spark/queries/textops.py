@@ -79,16 +79,8 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # make the same HEAD fingerprint differently after d5 ran; accumulator
 # SUBCLASSES contribute nothing in any state (fingerprint.py).
 from collections import Counter as _Counter  # noqa: E402
-from collections import defaultdict as _defaultdict  # noqa: E402
 
 D5_CC_STATS: _Counter = _Counter()
-
-# d17's per-process index cache: sf_dir -> built index path. A
-# defaultdict, not a plain dict, for the same reason D5_CC_STATS is a
-# Counter: accumulator SUBCLASSES contribute nothing to fingerprints
-# in any state (queries/fingerprint.py r13 rule), so warm-vs-fresh
-# process state cannot make the same HEAD fingerprint differently.
-_D17_INDEX_CACHE: _defaultdict = _defaultdict(str)
 
 
 # DuckDB-side shared fragments (tokens / shingles) mirroring
@@ -1036,18 +1028,19 @@ def d16_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bloom_prune), bucket-joins the survivors, and exact-Jaccard-"
     "verifies candidates with corpus text read for |candidates| "
     "documents via a left-semi join. Work per batch is delta-"
-    "proportional; the corpus's signature cost is paid once per "
-    "version. Same corpus/delta/re-crawl fixture as d7/d16 (re-crawls "
-    "guarantee jaccard-1.0 hits); same band geometry as d3, so the "
-    "oracle restates the full signature/banding chain in exact md5 "
-    "integer arithmetic, joined CROSS-side instead of self. The "
-    "index is built ONCE per (process, fixture) and cached "
-    "(_D17_INDEX_CACHE) — the write-once contract made literal: the "
-    "first call per process pays the build, every later call (bench "
-    "warm runs included) times only the recurring probe. Probe "
-    "geometry is asserted against the index sidecar; the Bloom gate "
-    "degrades to an ungated (still exact) scan past ~125k delta "
-    "docs (bloom_prune max_keys).",
+    "proportional; in production the corpus's signature cost is paid "
+    "once per corpus version (the index is write-once on disk). Same "
+    "corpus/delta/re-crawl fixture as d7/d16 (re-crawls guarantee "
+    "jaccard-1.0 hits); same band geometry as d3, so the oracle "
+    "restates the full signature/banding chain in exact md5 integer "
+    "arithmetic, joined CROSS-side instead of self. The BENCHED query "
+    "builds the index fresh EVERY call (v15's build-per-call "
+    "discipline; the r14 verdict ruled the per-process cache "
+    "gaming-adjacent — a steady figure that amortized the build "
+    "across warm runs was not comparable to its peers), so its bench "
+    "rank times build+probe honestly. Probe geometry is asserted "
+    "against the index sidecar; the Bloom gate degrades to an ungated "
+    "(still exact) scan past ~125k delta docs (bloom_prune max_keys).",
     oracle=f"""
     WITH base AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
     shc AS (SELECT doc_id, sh FROM base WHERE doc_id % 10 <> 0),
@@ -1108,21 +1101,18 @@ def d17_lsh_index_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("doc_id") + F.lit(1000000)
     )
     delta = d.filter(F.col("doc_id") % 10 == 0).unionByName(recrawl)
-    # the write-once contract made literal: build the index ONCE per
-    # (process, fixture) and let every later call probe it — a fresh
-    # rebuild per call timed the build, not the recurring ingest batch
-    # (observed as the slowest bench rank; probe_scale's lshscreen
-    # already puts the build on the cold run only). The pid-scoped
-    # reaped parent (v15's discipline) still isolates processes and
-    # code versions, so a stale index written by OLDER code can never
-    # serve a newer probe.
-    path = _D17_INDEX_CACHE.get(sf_dir, "")
-    if not path or not os.path.isdir(path):
-        parent = _pid_scratch_dir("d17_lsh_index", sf_dir)
-        os.makedirs(parent, exist_ok=True)
-        path = os.path.join(tempfile.mkdtemp(prefix="run_", dir=parent), "idx")
-        lsh_band_index_write(corpus, path)
-        _D17_INDEX_CACHE[sf_dir] = path
+    # build-per-call (r15, r14 verdict #1): the r14 per-process cache
+    # (_D17_INDEX_CACHE) moved the build out of the bench's warm runs —
+    # a precomputed intermediate keyed on the fixture, i.e. exactly the
+    # measurement shape the rules forbid, even though the operator's
+    # production contract IS write-once. v15 already settled the
+    # honest form for materialized-index queries: rebuild every call,
+    # under a pid-scoped reaped parent so repeated runs never grow
+    # /tmp and a stale index from older code can never serve a probe.
+    parent = _pid_scratch_dir("d17_lsh_index", sf_dir)
+    os.makedirs(parent, exist_ok=True)
+    path = os.path.join(tempfile.mkdtemp(prefix="run_", dir=parent), "idx")
+    lsh_band_index_write(corpus, path)
     return lsh_index_screen(spark, path, corpus, delta)
 
 

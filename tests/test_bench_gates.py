@@ -122,3 +122,30 @@ def test_alltime_min_per_rank_scans_artifacts(tmp_path):
     assert (0.61 <= alltime.get("v9", 0.61)) is True
     assert (1.50 <= alltime.get("j14", 1.50)) is False
     assert (1.0 <= alltime.get("new_rank", 1.0)) is True
+
+
+def test_start_quiet_wait_hot_box(monkeypatch):
+    """r14 verdict #2: the driver's r14 bench started at 1-min load
+    16.02 (ungated — no --round-artifact) and poisoned ~50 comparisons.
+    Every run now waits, bounded, for the box to settle before the
+    first measurement."""
+    state = _fake_loads(monkeypatch, [16.0, 6.0, 2.0, 1.1])
+    monkeypatch.delenv("SPARK_GRAFT_START_QUIET_BUDGET", raising=False)
+    prewait, waited = bench._start_quiet_wait()
+    assert prewait[0] == 16.0
+    assert waited == 30.0  # decayed through the threshold in 3 polls
+    assert state["slept"] == [10.0, 10.0, 10.0]
+
+
+def test_start_quiet_wait_quiet_box(monkeypatch):
+    state = _fake_loads(monkeypatch, [0.4])
+    monkeypatch.delenv("SPARK_GRAFT_START_QUIET_BUDGET", raising=False)
+    prewait, waited = bench._start_quiet_wait()
+    assert prewait[0] == 0.4 and waited == 0.0 and state["slept"] == []
+
+
+def test_start_quiet_wait_opt_out(monkeypatch):
+    state = _fake_loads(monkeypatch, [16.0])
+    monkeypatch.setenv("SPARK_GRAFT_START_QUIET_BUDGET", "0")
+    prewait, waited = bench._start_quiet_wait()
+    assert prewait[0] == 16.0 and waited == 0.0 and state["slept"] == []

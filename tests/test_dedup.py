@@ -649,8 +649,6 @@ def test_ngram_pairs_materialization_flag_invariant(spark, sf_small):
     tables live (lazy localCheckpoints — r14 §12 added the prefix one),
     never the rows. Pins the checkpoint boundaries as pure
     storage-vs-recompute trades."""
-    from pypgsync_spark.operators.dedup import ngram_jaccard_pairs
-
     docs = load_table(spark, sf_small, "documents")
     plain = sorted(
         map(tuple, ngram_jaccard_pairs(docs, threshold=0.3).collect())
@@ -664,3 +662,29 @@ def test_ngram_pairs_materialization_flag_invariant(spark, sf_small):
         )
     )
     assert plain == mat and len(plain) > 0
+
+
+def test_cc_hybrid_string_ids_skip_driver_path(spark):
+    """The driver union-find cutoff's byte budget assumes fixed-width
+    ids (CC_DRIVER_MAX_EDGES comment; r14 verdict hardening): a
+    string-id edge list must take the distributed path regardless of
+    edge count — and must still produce the min-label closure with the
+    input's own id type. Numeric strings are used because the
+    distributed convergence detector's decimal accumulator needs
+    castable labels (a constraint predating the driver path; min-label
+    on strings is lexicographic)."""
+    from pypgsync_spark.operators.dedup import connected_components_hybrid
+
+    edges = spark.createDataFrame(
+        [("10", "20"), ("20", "30"), ("100", "200")], ["id_a", "id_b"]
+    )
+    stats: dict = {}
+    labels = connected_components_hybrid(edges, stats=stats)
+    assert "driver_edges" not in stats  # distributed path ran
+    assert stats["pregel_rounds"] >= 1
+    got = {(r["id"], r["component"]) for r in labels.collect()}
+    assert got == {
+        ("10", "10"), ("20", "10"), ("30", "10"),
+        ("100", "100"), ("200", "100"),
+    }
+    assert dict(labels.dtypes)["component"] == "string"
