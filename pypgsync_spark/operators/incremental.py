@@ -91,17 +91,31 @@ def cross_jaccard_pairs(
 
     Output: (delta_id, corpus_id, jaccard).
     """
-    from pypgsync_spark.operators.dedup import jaccard, with_shingles
+    import os
+
+    from pypgsync_spark.operators.dedup import (
+        hashed_shingles,
+        jaccard,
+        with_shingles,
+    )
+
+    use_kernel = hashed_verify and os.environ.get(
+        "SPARK_GRAFT_SHINGLE_KERNEL", "1"
+    ) != "0"
 
     def sh(side: DataFrame) -> DataFrame:
-        s = with_shingles(side.select(id_col, text_col), text_col, n)
-        if hashed_verify:
-            s = s.withColumn(
-                "shingles",
-                F.array_distinct(
-                    F.transform("shingles", lambda x: F.xxhash64(x))
-                ),
-            )
+        if use_kernel:
+            # fused Arrow kernel (r15) — see ngram_jaccard_pairs
+            s = hashed_shingles(side, id_col, text_col, n)
+        else:
+            s = with_shingles(side.select(id_col, text_col), text_col, n)
+            if hashed_verify:
+                s = s.withColumn(
+                    "shingles",
+                    F.array_distinct(
+                        F.transform("shingles", lambda x: F.xxhash64(x))
+                    ),
+                )
         return s.filter(F.size("shingles") > 0)
 
     sd = sh(delta)
@@ -144,12 +158,34 @@ def cross_jaccard_pairs(
     # inline copy of the prefix build; a bound/tie-order fix in one
     # place would have silently left the other incomplete)
     from pypgsync_spark.operators.dedup import (
+        PPJOIN_FREQ_BROADCAST_MAX,
+        _collect_freq_if_small,
         ppjoin_length_filter,
         ppjoin_positional_filter,
         ppjoin_prefixes,
+        ppjoin_prefixes_bcast,
+    )
+
+    freq_np = (
+        _collect_freq_if_small(freq, PPJOIN_FREQ_BROADCAST_MAX)
+        if use_kernel
+        else None
     )
 
     def prefixes(ex: DataFrame, side: str) -> DataFrame:
+        if freq_np is not None:
+            # union vocabulary fits the broadcast cap: map-side prefix
+            # kernel, no freq join / rank-window shuffle per side (r15
+            # — see ngram_jaccard_pairs; rows identical by test)
+            src = sd if side == "d" else sc
+            return ppjoin_prefixes_bcast(
+                src, freq_np, threshold, id_col
+            ).select(
+                F.col("id").alias(f"id_{side}"),
+                F.col("sz").alias(f"sz_{side}"),
+                "sh",
+                F.col("__rk").alias(f"__rk_{side}"),
+            )
         return ppjoin_prefixes(
             ex, freq, threshold, id_col=f"id_{side}", sz_col=f"sz_{side}"
         ).withColumnRenamed("__rk", f"__rk_{side}")
@@ -410,8 +446,12 @@ def lsh_index_screen(
 
     from pypgsync_spark.operators.dedup import (
         band_bucket_keys,
+        doc_tokens,
+        hashed_shingles,
+        hashed_shingles_from_tokens,
         jaccard,
         minhash_signatures,
+        minhash_signatures_from_tokens,
         with_shingles,
     )
 
@@ -428,11 +468,26 @@ def lsh_index_screen(
                 "probe with its geometry"
             )
 
-    s_d = with_shingles(delta.select(id_col, text_col), text_col, n)
-    # feeds both the signature build and the exact verify: lazy
-    # checkpoint, materialized by bloom_prune's key count
-    s_d = s_d.localCheckpoint(eager=False)
-    sig_d = minhash_signatures(s_d, id_col, "shingles", num_perm)
+    use_kernel = hashed_verify and os.environ.get(
+        "SPARK_GRAFT_SHINGLE_KERNEL", "1"
+    ) != "0"
+    if use_kernel:
+        # fused kernels (r15): ONE JVM tokenization of the delta —
+        # lazy-checkpointed, materialized by bloom_prune's key count —
+        # feeds the signer (bit-identical signatures) and the hashed
+        # verify side; corpus candidates get the hashed-shingle kernel
+        # directly. Replaces the r14 two-column carry (string shingles
+        # + per-element xxhash64 on both verify projections).
+        tk_d = doc_tokens(
+            delta.select(id_col, text_col), id_col, text_col
+        ).localCheckpoint(eager=False)
+        sig_d = minhash_signatures_from_tokens(tk_d, n, num_perm)
+    else:
+        s_d = with_shingles(delta.select(id_col, text_col), text_col, n)
+        # feeds both the signature build and the exact verify: lazy
+        # checkpoint, materialized by bloom_prune's key count
+        s_d = s_d.localCheckpoint(eager=False)
+        sig_d = minhash_signatures(s_d, id_col, "shingles", num_perm)
     keys_d = band_bucket_keys(sig_d, num_perm, bands).localCheckpoint(
         eager=False
     )
@@ -470,16 +525,26 @@ def lsh_index_screen(
             return F.array_distinct(F.transform(sh, lambda x: F.xxhash64(x)))
         return sh
 
-    sh_c = with_shingles(
-        corpus_cand.select(id_col, text_col), text_col, n
-    ).select(
-        F.col(id_col).alias("corpus_id"),
-        verify_form(F.col("shingles")).alias("sh_c"),
-    )
-    sh_d = s_d.select(
-        F.col(id_col).alias("delta_id"),
-        verify_form(F.col("shingles")).alias("sh_d"),
-    )
+    if use_kernel:
+        sh_c = hashed_shingles(
+            corpus_cand.select(id_col, text_col), id_col, text_col, n
+        ).select(
+            F.col(id_col).alias("corpus_id"), F.col("shingles").alias("sh_c")
+        )
+        sh_d = hashed_shingles_from_tokens(tk_d, n).select(
+            F.col("id").alias("delta_id"), F.col("shingles").alias("sh_d")
+        )
+    else:
+        sh_c = with_shingles(
+            corpus_cand.select(id_col, text_col), text_col, n
+        ).select(
+            F.col(id_col).alias("corpus_id"),
+            verify_form(F.col("shingles")).alias("sh_c"),
+        )
+        sh_d = s_d.select(
+            F.col(id_col).alias("delta_id"),
+            verify_form(F.col("shingles")).alias("sh_d"),
+        )
     return (
         cand.join(sh_d, on="delta_id")
         .join(sh_c, on="corpus_id")
